@@ -1,0 +1,249 @@
+"""``.wb`` project serialization — msgpack, byte-compatible with the
+reference's ``wbpr`` document (src/engine/project.cpp:221-330 write,
+:22-219 read).
+
+Schema (all keys as the reference writes them)::
+
+    {"wbpr": {version, bpm, playhead_pos, timeline_view_min,
+              timeline_view_max, main_vol, project_info{author,title,genre,desc},
+              sample_table[path...],
+              midi_table[{min_note,max_note,notes[[min,max,key,flags,vel]...]}...],
+              tracks[{name,col,height,vol,pan,mute,solo,shown,
+                      clips[{type,name,col,active,start,end,ofs,
+                             data{asset_id,fstart,fend,gain[,speed]}  # audio
+                             data{asset_id,trans,rate}}...]}...]}}
+
+Notes: the reference writer never persists clip speed (its reader defaults
+it to 1.0, project.cpp:188); we write it as an extra "speed" key — the
+reference reader scans maps by key so extras are ignored. Missing sample
+files are searched for recursively next to the project file
+(project.cpp:71-99 relocation).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import msgpack
+
+from whitebox_tpu.midi.notes import MidiNote, MidiNoteBuffer
+from whitebox_tpu.session.clip import AudioClipData, Clip, ClipType, MidiClipData
+from whitebox_tpu.session.session import Session
+from whitebox_tpu.session.track import Track
+
+PROJECT_VERSION = 1
+
+
+def find_file_recursive(root, filename: str, max_depth: int = 8):
+    """core/fs find_file_recursive — locate a file by name under root."""
+    root = Path(root)
+    if not root.is_dir():
+        return None
+    base_depth = len(root.parts)
+    for dirpath, dirnames, filenames in os.walk(root):
+        if len(Path(dirpath).parts) - base_depth > max_depth:
+            dirnames[:] = []
+            continue
+        if filename in filenames:
+            return Path(dirpath) / filename
+    return None
+
+
+def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
+    sample_index: dict[int, int] = {}
+    sample_paths: list[str] = []
+    for idx, (key, asset) in enumerate(session.sample_table.samples.items()):
+        sample_index[id(asset)] = idx
+        sample_paths.append(asset.sample.path or key)
+
+    midi_index: dict[int, int] = {}
+    midi_docs = []
+    for idx, asset in enumerate(session.midi_table.midi_assets):
+        midi_index[id(asset)] = idx
+        notes = asset.notes
+        midi_docs.append(
+            {
+                "min_note": notes.min_note,
+                "max_note": notes.max_note,
+                "notes": [[n.min_time, n.max_time, n.key, n.flags, float(n.velocity)] for n in notes],
+            }
+        )
+
+    track_docs = []
+    for track in session.tracks:
+        clip_docs = []
+        for clip in track.clips:
+            doc = {
+                "type": int(clip.type),
+                "name": clip.name,
+                "col": clip.color,
+                "active": bool(clip.active),
+                "start": clip.min_time,
+                "end": clip.max_time,
+                "ofs": clip.start_offset,
+            }
+            if clip.is_audio():
+                doc["data"] = {
+                    "asset_id": sample_index.get(id(clip.audio.asset), 0xFFFFFFFF),
+                    "fstart": clip.audio.fade_start,
+                    "fend": clip.audio.fade_end,
+                    "gain": float(clip.audio.gain),
+                    "speed": float(clip.audio.speed),  # extension key (see module doc)
+                }
+            elif clip.is_midi():
+                doc["data"] = {
+                    "asset_id": midi_index.get(id(clip.midi.asset), 0xFFFFFFFF),
+                    "trans": clip.midi.transpose,
+                    "rate": clip.midi.rate,
+                }
+            clip_docs.append(doc)
+
+        track_docs.append(
+            {
+                "name": track.name,
+                "col": track.color,
+                "height": float(track.height),
+                "vol": float(track.volume_db),
+                "pan": float(track.pan),
+                "mute": bool(track.mute),
+                "solo": bool(track.solo),
+                "shown": bool(track.shown),
+                "clips": clip_docs,
+            }
+        )
+
+    doc = {
+        "wbpr": {
+            "version": PROJECT_VERSION,
+            "bpm": float(session.bpm),
+            "playhead_pos": float(session.playhead),
+            "timeline_view_min": float(timeline_view[0]),
+            "timeline_view_max": float(timeline_view[1]),
+            "main_vol": 0.0,
+            "project_info": {
+                "author": session.project_info.author,
+                "title": session.project_info.title,
+                "genre": session.project_info.genre,
+                "desc": session.project_info.description,
+            },
+            "sample_table": sample_paths,
+            "midi_table": midi_docs,
+            "tracks": track_docs,
+        }
+    }
+
+    blob = msgpack.packb(doc, use_bin_type=False, use_single_float=False)
+    if hasattr(path, "write"):
+        path.write(blob)
+    else:
+        with open(path, "wb") as f:
+            f.write(blob)
+
+
+def _as_str(v) -> str:
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return str(v) if v is not None else ""
+
+
+def read_project(path, search_dirs: list | None = None) -> Session:
+    if hasattr(path, "read"):
+        blob = path.read()
+        project_dir = Path(".")
+    else:
+        with open(path, "rb") as f:
+            blob = f.read()
+        project_dir = Path(str(path)).parent
+
+    doc = msgpack.unpackb(blob, raw=False, strict_map_key=False)
+    project = doc.get("wbpr")
+    if project is None:
+        raise ValueError("not a wbpr project file")
+
+    session = Session(bpm=float(project.get("bpm", 120.0)))
+    session.set_playhead_position(float(project.get("playhead_pos", 0.0)))
+    info = project.get("project_info") or {}
+    session.project_info.author = _as_str(info.get("author", ""))
+    session.project_info.title = _as_str(info.get("title", ""))
+    session.project_info.genre = _as_str(info.get("genre", ""))
+    session.project_info.description = _as_str(info.get("desc", ""))
+
+    sample_assets = []
+    for p in project.get("sample_table", []) or []:
+        p = _as_str(p)
+        sample_path = Path(p)
+        if not sample_path.is_file():
+            found = find_file_recursive(project_dir, sample_path.name)
+            if found is None:
+                for d in search_dirs or []:
+                    found = find_file_recursive(d, sample_path.name)
+                    if found is not None:
+                        break
+            if found is None:
+                sample_assets.append(None)
+                continue
+            sample_path = found
+        sample_assets.append(session.sample_table.load_from_file(sample_path))
+
+    midi_assets = []
+    for m in project.get("midi_table", []) or []:
+        notes = []
+        for nd in m.get("notes", []):
+            if len(nd) < 5:
+                continue
+            notes.append(
+                MidiNote(
+                    min_time=float(nd[0]),
+                    max_time=float(nd[1]),
+                    key=int(nd[2]),
+                    flags=int(nd[3]),
+                    velocity=float(nd[4]),
+                )
+            )
+        midi_assets.append(session.midi_table.create_midi(MidiNoteBuffer(notes)))
+
+    for t in project.get("tracks", []) or []:
+        track = Track(
+            name=_as_str(t.get("name", "")),
+            color=int(t.get("col", 0)),
+            height=float(t.get("height", 0.0)),
+            volume_db=float(t.get("vol", 0.0)),
+            pan=float(t.get("pan", 0.0)),
+            mute=bool(t.get("mute", False)),
+            solo=bool(t.get("solo", False)),
+            shown=bool(t.get("shown", True)),
+        )
+        for j, c in enumerate(t.get("clips", []) or []):
+            ctype = ClipType(int(c.get("type", 0)))
+            clip = Clip(
+                id=j,
+                type=ctype,
+                name=_as_str(c.get("name", "")),
+                color=int(c.get("col", 0)),
+                active=bool(c.get("active", True)),
+                min_time=float(c.get("start", 0.0)),
+                max_time=float(c.get("end", 0.0)),
+                start_offset=float(c.get("ofs", 0.0)),
+            )
+            data = c.get("data") or {}
+            asset_id = int(data.get("asset_id", 0xFFFFFFFF))
+            if ctype == ClipType.AUDIO and asset_id != 0xFFFFFFFF and sample_assets[asset_id] is not None:
+                clip.audio = AudioClipData(
+                    asset=sample_assets[asset_id],
+                    fade_start=float(data.get("fstart", 0.0)),
+                    fade_end=float(data.get("fend", 0.0)),
+                    speed=float(data.get("speed", 1.0)),
+                    gain=float(data.get("gain", 0.0)),
+                )
+            elif ctype == ClipType.MIDI and asset_id != 0xFFFFFFFF:
+                clip.midi = MidiClipData(
+                    asset=midi_assets[asset_id],
+                    transpose=int(data.get("trans", 0)),
+                    rate=int(data.get("rate", 1)),
+                    length=clip.max_time - clip.min_time,
+                )
+            track.clips.append(clip)
+        session.tracks.append(track)
+
+    return session

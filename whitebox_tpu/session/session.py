@@ -1,0 +1,342 @@
+"""The session graph + edit API — mirrors src/engine/engine.{h,cpp} (edit half).
+
+Holds the track list, tempo, playhead, and asset tables, and implements the
+clip CRUD the reference's undo commands call into: add/move/resize/delete
+with overlap trim/split (``reserve_track_region``, engine.cpp:478-569).
+Rendering lives in timeline/ and render/.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from whitebox_tpu.core.math import DEFAULT_PPQ, beat_duration_from_bpm, samples_to_beat, uround
+from whitebox_tpu.session.assets import MidiTable, SampleAsset, SampleTable
+from whitebox_tpu.session.clip import (
+    AudioClipData,
+    Clip,
+    ClipType,
+    MidiClipData,
+    calc_move_clip,
+    calc_resize_clip,
+    shift_clip_content,
+)
+from whitebox_tpu.session.track import Track
+
+
+@dataclass
+class TrackEditResult:
+    """engine.h — edit results carry clip snapshots for undo."""
+
+    deleted_clips: list[Clip] = field(default_factory=list)
+    added_clips: list[Clip] = field(default_factory=list)
+    modified_clips: list[Clip] = field(default_factory=list)
+
+
+@dataclass
+class ProjectInfo:
+    author: str = ""
+    title: str = ""
+    genre: str = ""
+    description: str = ""
+
+
+class Session:
+    def __init__(self, bpm: float = 120.0, ppq: float = DEFAULT_PPQ) -> None:
+        self.bpm = float(bpm)
+        self.beat_duration = beat_duration_from_bpm(self.bpm)
+        self.ppq = float(ppq)
+        self.playhead = 0.0
+        self.playhead_start = 0.0
+        self.tracks: list[Track] = []
+        self.sample_table = SampleTable()
+        self.midi_table = MidiTable()
+        self.project_info = ProjectInfo()
+        #: master-bus effect chain — an extension over the reference's flat
+        #: track sum (engine.cpp:1600-1617 has no master effects, SURVEY §2.9).
+        self.master_effects: list = []
+
+    # ---- transport / tempo (engine.cpp:24-41) ----
+
+    def set_bpm(self, bpm: float) -> None:
+        self.bpm = float(bpm)
+        self.beat_duration = beat_duration_from_bpm(self.bpm)
+
+    def set_playhead_position(self, beat_position: float) -> None:
+        self.playhead_start = beat_position
+        self.playhead = beat_position
+
+    # ---- track CRUD (engine.cpp:200-263) ----
+
+    def add_track(self, name: str = "", **kwargs) -> Track:
+        track = Track(name=name or f"Track {len(self.tracks) + 1}", **kwargs)
+        self.tracks.append(track)
+        return track
+
+    def delete_track(self, index: int) -> Track:
+        return self.tracks.pop(index)
+
+    def move_track(self, from_slot: int, to_slot: int) -> None:
+        track = self.tracks.pop(from_slot)
+        self.tracks.insert(to_slot, track)
+
+    def solo_track(self, slot: int) -> None:
+        """engine.cpp:245 — exclusive solo implemented by flipping mutes."""
+        track = self.tracks[slot]
+        if track.solo:
+            track.solo = False
+            mute = False
+        else:
+            track.solo = True
+            track.mute = False
+            mute = True
+        for i, t in enumerate(self.tracks):
+            if i == slot:
+                continue
+            t.solo = False
+            t.mute = mute
+
+    # ---- clip CRUD (engine.cpp:293-569) ----
+
+    def add_audio_clip(
+        self,
+        track: Track,
+        name: str,
+        min_time: float,
+        max_time: float,
+        start_offset: float = 0.0,
+        *,
+        asset: SampleAsset,
+        gain: float = 1.0,
+        speed: float = 1.0,
+        fade_start: float = 0.0,
+        fade_end: float = 0.0,
+        active: bool = True,
+    ) -> TrackEditResult:
+        clip = Clip(
+            type=ClipType.AUDIO,
+            name=name,
+            color=track.color,
+            min_time=min_time,
+            max_time=max_time,
+            start_offset=start_offset,
+            active=active,
+            audio=AudioClipData(asset=asset, gain=gain, speed=speed, fade_start=fade_start, fade_end=fade_end),
+        )
+        return self._add_to_cliplist(track, clip)
+
+    def add_midi_clip(
+        self,
+        track: Track,
+        name: str,
+        min_time: float,
+        max_time: float,
+        start_offset: float = 0.0,
+        *,
+        asset,
+        transpose: int = 0,
+        rate: int = 1,
+        active: bool = True,
+    ) -> TrackEditResult:
+        clip = Clip(
+            type=ClipType.MIDI,
+            name=name,
+            color=track.color,
+            min_time=min_time,
+            max_time=max_time,
+            start_offset=start_offset,
+            active=active,
+            midi=MidiClipData(asset=asset, length=max_time - min_time, transpose=transpose, rate=rate),
+        )
+        return self._add_to_cliplist(track, clip)
+
+    def add_clip_from_file(self, track: Track, path, time_pos: float) -> TrackEditResult:
+        """engine.cpp:265 add_clip_from_file — length snapped to PPQ grid."""
+        asset = self.sample_table.load_from_file(path)
+        sample_rate = float(asset.sample.sample_rate)
+        clip_length = samples_to_beat(asset.sample.count, sample_rate, self.beat_duration)
+        max_time = time_pos + float(uround(clip_length * self.ppq)) / self.ppq
+        from pathlib import Path
+
+        return self.add_audio_clip(track, Path(str(path)).name, time_pos, max_time, 0.0, asset=asset, gain=1.0)
+
+    def move_clip(self, track: Track, clip: Clip, relative_pos: float) -> TrackEditResult:
+        """engine.cpp:346 — move with overlap trim."""
+        if relative_pos == 0.0:
+            return TrackEditResult()
+        r = calc_move_clip(clip, relative_pos)
+        q = track.query_clip_by_range(r.min, r.max)
+        result = (
+            self._reserve_track_region(track, q.first, q.last, r.min, r.max, ignore_clip=clip)
+            if q
+            else TrackEditResult()
+        )
+        result.deleted_clips.append(clip.clone())
+        clip.min_time = r.min
+        clip.max_time = r.max
+        clip.internal_state_changed = True
+        track.update_clip_ordering()
+        result.added_clips.append(clip)
+        return result
+
+    def resize_clip(
+        self,
+        track: Track,
+        clip: Clip,
+        relative_pos: float,
+        resize_limit: float,
+        min_length: float,
+        left_side: bool,
+        shift: bool = False,
+        stretch: bool = False,
+    ) -> TrackEditResult:
+        """engine.cpp:365 — edge resize with shift/stretch semantics."""
+        if relative_pos == 0.0:
+            return TrackEditResult()
+        r = calc_resize_clip(
+            clip, relative_pos, resize_limit, min_length, clip.min_time, self.beat_duration, left_side, shift, stretch
+        )
+        q = track.query_clip_by_range(r.min, r.max)
+        result = (
+            self._reserve_track_region(track, q.first, q.last, r.min, r.max, ignore_clip=clip)
+            if q
+            else TrackEditResult()
+        )
+        result.deleted_clips.append(clip.clone())
+        if left_side:
+            clip.min_time = r.min
+        else:
+            clip.max_time = r.max
+        clip.start_offset = r.start_offset
+        if clip.is_audio() and stretch:
+            clip.audio.speed = r.speed
+        clip.internal_state_changed = shift or stretch
+        track.update_clip_ordering()
+        result.added_clips.append(clip)
+        return result
+
+    def delete_clip(self, track: Track, clip: Clip) -> TrackEditResult:
+        result = TrackEditResult(deleted_clips=[clip.clone()])
+        clip.deleted = True
+        track.update_clip_ordering()
+        return result
+
+    def delete_region(self, track: Track, tmin: float, tmax: float) -> TrackEditResult:
+        """engine.cpp:1042 delete_region (single-track form)."""
+        q = track.query_clip_by_range(tmin, tmax)
+        if not q:
+            return TrackEditResult()
+        result = self._reserve_track_region(track, q.first, q.last, tmin, tmax, ignore_clip=None)
+        track.update_clip_ordering()
+        return result
+
+    def _add_to_cliplist(self, track: Track, clip: Clip) -> TrackEditResult:
+        """engine.cpp:409 add_to_cliplist — trims/splits overlapped clips."""
+        clips = track.clips
+        result = TrackEditResult(added_clips=[clip])
+
+        if not clips:
+            clip.id = 0
+            clips.append(clip)
+            return result
+        if clips[-1].max_time < clip.min_time:
+            clip.id = clips[-1].id + 1
+            clips.append(clip)
+            return result
+        if clips[0].min_time > clip.max_time:
+            clips.insert(0, clip)
+            for i, c in enumerate(clips):
+                c.id = i
+            return result
+
+        q = track.query_clip_by_range(clip.min_time, clip.max_time)
+        if not q:
+            clips.append(clip)
+            track.update_clip_ordering()
+            return result
+
+        trim = self._reserve_track_region(track, q.first, q.last, clip.min_time, clip.max_time, ignore_clip=None)
+        trim.added_clips.append(clip)
+        clips.append(clip)
+        track.update_clip_ordering()
+        return trim
+
+    def _reserve_track_region(
+        self,
+        track: Track,
+        first_clip: int,
+        last_clip: int,
+        rmin: float,
+        rmax: float,
+        ignore_clip: Clip | None,
+    ) -> TrackEditResult:
+        """engine.cpp:478-569 — clear [rmin, rmax]: trim edges, split, delete."""
+        clips = track.clips
+        if not clips:
+            return TrackEditResult()
+
+        bd = self.beat_duration
+        result = TrackEditResult()
+
+        if first_clip == last_clip:
+            clip = clips[first_clip]
+            if clip is ignore_clip:
+                return TrackEditResult()
+            result.deleted_clips.append(clip.clone())
+            if rmin > clip.min_time and rmax < clip.max_time:
+                # split into two
+                new_clip = clip.clone()
+                new_clip.min_time = rmax
+                new_clip.start_offset = shift_clip_content(new_clip, clip.min_time - rmax, bd)
+                result.modified_clips.append(new_clip)
+                clip.max_time = rmin
+                clips.append(new_clip)
+            elif rmin > clip.min_time:
+                clip.max_time = rmin
+            elif rmax < clip.max_time:
+                clip.start_offset = shift_clip_content(clip, clip.min_time - rmax, bd)
+                clip.min_time = rmax
+            else:
+                clip.deleted = True
+                return TrackEditResult(deleted_clips=result.deleted_clips)
+            result.modified_clips.append(clip)
+            return result
+
+        first = clips[first_clip]
+        last = clips[last_clip]
+
+        if first is not ignore_clip and rmin > first.min_time:
+            result.deleted_clips.append(first.clone())
+            result.modified_clips.append(first)
+            first.max_time = rmin
+            first_clip += 1
+
+        if last is not ignore_clip and rmax < last.max_time:
+            result.deleted_clips.append(last.clone())
+            result.modified_clips.append(last)
+            last.start_offset = shift_clip_content(last, last.min_time - rmax, bd)
+            last.min_time = rmax
+            last_clip -= 1
+
+        for i in range(first_clip, last_clip + 1):
+            if clips[i] is not ignore_clip:
+                result.deleted_clips.append(clips[i].clone())
+                clips[i].deleted = True
+
+        return result
+
+    # ---- introspection ----
+
+    def end_time(self) -> float:
+        """Last clip edge across all tracks, in beats."""
+        end = 0.0
+        for t in self.tracks:
+            for c in t.clips:
+                end = max(end, c.max_time)
+        return end
+
+    def num_clips(self) -> int:
+        return sum(len(t.clips) for t in self.tracks)
+
+    def __repr__(self) -> str:
+        return f"Session(bpm={self.bpm}, tracks={len(self.tracks)}, clips={self.num_clips()})"
