@@ -1,0 +1,295 @@
+"""Event carving: compile the clip timeline into per-track segment tables.
+
+This is the timeline-at-once inversion of ``Track::process_event``
+(track.cpp:258-451) + the event-segmented render loop (track.cpp:664-724):
+instead of a stateful per-block cursor feeding a streaming sampler, the whole
+render is precompiled on the host into flat **segment rows** — each row says
+"destination frames [dst, dst+len) of track T read sample S starting at
+source phase (src_int + src_frac) advancing by `speed` per frame, scaled by
+`gain`". The TPU mix kernel consumes these rows data-parallel.
+
+Exactness contract (BASELINE.md: 1-ulp parity vs the block engine):
+
+- All event *positions* use the exact f64 block-transport grids
+  (timeline.transport) and the same formulas as the C++ engine, including
+  its (uint64)%buffer_size truncation quirks — positions are bit-identical
+  to the oracle by construction.
+- speed == 1.0 rows are merged into maximal runs: integer phase, bit-exact.
+- speed != 1.0 rows are split **per block**, each carrying the exact f64
+  sampler offset the C++ engine would hold at that block (reproduced with
+  sequentially-rounded accumulation, sampler.cpp:103,209). Within a block
+  the device evaluates x = src_frac + j*speed in double-single arithmetic
+  (~2^-48), which can differ from the engine's f64-after-rebase by at most
+  1 f32 ulp of the interpolation fraction.
+
+Offline renders start at the playhead with fresh playback state
+(Engine::play semantics); the refresh_voice / internal_state_changed
+mid-playback edit paths (track.cpp:289-345,396-417) are live-preview
+concerns and do not arise in a fresh render.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from whitebox_tpu.core.formats import AudioFormat
+from whitebox_tpu.core.math import beat_to_samples
+from whitebox_tpu.session.session import Session
+from whitebox_tpu.session.track import Track
+from whitebox_tpu.timeline.pool import SamplePool, build_sample_pool
+from whitebox_tpu.timeline.transport import BlockTransport
+
+
+@dataclass
+class SegmentTable:
+    """Flat struct-of-arrays segment rows, sorted by (track, dst_start)."""
+
+    track: np.ndarray  # int32
+    dst_start: np.ndarray  # int32 global frame
+    length: np.ndarray  # int32
+    sample_id: np.ndarray  # int32 pool index
+    src_int: np.ndarray  # int32 integer source phase at dst_start
+    src_frac: np.ndarray  # float64 fractional source phase at dst_start
+    speed: np.ndarray  # float64 source advance per destination frame
+    gain: np.ndarray  # float32 clip gain
+    fast: np.ndarray  # bool — speed==1.0 fast path (clamped normalize)
+    clamp: np.ndarray  # bool — format clamps on the fast path (fmt != F32)
+    clip_id: np.ndarray  # int32 (debugging / introspection)
+    num_tracks: int
+    total_frames: int
+    buffer_size: int
+
+    def __len__(self) -> int:
+        return self.track.shape[0]
+
+    def for_track(self, t: int) -> np.ndarray:
+        return np.nonzero(self.track == t)[0]
+
+
+def _u64_trunc(x: float) -> int:
+    """(uint64_t)(double) with sane clamping of the negative-UB case."""
+    return int(x) if x > 0.0 else 0
+
+
+def _carve_track_audio(
+    track: Track,
+    transport: BlockTransport,
+    P: np.ndarray,
+    S: np.ndarray,
+    num_blocks: int,
+    pool: SamplePool,
+    rows: list,
+    track_idx: int,
+) -> None:
+    bs = transport.buffer_size
+    rate = transport.sample_rate
+    bd = transport.beat_duration
+    end_frame = num_blocks * bs
+    clips = track.clips
+
+    for a, b in zip(clips, clips[1:]):
+        if b.min_time < a.max_time:
+            # The engine's edit API (reserve_track_region) forbids overlaps;
+            # its playback of overlapping clips is undefined (SURVEY §3.2).
+            raise ValueError(
+                f"track {track.name!r}: overlapping clips [{a.min_time},{a.max_time}) and "
+                f"[{b.min_time},{b.max_time}) — use Session.delete_region/add APIs"
+            )
+
+    ci = track.find_next_clip(float(P[0]))
+    if ci is None:
+        return
+    first = True
+
+    while ci < len(clips):
+        clip = clips[ci]
+        if not clip.is_audio() or clip.audio is None or clip.audio.asset is None:
+            ci += 1
+            first = False
+            continue
+
+        sample = clip.audio.asset.sample
+        sid = pool.index_of[id(clip.audio.asset)]
+        count = float(sample.count)
+        clip_speed = clip.audio.speed
+        playback_speed = (float(sample.sample_rate) / rate) * clip_speed  # sampler.h:24
+
+        # ---- Play event position + initial sampler offset ----
+        if first and float(P[0]) > clip.min_time:
+            # partial start (track.cpp:372-388)
+            rel = float(P[0]) - clip.min_time
+            sample_pos = beat_to_samples(rel, rate, bd)
+            o0 = float(int(clip.start_offset + sample_pos * clip_speed))
+            play_global = 0
+        else:
+            ka = int(np.searchsorted(P[1:], clip.min_time, side="left"))
+            if ka >= num_blocks:
+                break  # starts after the render window; later clips too
+            so = float(S[ka]) + beat_to_samples(clip.min_time - float(P[ka]), rate, bd)
+            play_global = ka * bs + (_u64_trunc(so) % bs)
+            o0 = float(int(clip.start_offset))  # (size_t) cast, track.cpp:366
+        first = False
+
+        # ---- Stop event position ----
+        ke = int(np.searchsorted(P[1:], clip.max_time, side="left"))
+        if ke >= num_blocks:
+            stop_global = end_frame
+        else:
+            so = float(S[ke]) + beat_to_samples(clip.max_time - float(P[ke]), rate, bd)
+            stop_global = ke * bs + (_u64_trunc(so) % bs)
+
+        gs, ge = play_global, min(stop_global, end_frame)
+        if ge > gs and o0 < count and playback_speed > 0.0:
+            gain = np.float32(clip.audio.gain)
+            clampf = sample.format != AudioFormat.F32
+            if playback_speed == 1.0:
+                # merged run: integer phase, exact
+                length = min(ge - gs, int(count) - int(o0))
+                if length > 0:
+                    rows.append(
+                        (track_idx, gs, length, sid, int(o0), 0.0, 1.0, gain, True, clampf, clip.id)
+                    )
+            else:
+                # per-block rows with exact accumulated f64 offsets
+                # stream-call boundaries: gs, next block edges, ge
+                first_edge = min(ge, (gs // bs + 1) * bs)
+                edges = [gs, first_edge]
+                e = first_edge
+                while e < ge:
+                    e = min(e + bs, ge)
+                    edges.append(e)
+                edges = np.asarray(edges, dtype=np.int64)
+                lengths = np.diff(edges)
+                lengths = lengths[lengths.cumsum() <= (ge - gs)]  # guard (no-op normally)
+                # o_{i+1} = o_i + L_i * speed, sequentially rounded (sampler.cpp:103)
+                incs = np.empty(lengths.shape[0], dtype=np.float64)
+                incs[0] = o0
+                if lengths.shape[0] > 1:
+                    incs[1:] = lengths[:-1].astype(np.float64) * playback_speed
+                offs = np.add.accumulate(incs)
+                for i in range(lengths.shape[0]):
+                    o = float(offs[i])
+                    if o >= count:
+                        break  # sampler frozen (sampler.cpp:99)
+                    L = int(lengths[i])
+                    num_actual = min(L, int(math.ceil((count - o) / playback_speed)))
+                    if num_actual <= 0:
+                        continue
+                    oi = math.floor(o)
+                    rows.append(
+                        (
+                            track_idx,
+                            int(edges[i]),
+                            num_actual,
+                            sid,
+                            int(oi),
+                            o - oi,
+                            playback_speed,
+                            gain,
+                            False,
+                            clampf,
+                            clip.id,
+                        )
+                    )
+
+        ci += 1
+
+
+def carve_session(
+    session: Session,
+    sample_rate: float,
+    buffer_size: int = 512,
+    num_blocks: int | None = None,
+    playhead_start: float | None = None,
+    pool: SamplePool | None = None,
+    out_channels: int = 2,
+) -> tuple[SegmentTable, SamplePool]:
+    """Compile a session into (SegmentTable, SamplePool) for rendering."""
+    start = session.playhead_start if playhead_start is None else playhead_start
+    transport = BlockTransport(float(sample_rate), int(buffer_size), session.beat_duration, start)
+    if num_blocks is None:
+        num_blocks = max(transport.blocks_for_beats(session.end_time()), 1)
+
+    P = transport.playhead_grid(num_blocks)
+    S = transport.sample_position_grid(num_blocks)
+    if pool is None:
+        pool = build_sample_pool(session, out_channels=out_channels)
+
+    rows: list = []
+    for t, track in enumerate(session.tracks):
+        _carve_track_audio(track, transport, P, S, num_blocks, pool, rows, t)
+
+    if rows:
+        rows.sort(key=lambda r: (r[0], r[1]))
+        cols = list(zip(*rows))
+    else:
+        cols = [[] for _ in range(11)]
+
+    total_frames = num_blocks * buffer_size
+    if total_frames >= 2**31:
+        raise ValueError("render window exceeds int32 frame addressing")
+
+    table = SegmentTable(
+        track=np.asarray(cols[0], dtype=np.int32),
+        dst_start=np.asarray(cols[1], dtype=np.int32),
+        length=np.asarray(cols[2], dtype=np.int32),
+        sample_id=np.asarray(cols[3], dtype=np.int32),
+        src_int=np.asarray(cols[4], dtype=np.int32),
+        src_frac=np.asarray(cols[5], dtype=np.float64),
+        speed=np.asarray(cols[6], dtype=np.float64),
+        gain=np.asarray(cols[7], dtype=np.float32),
+        fast=np.asarray(cols[8], dtype=bool),
+        clamp=np.asarray(cols[9], dtype=bool),
+        clip_id=np.asarray(cols[10], dtype=np.int32),
+        num_tracks=len(session.tracks),
+        total_frames=total_frames,
+        buffer_size=buffer_size,
+    )
+    return table, pool
+
+
+def render_segments_numpy(table: SegmentTable, pool: SamplePool, session: Session, out_channels: int = 2) -> np.ndarray:
+    """Host-side exact segment renderer (validation reference for the carve).
+
+    Applies the same f32 math as Sampler::stream over the segment rows, then
+    track volume/pan and the ordered track sum + hard clip. Exact f64 phase
+    (no double-single approximation) — used to prove the carve itself is
+    bit-identical to the oracle.
+    """
+    F = table.total_frames
+    out = np.zeros((out_channels, F), dtype=np.float32)
+    trk = np.zeros((out_channels, F), dtype=np.float32)
+
+    for t, track in enumerate(session.tracks):
+        trk[:] = 0.0
+        for r in table.for_track(t):
+            dst = int(table.dst_start[r])
+            L = int(table.length[r])
+            sid = int(table.sample_id[r])
+            gain = table.gain[r]
+            for ch in range(out_channels):
+                base = int(pool.channel_base[sid, ch])
+                if table.fast[r]:
+                    seg = pool.data[base + table.src_int[r] : base + table.src_int[r] + L]
+                    v = np.clip(seg, np.float32(-1.0), np.float32(1.0)) if table.clamp[r] else seg
+                    trk[ch, dst : dst + L] += v * gain
+                else:
+                    j = np.arange(L, dtype=np.float64)
+                    x = (table.src_int[r] + table.src_frac[r]) + j * table.speed[r]
+                    ix = np.trunc(x).astype(np.int64)
+                    fx = (x - ix.astype(np.float64)).astype(np.float32)
+                    a = pool.data[base + ix]
+                    b = pool.data[base + ix + 1]
+                    s = a + fx * (b - a)
+                    trk[ch, dst : dst + L] += s * gain
+        vol = np.float32(0.0) if track.mute else track.volume_linear
+        pan = track.pan_coeffs
+        for ch in range(out_channels):
+            out[ch] += trk[ch] * (vol * np.float32(pan[ch % 2]))
+
+    np.copyto(out, np.where(out > 1.0, np.float32(1.0), out))
+    np.copyto(out, np.where(out < -1.0, np.float32(-1.0), out))
+    return out

@@ -1,0 +1,85 @@
+"""Sample pool: all session audio flattened into one device buffer.
+
+The reference streams per-clip from per-sample heap buffers; on TPU we
+concatenate every (sample, channel) into a single 1-D f32 HBM array in the
+*unclamped-normalized* representation (see core.formats), padded per channel
+so interpolating reads past the end are safe (mirrors sample.h:19's padding).
+
+``channel_base[sample_id, out_channel]`` resolves the reference's channel
+wraparound (track.cpp: ``c = i % sample->channels``) into a flat pool offset
+at carve time, so kernels do one add per access.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from whitebox_tpu.session.sample import SAMPLE_PADDING, Sample
+from whitebox_tpu.session.session import Session
+
+
+@dataclass
+class SamplePool:
+    data: np.ndarray  # 1-D f32, concatenated padded channels
+    channel_base: np.ndarray  # [num_samples, max_out_channels] int32 flat offsets
+    counts: np.ndarray  # [num_samples] int64 frame counts
+    rates: np.ndarray  # [num_samples] f64 native sample rates
+    index_of: dict  # id(SampleAsset) -> sample_id
+
+    @property
+    def num_samples(self) -> int:
+        return self.counts.shape[0]
+
+
+def build_sample_pool(session: Session, out_channels: int = 2, pad: int = SAMPLE_PADDING, lane_align: int = 128) -> SamplePool:
+    """Collect every asset referenced by an audio clip into one pool.
+
+    Channels are aligned to ``lane_align`` so per-channel bases sit on TPU
+    lane boundaries (helps the Pallas mix kernel's DMA alignment).
+    """
+    assets = []
+    seen = set()
+    for track in session.tracks:
+        for clip in track.clips:
+            if clip.is_audio() and clip.audio is not None and clip.audio.asset is not None:
+                a = clip.audio.asset
+                if id(a) not in seen:
+                    seen.add(id(a))
+                    assets.append(a)
+
+    chunks: list[np.ndarray] = []
+    channel_base = np.zeros((max(len(assets), 1), out_channels), dtype=np.int64)
+    counts = np.zeros(max(len(assets), 1), dtype=np.int64)
+    rates = np.full(max(len(assets), 1), 48000.0, dtype=np.float64)
+    index_of: dict = {}
+
+    offset = 0
+    for sid, asset in enumerate(assets):
+        sample: Sample = asset.sample
+        index_of[id(asset)] = sid
+        counts[sid] = sample.count
+        rates[sid] = float(sample.sample_rate)
+        stride = sample.count + pad
+        stride += (-stride) % lane_align
+        ch_offsets = []
+        for c in range(sample.channels):
+            buf = np.zeros(stride, dtype=np.float32)
+            buf[: sample.count + pad] = sample.normalized_f32(c, pad)
+            chunks.append(buf)
+            ch_offsets.append(offset)
+            offset += stride
+        for oc in range(out_channels):
+            channel_base[sid, oc] = ch_offsets[oc % sample.channels]
+
+    data = np.concatenate(chunks) if chunks else np.zeros(lane_align, dtype=np.float32)
+    if channel_base.max(initial=0) + (counts.max(initial=0) + pad) >= 2**31:
+        raise ValueError("sample pool exceeds int32 addressing (>2^31 elements)")
+    return SamplePool(
+        data=data,
+        channel_base=channel_base.astype(np.int32),
+        counts=counts,
+        rates=rates,
+        index_of=index_of,
+    )
