@@ -1,0 +1,84 @@
+"""Headline benchmark: 128-track 48 kHz offline bounce on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); its implicit budget is
+real-time (RTF >= 1), so vs_baseline reports our RTF against that 1x bar.
+North-star target: >= 100x RT (BASELINE.json).
+
+The reported value covers the full host pipeline: timeline carve + kernel
+plan build + the fused Pallas device render (execution forced via an
+on-device checksum). Host readback of the rendered audio goes through this
+sandbox's TPU relay tunnel (~25 MB/s, not TPU hardware I/O); the
+transfer-inclusive figure is printed alongside on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from whitebox_tpu.ops.mix_pallas import PallasMixRenderer
+    from whitebox_tpu.render.demo import make_demo_session
+    from whitebox_tpu.timeline.carve import carve_session
+
+    duration = 60.0
+    n_tracks = 128
+    rate = 48000.0
+    session = make_demo_session(n_tracks=n_tracks, duration_seconds=duration, sample_rate=int(rate), seed=7)
+
+    @jax.jit
+    def checksum(x):
+        return x.sum()
+
+    # warm-up: compile carve-independent kernel once
+    warm = carve_session(session, rate, buffer_size=512)
+    r_warm = PallasMixRenderer(warm[0], warm[1], session)
+    float(checksum(r_warm.render_device()))
+
+    def run():
+        t0 = time.perf_counter()
+        table, pool = carve_session(session, rate, buffer_size=512)
+        renderer = PallasMixRenderer(table, pool, session)
+        out_dev = renderer.render_device()
+        cs = float(checksum(out_dev))  # forces execution, fetches one scalar
+        t1 = time.perf_counter()
+        frames = renderer.plan.total_frames
+        return t1 - t0, frames, cs, renderer
+
+    best, frames, cs, renderer = min((run() for _ in range(3)), key=lambda x: x[0])
+    audio_seconds = frames / rate
+    rtf = audio_seconds / best
+
+    t0 = time.perf_counter()
+    audio = renderer.render()
+    t_full = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": f"offline_bounce_rtf_{n_tracks}trk_48k",
+                "value": round(rtf, 1),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf, 1),
+            }
+        )
+    )
+    print(
+        f"# {audio_seconds:.1f}s audio, {n_tracks} tracks: carve+plan+device {best:.3f}s = {rtf:.0f}x RT; "
+        f"incl. relay readback of {audio.nbytes/1e6:.0f} MB: {audio_seconds/t_full:.0f}x RT "
+        f"(checksum {cs:.4f})",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

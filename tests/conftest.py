@@ -2,16 +2,23 @@
 
 Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 exercised without TPU hardware (the driver separately dry-run-compiles the
-multi-chip path; benches run on the real chip). These env vars must be set
-before JAX initializes, hence module scope here.
+multi-chip path; benches run on the real chip).
+
+The environment's sitecustomize registers the axon TPU backend at
+interpreter start and pins JAX_PLATFORMS=axon, so env vars alone don't
+stick — we must also flip jax.config before any backend is initialized.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

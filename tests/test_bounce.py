@@ -1,0 +1,45 @@
+"""End-to-end bounce driver tests (CPU: XLA path + Pallas interpret mode)."""
+
+import numpy as np
+
+from tests.test_carve import random_session
+from whitebox_tpu.core.formats import AudioFormat
+from whitebox_tpu.io import wav
+from whitebox_tpu.ops.mix_pallas import render_timeline_pallas
+from whitebox_tpu.render.bounce import bounce
+from whitebox_tpu.timeline.carve import carve_session, render_segments_numpy
+from whitebox_tpu.timeline.oracle import OracleRenderer
+
+
+class TestBounce:
+    def test_bounce_matches_oracle_and_writes_wav(self, tmp_path):
+        s = random_session(1, rate=48000, bpm=120.0, n_tracks=4)
+        oracle = OracleRenderer(s, 48000.0, buffer_size=512).render()
+        p = tmp_path / "mix.wav"
+        res = bounce(s, 48000.0, buffer_size=512, engine="xla", out_path=p)
+        np.testing.assert_array_equal(res.audio[:, : oracle.shape[1]], oracle)
+        back, info = wav.read_wav(p)
+        assert info.format == AudioFormat.F32
+        np.testing.assert_array_equal(back, res.audio)
+        assert res.stats.rtf > 0
+
+    def test_bounce_auto_falls_back_for_resampled(self):
+        s = random_session(2, rate=48000, bpm=120.0, n_tracks=2, speeds=(1.5,))
+        res = bounce(s, 48000.0, engine="auto")
+        assert res.audio.shape[0] == 2  # rendered via XLA fallback
+
+    def test_pallas_interpret_matches_reference(self):
+        # interpret=True runs the Pallas kernel on CPU for parity checking
+        s = random_session(3, rate=48000, bpm=133.7, n_tracks=3, n_clips=2)
+        table, pool = carve_session(s, 48000.0, buffer_size=512)
+        ref = render_segments_numpy(table, pool, s)
+        out = render_timeline_pallas(table, pool, s, tile=1024, interpret=True)
+        np.testing.assert_array_equal(out, ref)
+
+    def test_pallas_interpret_i16_clamp(self):
+        s = random_session(4, rate=48000, bpm=120.0, n_tracks=2,
+                           formats=(AudioFormat.I16,), n_clips=1)
+        table, pool = carve_session(s, 48000.0, buffer_size=512)
+        ref = render_segments_numpy(table, pool, s)
+        out = render_timeline_pallas(table, pool, s, tile=1024, interpret=True)
+        np.testing.assert_array_equal(out, ref)

@@ -14,7 +14,7 @@ from whitebox_tpu.timeline.oracle import OracleRenderer
 from whitebox_tpu.timeline.transport import BlockTransport
 
 
-def random_session(seed, *, rate, bpm, n_tracks, formats=(AudioFormat.F32,), speeds=(1.0,), n_clips=3, playhead=0.0):
+def random_session(seed, *, rate, bpm, n_tracks, formats=(AudioFormat.F32,), speeds=(1.0,), n_clips=3, playhead=0.0, src_rates=None):
     rng = np.random.default_rng(seed)
     s = Session(bpm=bpm)
     s.set_playhead_position(playhead)
@@ -31,7 +31,7 @@ def random_session(seed, *, rate, bpm, n_tracks, formats=(AudioFormat.F32,), spe
             data = rng.integers(-(1 << 23), 1 << 23, size=(1, n)).astype(np.int32)
         else:
             data = rng.integers(-(1 << 31), 1 << 31, size=(2, n)).astype(np.int32)
-        src_rate = int(rng.choice([44100, 48000, 32768, 96000]))
+        src_rate = int(rng.choice(src_rates)) if src_rates else int(rate)
         sample = Sample.from_planar(data, src_rate, fmt, name=f"s{t}")
         asset = s.sample_table.add_sample(sample, key=f"s{t}")
 

@@ -1,0 +1,50 @@
+"""Multi-chip sharded render on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_carve import random_session
+from whitebox_tpu.ops.mix import pack_device_tables, render_chunk
+from whitebox_tpu.parallel.mesh import make_render_mesh
+from whitebox_tpu.parallel.render_sharded import render_chunk_sharded, shard_tables
+from whitebox_tpu.timeline.carve import carve_session
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "tests expect the 8-device CPU mesh (see conftest)"
+    return make_render_mesh(tracks_parallel=2, frames_parallel=4)
+
+
+def test_mesh_defaults():
+    m = make_render_mesh()
+    assert m.shape["tracks"] * m.shape["frames"] == len(jax.devices())
+
+
+def test_sharded_matches_single_chip(mesh):
+    s = random_session(3, rate=48000, bpm=120.0, n_tracks=8, n_clips=2)
+    table, pool = carve_session(s, 48000.0, buffer_size=512)
+    dev = pack_device_tables(table, pool, s, pad_tracks_to=8)
+    jt = dev.as_jax()
+    pool_dev = jnp.asarray(pool.data)
+
+    frames = 8192
+    single = render_chunk(pool_dev, jt, jnp.int32(0), frames=frames)
+    sharded_tables = shard_tables(jt, mesh)
+    multi = render_chunk_sharded(pool_dev, sharded_tables, jnp.int32(0), frames=frames, mesh=mesh)
+
+    # psum association differs from the flat scan; tolerance, not bit-equal.
+    np.testing.assert_allclose(np.asarray(multi), np.asarray(single), atol=2e-6, rtol=1e-5)
+
+
+def test_sharded_output_sharding(mesh):
+    s = random_session(4, rate=48000, bpm=120.0, n_tracks=4, n_clips=1)
+    table, pool = carve_session(s, 48000.0, buffer_size=512)
+    dev = pack_device_tables(table, pool, s, pad_tracks_to=8)
+    jt = shard_tables(dev.as_jax(), mesh)
+    out = render_chunk_sharded(jnp.asarray(pool.data), jt, jnp.int32(0), frames=4096, mesh=mesh)
+    assert out.shape == (2, 4096)
+    # output is sharded along frames
+    assert len(out.sharding.device_set) == 8

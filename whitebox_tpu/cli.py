@@ -1,0 +1,125 @@
+"""Command-line interface: render / peaks / inspect.
+
+The reference has no CLI (main() takes no args, src/main.cpp:18; export is a
+stubbed GUI dialog). These commands are the offline-framework equivalents:
+
+    python -m whitebox_tpu.cli render  project.wb out.wav [--rate 48000] ...
+    python -m whitebox_tpu.cli peaks   audio.wav out.npz [--quality high]
+    python -m whitebox_tpu.cli inspect project.wb
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _cmd_render(args) -> int:
+    from whitebox_tpu.core.formats import AudioFormat
+    from whitebox_tpu.render.bounce import bounce
+    from whitebox_tpu.session.project import read_project
+
+    session = read_project(args.project)
+    fmt = {"f32": AudioFormat.F32, "i16": AudioFormat.I16, "i24": AudioFormat.I24, "i32": AudioFormat.I32}[args.format]
+    result = bounce(
+        session,
+        sample_rate=args.rate,
+        buffer_size=args.buffer_size,
+        chunk_frames=args.chunk_frames,
+        strict_order=not args.fast_sum,
+        out_path=args.out,
+        out_format=fmt,
+    )
+    print(result.stats.summary())
+    if args.json:
+        print(json.dumps({"frames": result.frames, "rtf": result.stats.rtf,
+                          "msamples_per_sec": result.stats.msamples_per_sec}))
+    return 0
+
+
+def _cmd_peaks(args) -> int:
+    from whitebox_tpu.ops.peaks import build_mipmaps
+    from whitebox_tpu.session.sample import Sample
+
+    sample = Sample.load_file(args.audio)
+    mips = build_mipmaps(sample, quality=args.quality)
+    payload = {f"mip{i}_{m.mip_level}": m.data for i, m in enumerate(mips.levels)}
+    np.savez(args.out, **payload)
+    print(f"wrote {len(mips.levels)} mip levels for {sample.count} frames x {sample.channels}ch -> {args.out}")
+    return 0
+
+
+def _cmd_inspect(args) -> int:
+    from whitebox_tpu.session.project import read_project
+
+    session = read_project(args.project)
+    info = {
+        "bpm": session.bpm,
+        "title": session.project_info.title,
+        "tracks": [
+            {
+                "name": t.name,
+                "volume_db": t.volume_db,
+                "pan": t.pan,
+                "mute": t.mute,
+                "clips": [
+                    {
+                        "name": c.name,
+                        "type": c.type.name,
+                        "start": c.min_time,
+                        "end": c.max_time,
+                        "offset": c.start_offset,
+                    }
+                    for c in t.clips
+                ],
+            }
+            for t in session.tracks
+        ],
+        "samples": [a.sample.name for a in session.sample_table.samples.values()],
+        "end_time_beats": session.end_time(),
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="whitebox-tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="offline-bounce a .wb project to WAV")
+    p.add_argument("project")
+    p.add_argument("out")
+    p.add_argument("--rate", type=float, default=48000.0)
+    p.add_argument("--buffer-size", type=int, default=512, help="emulated engine block size (event semantics)")
+    p.add_argument("--chunk-frames", type=int, default=1 << 17)
+    p.add_argument("--format", choices=["f32", "i16", "i24", "i32"], default="f32")
+    p.add_argument("--fast-sum", action="store_true", help="relax track-sum ordering (faster, not bit-parity)")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=_cmd_render)
+
+    p = sub.add_parser("peaks", help="build waveform min/max peak mipmaps")
+    p.add_argument("audio")
+    p.add_argument("out")
+    p.add_argument("--quality", choices=["low", "high"], default="high")
+    p.set_defaults(fn=_cmd_peaks)
+
+    p = sub.add_parser("inspect", help="dump a .wb project as JSON")
+    p.add_argument("project")
+    p.set_defaults(fn=_cmd_inspect)
+
+    args = parser.parse_args(argv)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"error: file not found: {e.filename or e}", file=sys.stderr)
+        return 2
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

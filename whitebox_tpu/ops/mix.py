@@ -1,0 +1,228 @@
+"""The timeline mix as an XLA program over ``[tracks, channels, frames]``.
+
+Fuses the engine's whole per-block pipeline — event lookup, sample fetch
+with linear interpolation (sampler.cpp:34-59,106-158), clip gain, track
+volume·pan (track.cpp:728-733), ordered track sum (engine.cpp:1616) and the
+hard clip (engine.cpp:1627) — into one jitted chunk renderer driven by the
+carve's segment tables.
+
+Parity: with ``strict_order=True`` (default) tracks are summed in index
+order via ``lax.scan``, matching the engine's sequential adds bit-for-bit.
+``strict_order=False`` lets XLA tree-reduce (faster at very high track
+counts, associativity documented as relaxed).
+
+This is the portable XLA formulation (gather-based); the hand-scheduled
+Pallas kernel in ops.mix_pallas accelerates the dominant speed==1 path.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whitebox_tpu.ops.dsarith import phase_eval, split_f64
+from whitebox_tpu.session.session import Session
+from whitebox_tpu.timeline.carve import SegmentTable
+from whitebox_tpu.timeline.pool import SamplePool
+
+_I32_SENTINEL = np.int32(2**31 - 1)
+
+
+@dataclass
+class DeviceTables:
+    """Segment tables padded per track for the device: all [T, S] (+[T,S,C])."""
+
+    dst_start: np.ndarray  # [T, S] i32, padded with INT32_MAX (sorted per track)
+    length: np.ndarray  # [T, S] i32 (0 padding)
+    src_base: np.ndarray  # [T, S, C] i32: channel_base + src_int
+    frac_hi: np.ndarray  # [T, S] f32
+    frac_lo: np.ndarray  # [T, S] f32
+    speed_hi: np.ndarray  # [T, S] f32
+    speed_lo: np.ndarray  # [T, S] f32
+    gain: np.ndarray  # [T, S] f32
+    fast: np.ndarray  # [T, S] bool
+    clamp: np.ndarray  # [T, S] bool
+    track_gain: np.ndarray  # [T, C] f32 (volume * pan per channel)
+    total_frames: int
+    num_tracks: int
+    channels: int
+
+    def as_jax(self):
+        return {
+            "dst_start": jnp.asarray(self.dst_start),
+            "length": jnp.asarray(self.length),
+            "src_base": jnp.asarray(self.src_base),
+            "frac_hi": jnp.asarray(self.frac_hi),
+            "frac_lo": jnp.asarray(self.frac_lo),
+            "speed_hi": jnp.asarray(self.speed_hi),
+            "speed_lo": jnp.asarray(self.speed_lo),
+            "gain": jnp.asarray(self.gain),
+            "fast": jnp.asarray(self.fast),
+            "clamp": jnp.asarray(self.clamp),
+            "track_gain": jnp.asarray(self.track_gain),
+        }
+
+
+def pack_device_tables(
+    table: SegmentTable, pool: SamplePool, session: Session, channels: int = 2, pad_tracks_to: int | None = None
+) -> DeviceTables:
+    T = table.num_tracks if pad_tracks_to is None else max(pad_tracks_to, table.num_tracks)
+    counts = np.bincount(table.track, minlength=T) if len(table) else np.zeros(T, dtype=np.int64)
+    S = max(int(counts.max()) if counts.size else 1, 1)
+
+    dst_start = np.full((T, S), _I32_SENTINEL, dtype=np.int32)
+    length = np.zeros((T, S), dtype=np.int32)
+    src_base = np.zeros((T, S, channels), dtype=np.int32)
+    frac_hi = np.zeros((T, S), dtype=np.float32)
+    frac_lo = np.zeros((T, S), dtype=np.float32)
+    speed_hi = np.ones((T, S), dtype=np.float32)
+    speed_lo = np.zeros((T, S), dtype=np.float32)
+    gain = np.zeros((T, S), dtype=np.float32)
+    fast = np.ones((T, S), dtype=bool)
+    clamp = np.zeros((T, S), dtype=bool)
+
+    if len(table):
+        fh, fl = split_f64(table.src_frac)
+        sh, sl = split_f64(table.speed)
+        pos = np.zeros(T, dtype=np.int64)
+        # table rows already sorted by (track, dst_start)
+        for r in range(len(table)):
+            t = int(table.track[r])
+            i = int(pos[t])
+            pos[t] += 1
+            dst_start[t, i] = table.dst_start[r]
+            length[t, i] = table.length[r]
+            sid = int(table.sample_id[r])
+            src_base[t, i, :] = pool.channel_base[sid, :channels].astype(np.int64) + int(table.src_int[r])
+            frac_hi[t, i] = fh[r]
+            frac_lo[t, i] = fl[r]
+            speed_hi[t, i] = sh[r]
+            speed_lo[t, i] = sl[r]
+            gain[t, i] = table.gain[r]
+            fast[t, i] = table.fast[r]
+            clamp[t, i] = table.clamp[r]
+
+    track_gain = np.zeros((T, channels), dtype=np.float32)
+    for t, track in enumerate(session.tracks):
+        vol = np.float32(0.0) if track.mute else track.volume_linear
+        pan = track.pan_coeffs
+        for ch in range(channels):
+            track_gain[t, ch] = vol * np.float32(pan[ch % 2])
+
+    return DeviceTables(
+        dst_start=dst_start, length=length, src_base=src_base,
+        frac_hi=frac_hi, frac_lo=frac_lo, speed_hi=speed_hi, speed_lo=speed_lo,
+        gain=gain, fast=fast, clamp=clamp, track_gain=track_gain,
+        total_frames=table.total_frames, num_tracks=T, channels=channels,
+    )
+
+
+def _bisect_right(a, v):
+    """Branchless binary search: index of first a[i] > v (a sorted, [S]; v [F]).
+
+    jnp.searchsorted lowers poorly on TPU for vmapped lookups (can
+    materialize [F, S] comparisons -> OOM at session scale); this is
+    ceil(log2(S+1)) rounds of [F]-sized gathers instead.
+    """
+    S = a.shape[0]
+    lo = jnp.zeros(v.shape, dtype=jnp.int32)
+    hi = jnp.full(v.shape, S, dtype=jnp.int32)
+    steps = max(int(np.ceil(np.log2(S + 1))), 1)
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        pred = a[jnp.clip(mid, 0, S - 1)] <= v
+        lo = jnp.where(pred, mid + 1, lo)
+        hi = jnp.where(pred, hi, mid)
+    return lo
+
+
+def _track_contrib(pool, g, dst_start, length, src_base, frac_hi, frac_lo, speed_hi, speed_lo, gain, fast, clamp):
+    """Per-track contribution for global frames ``g`` [F] -> [C, F] f32."""
+    idx = _bisect_right(dst_start, g) - 1
+    idx_c = jnp.clip(idx, 0, dst_start.shape[0] - 1)
+
+    ds0 = dst_start[idx_c]
+    ln = length[idx_c]
+    valid = (idx >= 0) & (g >= ds0) & (g < ds0 + ln)
+
+    j = (g - ds0).astype(jnp.int32)
+    j = jnp.where(valid, j, 0)
+
+    row_fast = fast[idx_c]
+    row_clamp = clamp[idx_c]
+    row_gain = gain[idx_c]
+
+    ixl, fx = phase_eval(j, frac_hi[idx_c], frac_lo[idx_c], speed_hi[idx_c], speed_lo[idx_c])
+    ixl = jnp.where(row_fast, j, ixl)
+    fx = jnp.where(row_fast, jnp.float32(0.0), fx)
+
+    # Channels unrolled so every intermediate is a flat [F] vector — a
+    # trailing channels dim of 2 would tile-pad 64x on TPU (8,128) layout.
+    limit = pool.shape[0] - 2
+    clamp_row = row_fast & row_clamp
+    outs = []
+    for ch in range(src_base.shape[1]):
+        src = jnp.clip(src_base[idx_c, ch] + ixl, 0, limit)
+        a = pool[src]
+        b = pool[src + 1]
+        a_eff = jnp.where(clamp_row, jnp.clip(a, jnp.float32(-1.0), jnp.float32(1.0)), a)
+        s = jnp.where(row_fast, a_eff, a + fx * (b - a))
+        outs.append(jnp.where(valid, s * row_gain, jnp.float32(0.0)))
+    return jnp.stack(outs)  # [C, F]
+
+
+@functools.partial(jax.jit, static_argnames=("frames", "strict_order"))
+def render_chunk(pool, tables, chunk_start, frames: int, strict_order: bool = True):
+    """Render ``frames`` output frames starting at ``chunk_start`` -> [C, F]."""
+    g = chunk_start + jnp.arange(frames, dtype=jnp.int32)
+
+    contribs = jax.vmap(
+        lambda d, l, sb, fh, fl, sh, sl, gn, fs, cl: _track_contrib(
+            pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl
+        )
+    )(
+        tables["dst_start"], tables["length"], tables["src_base"],
+        tables["frac_hi"], tables["frac_lo"], tables["speed_hi"], tables["speed_lo"],
+        tables["gain"], tables["fast"], tables["clamp"],
+    )  # [T, C, F]
+
+    scaled = contribs * tables["track_gain"][:, :, None]  # track volume*pan
+
+    if strict_order:
+        def body(carry, x):
+            return carry + x, None
+
+        total, _ = jax.lax.scan(body, jnp.zeros(scaled.shape[1:], dtype=jnp.float32), scaled)
+    else:
+        total = jnp.sum(scaled, axis=0)
+
+    # hard clip (engine.cpp:1627-1636)
+    total = jnp.where(total > 1.0, jnp.float32(1.0), total)
+    total = jnp.where(total < -1.0, jnp.float32(-1.0), total)
+    return total
+
+
+def render_timeline(
+    table: SegmentTable,
+    pool: SamplePool,
+    session: Session,
+    channels: int = 2,
+    chunk_frames: int = 1 << 16,
+    strict_order: bool = True,
+) -> np.ndarray:
+    """Render the full carved timeline chunk by chunk -> [C, total] np.f32."""
+    dev = pack_device_tables(table, pool, session, channels=channels)
+    jt = dev.as_jax()
+    pool_dev = jnp.asarray(pool.data)
+
+    F = dev.total_frames
+    out = np.empty((channels, F), dtype=np.float32)
+    for start in range(0, F, chunk_frames):
+        n = min(chunk_frames, F - start)
+        chunk = render_chunk(pool_dev, jt, jnp.int32(start), frames=chunk_frames, strict_order=strict_order)
+        out[:, start : start + n] = np.asarray(chunk)[:, :n]
+    return out

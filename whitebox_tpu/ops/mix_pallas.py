@@ -1,0 +1,273 @@
+"""Hand-scheduled Pallas TPU mix kernel — the speed-of-light fast path.
+
+One ``pallas_call`` renders the WHOLE timeline: grid = (frame_tiles,
+tracks), the output tile [C, TILE] stays resident in VMEM while the track
+axis iterates (ordered accumulation == the engine's sequential track sum,
+engine.cpp:1616), and the hard clip applies on the last track iteration.
+
+Per grid cell, up to K segment "slots" (host-precompiled per (tile, track))
+each issue one contiguous DMA per channel from the sample pool — segments
+read contiguous source spans at speed 1, so the inner loop is
+DMA + clamp + two multiplies + masked accumulate: pure HBM-bandwidth work,
+no gathers. Covers speed==1.0 rows (the engine's fast path,
+sampler.cpp:106-158 — the dominant case); resampled rows render via
+ops.mix's XLA path (render.bounce picks automatically).
+
+Why not XLA for this: the gather formulation measured ~20M gathers/s on a
+v5e (0.8x realtime at 128 tracks); this kernel replaces 67M gathers per
+chunk with ~2 DMA streams per active (tile, track).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from whitebox_tpu.session.session import Session
+from whitebox_tpu.timeline.carve import SegmentTable
+from whitebox_tpu.timeline.pool import MAX_TILE_FRAMES, SamplePool
+
+DEFAULT_TILE = 8192
+DEFAULT_K = 8
+
+
+@dataclass
+class PallasMixPlan:
+    """Host-precompiled per-(tile, track) slot metadata."""
+
+    row_al: np.ndarray  # [n_tiles, T, K, C] i32 1024-aligned window start / 128 (rows)
+    delta: np.ndarray  # [n_tiles, T, K, C] i32 residual shift in [0, 1024)
+    ms: np.ndarray  # [n_tiles, T, K] i32 mask start (tile-relative)
+    me: np.ndarray  # [n_tiles, T, K] i32 mask end; 0 == inactive slot
+    gain: np.ndarray  # [n_tiles, T, K] f32
+    clampf: np.ndarray  # [n_tiles, T, K] i32 (1 = clamp normalize)
+    track_gain: np.ndarray  # [T, C] f32
+    n_tiles: int
+    tile: int
+    num_tracks: int
+    channels: int
+    total_frames: int
+
+
+class SlowRowsPresent(ValueError):
+    """Raised when the table contains resampled rows (use the XLA path)."""
+
+
+def build_plan(
+    table: SegmentTable,
+    pool: SamplePool,
+    session: Session,
+    channels: int = 2,
+    tile: int = DEFAULT_TILE,
+    max_slots: int = DEFAULT_K,
+) -> PallasMixPlan:
+    if tile > MAX_TILE_FRAMES or tile % 128:
+        raise ValueError(f"tile must be a multiple of 128 and <= {MAX_TILE_FRAMES}")
+    if len(table) and not bool(table.fast.all()):
+        raise SlowRowsPresent("segment table contains resampled (speed!=1) rows")
+
+    T = table.num_tracks
+    n_tiles = -(-table.total_frames // tile)
+
+    # count slots per (tile, track) to size K
+    counts = np.zeros((n_tiles, T), dtype=np.int32)
+    row_tiles = []
+    for r in range(len(table)):
+        t0 = int(table.dst_start[r]) // tile
+        t1 = (int(table.dst_start[r]) + int(table.length[r]) - 1) // tile
+        row_tiles.append((t0, t1))
+        counts[t0 : t1 + 1, table.track[r]] += 1
+    K = max(int(counts.max()) if counts.size else 1, 1)
+    if K > max_slots:
+        raise ValueError(f"needs {K} slots per (tile, track), max {max_slots}; lower tile size")
+
+    row_al = np.zeros((n_tiles, T, K, channels), dtype=np.int32)
+    delta = np.zeros((n_tiles, T, K, channels), dtype=np.int32)
+    ms = np.zeros((n_tiles, T, K), dtype=np.int32)
+    me = np.zeros((n_tiles, T, K), dtype=np.int32)
+    gain = np.zeros((n_tiles, T, K), dtype=np.float32)
+    clampf = np.zeros((n_tiles, T, K), dtype=np.int32)
+    cursor = np.zeros((n_tiles, T), dtype=np.int32)
+
+    for r in range(len(table)):
+        trk = int(table.track[r])
+        dst0 = int(table.dst_start[r])
+        dend = dst0 + int(table.length[r])
+        sid = int(table.sample_id[r])
+        t0, t1 = row_tiles[r]
+        for ti in range(t0, t1 + 1):
+            g0 = ti * tile
+            k = int(cursor[ti, trk])
+            cursor[ti, trk] += 1
+            for ch in range(channels):
+                # window covers the whole tile; value for tile pos p is
+                # pool[w + p]. DMA sources must be 1024-aligned, so store
+                # the aligned start (in 128-lane rows) plus residual shift;
+                # guard bands keep [w_al, w_al + tile + 1024) in-bounds.
+                w = int(pool.channel_base[sid, ch]) + int(table.src_int[r]) + (g0 - dst0)
+                w_al = (w // 1024) * 1024
+                row_al[ti, trk, k, ch] = w_al // 128
+                delta[ti, trk, k, ch] = w - w_al
+            ms[ti, trk, k] = max(dst0, g0) - g0
+            me[ti, trk, k] = min(dend, g0 + tile) - g0
+            gain[ti, trk, k] = table.gain[r]
+            clampf[ti, trk, k] = 1 if table.clamp[r] else 0
+
+    track_gain = np.zeros((T, channels), dtype=np.float32)
+    for t, track in enumerate(session.tracks):
+        vol = np.float32(0.0) if track.mute else track.volume_linear
+        pan = track.pan_coeffs
+        for ch in range(channels):
+            track_gain[t, ch] = vol * np.float32(pan[ch % 2])
+
+    return PallasMixPlan(
+        row_al=row_al, delta=delta, ms=ms, me=me, gain=gain, clampf=clampf, track_gain=track_gain,
+        n_tiles=n_tiles, tile=tile, num_tracks=T, channels=channels,
+        total_frames=table.total_frames,
+    )
+
+
+def _mix_kernel(K: int, C: int, TILE: int, row_al_ref, delta_ref, ms_ref, me_ref, gain_ref, clampf_ref, tg_ref, pool_ref, out_ref, scratch, sems):
+    t = pl.program_id(1)
+    n_tracks = pl.num_programs(1)
+    R = TILE // 128  # output rows; scratch windows carry 8 extra rows (1024 elts)
+
+    # kick off all active DMAs first, then compute — overlap DMA with VPU work
+    for k in range(K):
+        active = me_ref[0, 0, 0, k] > ms_ref[0, 0, 0, k]
+        for ch in range(C):
+            @pl.when(active)
+            def _():
+                start_row = pl.multiple_of(row_al_ref[0, 0, k, ch], 8)
+                pltpu.make_async_copy(
+                    pool_ref.at[pl.ds(start_row, R + 8)],
+                    scratch.at[k, ch],
+                    sems.at[k, ch],
+                ).start()
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    pos = row_i * 128 + lane_i
+    lane_big = jax.lax.broadcasted_iota(jnp.int32, (R + 8, 128), 1)
+
+    for k in range(K):
+        active = me_ref[0, 0, 0, k] > ms_ref[0, 0, 0, k]
+        for ch in range(C):
+            @pl.when(active)
+            def _():
+                start_row = pl.multiple_of(row_al_ref[0, 0, k, ch], 8)
+                pltpu.make_async_copy(
+                    pool_ref.at[pl.ds(start_row, R + 8)],
+                    scratch.at[k, ch],
+                    sems.at[k, ch],
+                ).wait()
+                # shift the aligned window by delta = 128*q + r:
+                # y[p] = window[p + delta] via dynamic sublane+lane rotates
+                delta = delta_ref[0, 0, k, ch]
+                q = delta >> 7
+                r = delta & 127
+                win = scratch[k, ch]  # [R+8, 128]
+                n_rows = R + 8
+                rows_q = pltpu.roll(win, (n_rows - q) % n_rows, axis=0)
+                rows_q1 = pltpu.roll(win, (n_rows - q - 1) % n_rows, axis=0)
+                a1 = pltpu.roll(rows_q, (128 - r) % 128, axis=1)
+                a2 = pltpu.roll(rows_q1, (128 - r) % 128, axis=1)
+                v = jnp.where(lane_big < 128 - r, a1, a2)[:R, :]
+                clamped = jnp.minimum(jnp.maximum(v, -1.0), 1.0)
+                v = jnp.where(clampf_ref[0, 0, 0, k] == 1, clamped, v)
+                mask = (pos >= ms_ref[0, 0, 0, k]) & (pos < me_ref[0, 0, 0, k])
+                contrib = jnp.where(mask, (v * gain_ref[0, 0, 0, k]) * tg_ref[0, 0, ch], 0.0)
+                out_ref[ch] += contrib
+
+    @pl.when(t == n_tracks - 1)
+    def _():
+        o = out_ref[:]
+        o = jnp.where(o > 1.0, jnp.float32(1.0), o)
+        out_ref[:] = jnp.where(o < -1.0, jnp.float32(-1.0), o)
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles", "num_tracks", "K", "C", "TILE", "interpret"))
+def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, tg, *, n_tiles, num_tracks, K, C, TILE, interpret=False):
+    kernel = functools.partial(_mix_kernel, K, C, TILE)
+    grid = (n_tiles, num_tracks)
+    R = TILE // 128
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, K, C), lambda i, t: (i, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, K, C), lambda i, t: (i, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, K), lambda i, t: (i, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, K), lambda i, t: (i, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, K), lambda i, t: (i, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, K), lambda i, t: (i, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, C), lambda i, t: (t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # pool stays in HBM
+        ],
+        out_specs=pl.BlockSpec((C, R, 128), lambda i, t: (0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, n_tiles * R, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((K, C, R + 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((K, C)),
+        ],
+        interpret=interpret,
+    )(row_al, delta, ms, me, gain, clampf, tg, pool2d)
+
+
+class PallasMixRenderer:
+    """Holds device-resident tables; call to render (one pallas_call)."""
+
+    def __init__(self, table: SegmentTable, pool: SamplePool, session: Session,
+                 channels: int = 2, tile: int = DEFAULT_TILE, interpret: bool = False,
+                 plan: PallasMixPlan | None = None) -> None:
+        self.plan = plan or build_plan(table, pool, session, channels=channels, tile=tile)
+        p = self.plan
+        nt, T, K = p.ms.shape
+        pool2d = pool.data
+        if pool2d.shape[0] % 128:
+            pool2d = np.pad(pool2d, (0, 128 - pool2d.shape[0] % 128))
+        self._args = (
+            jnp.asarray(pool2d.reshape(-1, 128)),
+            jnp.asarray(p.row_al), jnp.asarray(p.delta),
+            jnp.asarray(p.ms.reshape(nt, T, 1, K)), jnp.asarray(p.me.reshape(nt, T, 1, K)),
+            jnp.asarray(p.gain.reshape(nt, T, 1, K)), jnp.asarray(p.clampf.reshape(nt, T, 1, K)),
+            jnp.asarray(p.track_gain.reshape(p.num_tracks, 1, p.channels)),
+        )
+        self._kw = dict(n_tiles=p.n_tiles, num_tracks=p.num_tracks, K=K,
+                        C=p.channels, TILE=p.tile, interpret=interpret)
+
+    def render_device(self):
+        """Full render, output stays on device: [C, n_tiles*R, 128] f32."""
+        return _mix_call(*self._args, **self._kw)
+
+    def render(self) -> np.ndarray:
+        out = np.asarray(self.render_device())
+        return out.reshape(self.plan.channels, -1)[:, : self.plan.total_frames]
+
+
+def render_timeline_pallas(
+    table: SegmentTable,
+    pool: SamplePool,
+    session: Session,
+    channels: int = 2,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+    plan: PallasMixPlan | None = None,
+) -> np.ndarray:
+    """Render the full carved timeline with the Pallas kernel -> [C, F] np.f32.
+
+    Requires an all-fast (speed==1) table; raises SlowRowsPresent otherwise.
+    """
+    r = PallasMixRenderer(table, pool, session, channels=channels, tile=tile,
+                          interpret=interpret, plan=plan)
+    return r.render()

@@ -1,0 +1,95 @@
+"""Sharded timeline mix: shard_map over a ('tracks', 'frames') mesh.
+
+Each device renders its track-shard x frame-shard tile with the same
+per-track contribution program as the single-chip path (ops.mix), locally
+sums its tracks in index order, then ``psum`` over the 'tracks' axis rides
+ICI to produce the mix; the hard clip applies post-reduction. Frame shards
+are fully independent (no halo: the mix is a gather, not a stencil).
+
+Sum ordering: within a shard tracks add sequentially in index order; across
+shards psum applies — deterministic, but a different association than the
+engine's flat order (use the single-chip strict path for bit-parity work).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from whitebox_tpu.ops.mix import _track_contrib
+
+_TABLE_SPECS = {
+    "dst_start": P("tracks", None),
+    "length": P("tracks", None),
+    "src_base": P("tracks", None, None),
+    "frac_hi": P("tracks", None),
+    "frac_lo": P("tracks", None),
+    "speed_hi": P("tracks", None),
+    "speed_lo": P("tracks", None),
+    "gain": P("tracks", None),
+    "fast": P("tracks", None),
+    "clamp": P("tracks", None),
+    "track_gain": P("tracks", None),
+}
+
+
+def shard_tables(tables: dict, mesh: Mesh) -> dict:
+    """Place packed device tables with the tracks axis sharded, rest replicated."""
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, _TABLE_SPECS[k]))
+        for k, v in tables.items()
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("frames", "mesh"))
+def render_chunk_sharded(pool, tables, chunk_start, frames: int, mesh: Mesh):
+    """Render ``frames`` output frames starting at ``chunk_start``.
+
+    ``tables`` track dim must be divisible by mesh.shape['tracks'];
+    ``frames`` by mesh.shape['frames']. Returns [C, frames] sharded over
+    the frames axis.
+    """
+    fp = mesh.shape["frames"]
+    assert frames % fp == 0, "frames must divide over the frames mesh axis"
+    f_local = frames // fp
+
+    def tile(pool, tables, chunk_start):
+        fidx = jax.lax.axis_index("frames")
+        g = chunk_start + fidx * f_local + jnp.arange(f_local, dtype=jnp.int32)
+
+        contribs = jax.vmap(
+            lambda d, l, sb, fh, fl, sh, sl, gn, fs, cl: _track_contrib(
+                pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl
+            )
+        )(
+            tables["dst_start"], tables["length"], tables["src_base"],
+            tables["frac_hi"], tables["frac_lo"], tables["speed_hi"], tables["speed_lo"],
+            tables["gain"], tables["fast"], tables["clamp"],
+        )  # [T_local, C, f_local]
+        scaled = contribs * tables["track_gain"][:, :, None]
+
+        def body(carry, x):
+            return carry + x, None
+
+        # zeros_like keeps shard_map's varying-axes annotation on the carry
+        local, _ = jax.lax.scan(body, jnp.zeros_like(scaled[0]), scaled)
+        total = jax.lax.psum(local, "tracks")
+        total = jnp.where(total > 1.0, jnp.float32(1.0), total)
+        total = jnp.where(total < -1.0, jnp.float32(-1.0), total)
+        return total
+
+    fn = shard_map(
+        tile,
+        mesh=mesh,
+        in_specs=(P(), _TABLE_SPECS, P()),
+        out_specs=P(None, "frames"),
+    )
+    return fn(pool, tables, chunk_start)

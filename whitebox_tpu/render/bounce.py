@@ -1,0 +1,128 @@
+"""Offline bounce: session -> mixed stereo audio (and WAV export).
+
+The end-to-end slice: carve the timeline (host, exact f64), pack device
+tables, stream chunked jitted renders off the device, optionally encode WAV
+with the engine's format converters. This is the capability the reference
+stubs (SURVEY §2.9), built to the engine's exact mix semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whitebox_tpu.core.formats import AudioFormat
+from whitebox_tpu.ops.mix import pack_device_tables, render_chunk
+from whitebox_tpu.render.metrics import RenderStats, Stopwatch
+from whitebox_tpu.session.session import Session
+from whitebox_tpu.timeline.carve import carve_session
+
+
+@dataclass
+class BounceResult:
+    audio: np.ndarray  # [channels, frames] f32
+    stats: RenderStats
+
+    @property
+    def frames(self) -> int:
+        return self.audio.shape[1]
+
+
+def bounce(
+    session: Session,
+    sample_rate: float = 48000.0,
+    *,
+    buffer_size: int = 512,
+    channels: int = 2,
+    chunk_frames: int = 1 << 17,
+    num_blocks: int | None = None,
+    trim_frames: int | None = None,
+    strict_order: bool = True,
+    engine: str = "auto",
+    out_path=None,
+    out_format: AudioFormat = AudioFormat.F32,
+) -> BounceResult:
+    """Render the whole session timeline at once.
+
+    ``buffer_size`` is the *emulated* engine block size — it defines event
+    carving semantics (and the reference's boundary quirks), not the device
+    schedule; the device renders ``chunk_frames`` frames per dispatch.
+
+    ``engine``: "pallas" (fused TPU kernel; requires an all-speed-1 table),
+    "xla" (portable gather path, handles resampling), or "auto" (pallas
+    when the table allows, else xla). Both are bit-parity paths.
+    """
+    stats = RenderStats(channels=channels, sample_rate=float(sample_rate), tracks=len(session.tracks))
+    watch = Stopwatch()
+
+    table, pool = carve_session(
+        session, sample_rate, buffer_size=buffer_size, num_blocks=num_blocks, out_channels=channels
+    )
+
+    if engine in ("auto", "pallas"):
+        from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, SlowRowsPresent, build_plan
+
+        try:
+            plan = build_plan(table, pool, session, channels=channels)
+        except (SlowRowsPresent, ValueError):
+            if engine == "pallas":
+                raise
+            plan = None  # resampled rows or slot overflow: use the XLA path
+
+        if plan is not None:
+            renderer = PallasMixRenderer(table, pool, session, channels=channels, plan=plan)
+            stats.carve_seconds = watch.lap()
+            # warm-up compile; the scalar fetch forces execution (plain
+            # block_until_ready is a no-op under async PJRT relays)
+            float(renderer.render_device().sum())
+            stats.compile_seconds = watch.lap()
+            out = renderer.render()
+            stats.device_seconds = watch.lap()
+            if trim_frames is not None:
+                out = out[:, :trim_frames]
+            stats.frames = out.shape[1]
+            stats.wall_seconds = stats.carve_seconds + stats.device_seconds
+            if out_path is not None:
+                from whitebox_tpu.io.wav import write_wav
+
+                write_wav(out_path, out, int(sample_rate), out_format)
+            return BounceResult(audio=out, stats=stats)
+
+    dev = pack_device_tables(table, pool, session, channels=channels)
+    stats.carve_seconds = watch.lap()
+
+    jt = jax.device_put(dev.as_jax())
+    pool_dev = jax.device_put(jnp.asarray(pool.data))
+
+    F = dev.total_frames
+    chunk_frames = min(chunk_frames, max(F, 1))
+
+    # warm-up compile (excluded from the device-time metric)
+    render_chunk(pool_dev, jt, jnp.int32(0), frames=chunk_frames, strict_order=strict_order).block_until_ready()
+    stats.compile_seconds = watch.lap()
+
+    out = np.empty((channels, F), dtype=np.float32)
+    device_chunks = []
+    for start in range(0, F, chunk_frames):
+        device_chunks.append(
+            (start, render_chunk(pool_dev, jt, jnp.int32(start), frames=chunk_frames, strict_order=strict_order))
+        )
+    for start, chunk in device_chunks:
+        n = min(chunk_frames, F - start)
+        out[:, start : start + n] = np.asarray(chunk)[:, :n]
+    stats.device_seconds = watch.lap()
+
+    if trim_frames is not None:
+        out = out[:, :trim_frames]
+    stats.frames = out.shape[1]
+    stats.wall_seconds = stats.carve_seconds + stats.device_seconds
+
+    if out_path is not None:
+        from whitebox_tpu.io.wav import write_wav
+
+        write_wav(out_path, out, int(sample_rate), out_format)
+
+    return BounceResult(audio=out, stats=stats)

@@ -33,11 +33,19 @@ class SamplePool:
         return self.counts.shape[0]
 
 
+#: Guard bands so the Pallas mix kernel's fixed-size DMA windows
+#: (tile_frames <= MAX_TILE_FRAMES) are always in-bounds without clamping.
+MAX_TILE_FRAMES = 8192
+_GUARD = MAX_TILE_FRAMES + 384  # multiple of 128
+
+
 def build_sample_pool(session: Session, out_channels: int = 2, pad: int = SAMPLE_PADDING, lane_align: int = 128) -> SamplePool:
     """Collect every asset referenced by an audio clip into one pool.
 
     Channels are aligned to ``lane_align`` so per-channel bases sit on TPU
-    lane boundaries (helps the Pallas mix kernel's DMA alignment).
+    lane boundaries, and the whole pool carries leading/trailing zero guard
+    bands sized for the Pallas kernel's fixed windows (bases are pre-offset
+    by the lead guard).
     """
     assets = []
     seen = set()
@@ -55,7 +63,8 @@ def build_sample_pool(session: Session, out_channels: int = 2, pad: int = SAMPLE
     rates = np.full(max(len(assets), 1), 48000.0, dtype=np.float64)
     index_of: dict = {}
 
-    offset = 0
+    chunks.append(np.zeros(_GUARD, dtype=np.float32))  # lead guard
+    offset = _GUARD
     for sid, asset in enumerate(assets):
         sample: Sample = asset.sample
         index_of[id(asset)] = sid
@@ -73,7 +82,8 @@ def build_sample_pool(session: Session, out_channels: int = 2, pad: int = SAMPLE
         for oc in range(out_channels):
             channel_base[sid, oc] = ch_offsets[oc % sample.channels]
 
-    data = np.concatenate(chunks) if chunks else np.zeros(lane_align, dtype=np.float32)
+    chunks.append(np.zeros(_GUARD, dtype=np.float32))  # tail guard
+    data = np.concatenate(chunks)
     if channel_base.max(initial=0) + (counts.max(initial=0) + pad) >= 2**31:
         raise ValueError("sample pool exceeds int32 addressing (>2^31 elements)")
     return SamplePool(
