@@ -1,0 +1,74 @@
+"""Effects-enabled bounce: device pipeline vs the f64 sequential reference."""
+
+import numpy as np
+
+from tests.test_carve import random_session
+from whitebox_tpu.effects import Biquad, EffectChain, Gain, ParametricEQ
+from whitebox_tpu.render.bounce import bounce
+from whitebox_tpu.render.effects_pipeline import reference_finish_mix
+from whitebox_tpu.timeline.carve import carve_session, render_segments_per_track_numpy
+
+RATE = 48000.0
+
+
+def rms(x):
+    return float(np.sqrt(np.mean(np.asarray(x, np.float64) ** 2)))
+
+
+def add_effects(s, master=True):
+    s.tracks[0].effects = EffectChain([Biquad("lowpass", 2000.0), Gain(-3.0)])
+    if len(s.tracks) > 1:
+        s.tracks[1].effects = EffectChain(
+            [ParametricEQ([("lowshelf", 120.0, 0.707, 4.0), ("peak", 1500.0, 1.2, -3.0)])]
+        )
+    if master:
+        s.master_effects = EffectChain([Biquad("highpass", 30.0)])
+    return s
+
+
+class TestEffectsBounce:
+    def test_xla_effects_matches_reference(self):
+        s = add_effects(random_session(1, rate=48000, bpm=120.0, n_tracks=3, n_clips=2))
+        res = bounce(s, RATE, engine="xla", chunk_frames=8192)
+
+        table, pool = carve_session(s, RATE, buffer_size=512)
+        pt = render_segments_per_track_numpy(table, pool)
+        ref = reference_finish_mix(pt, s, RATE)
+
+        assert res.audio.shape == ref.shape
+        scale = max(rms(ref), 1e-6)
+        err = rms(res.audio - ref) / scale
+        assert err < 5e-5, f"relative rms err {err}"
+
+    def test_chunk_size_invariance_with_state(self):
+        s = add_effects(random_session(2, rate=48000, bpm=120.0, n_tracks=2, n_clips=2))
+        a = bounce(s, RATE, engine="xla", chunk_frames=4096).audio
+        b = bounce(s, RATE, engine="xla", chunk_frames=32768).audio
+        # biquad state carries across chunks; results must agree closely
+        np.testing.assert_allclose(a, b, atol=3e-5)
+
+    def test_no_effects_still_bit_exact(self):
+        # adding the effects plumbing must not disturb the parity path
+        from whitebox_tpu.timeline.oracle import OracleRenderer
+
+        s = random_session(3, rate=48000, bpm=120.0, n_tracks=3)
+        oracle = OracleRenderer(s, RATE, buffer_size=512).render()
+        res = bounce(s, RATE, engine="xla")
+        np.testing.assert_array_equal(res.audio[:, : oracle.shape[1]], oracle)
+
+    def test_track_chain_runs_pre_gain(self):
+        # gain-only chain: chain(-6dB) then volume -> same as volume*(gain)
+        from whitebox_tpu.session import Session
+        from whitebox_tpu.session.sample import Sample
+        from whitebox_tpu.core.formats import AudioFormat
+
+        s = Session(bpm=60.0)
+        data = np.full((1, 2048), 0.5, np.float32)
+        asset = s.sample_table.add_sample(Sample.from_planar(data, 48000, AudioFormat.F32), key="a")
+        tr = s.add_track("t", volume_db=-6.0)
+        s.add_audio_clip(tr, "c", 0.0, 2048 / 48000.0, asset=asset)
+        tr.effects = EffectChain([Gain(-6.0)])
+        res = bounce(s, RATE, engine="xla")
+        g = np.float32(Gain(-6.0).gain_linear)
+        expected = ((np.float32(0.5) * np.float32(1.0)) * g) * (tr.volume_linear * tr.pan_coeffs[0])
+        np.testing.assert_allclose(res.audio[0, 100:1000], expected, atol=1e-7)

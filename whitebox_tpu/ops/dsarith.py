@@ -71,3 +71,28 @@ def phase_eval(j, frac_hi, frac_lo, speed_hi, speed_lo):
     ixf = jnp.where(under, ixf - 1.0, jnp.where(over, ixf + 1.0, ixf))
     r = jnp.where(under, r + 1.0, jnp.where(over, r - 1.0, r))
     return ixf.astype(jnp.int32), r.astype(jnp.float32)
+
+
+# ---- generic double-single vector ops (used by the biquad scan) ----
+
+
+def ds_quick_renorm(h, l):
+    s = h + l
+    e = l - (s - h)
+    return s, e
+
+
+def ds_add(xh, xl, yh, yl):
+    s, e = _two_sum(xh, yh)
+    e = e + (xl + yl)
+    return ds_quick_renorm(s, e)
+
+
+def ds_mul(xh, xl, yh, yl):
+    p, e = _two_prod(xh, yh)
+    e = e + (xh * yl + xl * yh)
+    return ds_quick_renorm(p, e)
+
+
+def ds_collapse(h, l):
+    return h + l

@@ -206,6 +206,21 @@ def render_chunk(pool, tables, chunk_start, frames: int, strict_order: bool = Tr
     return total
 
 
+@functools.partial(jax.jit, static_argnames=("frames",))
+def render_chunk_per_track(pool, tables, chunk_start, frames: int):
+    """Per-track pre-gain contributions [T, C, F] (for the effects pipeline)."""
+    g = chunk_start + jnp.arange(frames, dtype=jnp.int32)
+    return jax.vmap(
+        lambda d, l, sb, fh, fl, sh, sl, gn, fs, cl: _track_contrib(
+            pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl
+        )
+    )(
+        tables["dst_start"], tables["length"], tables["src_base"],
+        tables["frac_hi"], tables["frac_lo"], tables["speed_hi"], tables["speed_lo"],
+        tables["gain"], tables["fast"], tables["clamp"],
+    )
+
+
 def render_timeline(
     table: SegmentTable,
     pool: SamplePool,

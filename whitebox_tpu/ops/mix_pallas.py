@@ -133,7 +133,7 @@ def build_plan(
     )
 
 
-def _mix_kernel(K: int, C: int, TILE: int, row_al_ref, delta_ref, ms_ref, me_ref, gain_ref, clampf_ref, tg_ref, pool_ref, out_ref, scratch, sems):
+def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_ref, ms_ref, me_ref, gain_ref, clampf_ref, tg_ref, pool_ref, out_ref, scratch, sems):
     t = pl.program_id(1)
     n_tracks = pl.num_programs(1)
     R = TILE // 128  # output rows; scratch windows carry 8 extra rows (1024 elts)
@@ -151,9 +151,12 @@ def _mix_kernel(K: int, C: int, TILE: int, row_al_ref, delta_ref, ms_ref, me_ref
                     sems.at[k, ch],
                 ).start()
 
-    @pl.when(t == 0)
-    def _():
+    if per_track:
         out_ref[:] = jnp.zeros_like(out_ref)
+    else:
+        @pl.when(t == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
     row_i = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
@@ -186,21 +189,37 @@ def _mix_kernel(K: int, C: int, TILE: int, row_al_ref, delta_ref, ms_ref, me_ref
                 clamped = jnp.minimum(jnp.maximum(v, -1.0), 1.0)
                 v = jnp.where(clampf_ref[0, 0, 0, k] == 1, clamped, v)
                 mask = (pos >= ms_ref[0, 0, 0, k]) & (pos < me_ref[0, 0, 0, k])
-                contrib = jnp.where(mask, (v * gain_ref[0, 0, 0, k]) * tg_ref[0, 0, ch], 0.0)
-                out_ref[ch] += contrib
+                scaled = v * gain_ref[0, 0, 0, k]
+                if not per_track:
+                    # track volume*pan folds in here; per-track outputs leave
+                    # it to the effects pipeline (chains run pre-gain,
+                    # track.cpp:648-662 ordering)
+                    scaled = scaled * tg_ref[0, 0, ch]
+                contrib = jnp.where(mask, scaled, 0.0)
+                if per_track:
+                    out_ref[0, ch] += contrib  # block [1, C, R, 128]
+                else:
+                    out_ref[ch] += contrib  # block [C, R, 128]
 
-    @pl.when(t == n_tracks - 1)
-    def _():
-        o = out_ref[:]
-        o = jnp.where(o > 1.0, jnp.float32(1.0), o)
-        out_ref[:] = jnp.where(o < -1.0, jnp.float32(-1.0), o)
+    if not per_track:
+        @pl.when(t == n_tracks - 1)
+        def _():
+            o = out_ref[:]
+            o = jnp.where(o > 1.0, jnp.float32(1.0), o)
+            out_ref[:] = jnp.where(o < -1.0, jnp.float32(-1.0), o)
 
 
-@functools.partial(jax.jit, static_argnames=("n_tiles", "num_tracks", "K", "C", "TILE", "interpret"))
-def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, tg, *, n_tiles, num_tracks, K, C, TILE, interpret=False):
-    kernel = functools.partial(_mix_kernel, K, C, TILE)
+@functools.partial(jax.jit, static_argnames=("n_tiles", "num_tracks", "K", "C", "TILE", "interpret", "per_track"))
+def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, tg, *, n_tiles, num_tracks, K, C, TILE, interpret=False, per_track=False):
+    kernel = functools.partial(_mix_kernel, K, C, TILE, per_track)
     grid = (n_tiles, num_tracks)
     R = TILE // 128
+    if per_track:
+        out_specs = pl.BlockSpec((1, C, R, 128), lambda i, t: (t, 0, i, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((num_tracks, C, n_tiles * R, 128), jnp.float32)
+    else:
+        out_specs = pl.BlockSpec((C, R, 128), lambda i, t: (0, i, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((C, n_tiles * R, 128), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -214,8 +233,8 @@ def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, tg, *, n_tiles, num_t
             pl.BlockSpec((1, 1, C), lambda i, t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # pool stays in HBM
         ],
-        out_specs=pl.BlockSpec((C, R, 128), lambda i, t: (0, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, n_tiles * R, 128), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((K, C, R + 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((K, C)),
@@ -249,6 +268,14 @@ class PallasMixRenderer:
     def render_device(self):
         """Full render, output stays on device: [C, n_tiles*R, 128] f32."""
         return _mix_call(*self._args, **self._kw)
+
+    def render_device_per_track(self):
+        """Per-track pre-gain buffers on device: [T, C, n_tiles*R, 128] f32.
+
+        Track volume/pan is NOT applied (effect chains run pre-gain); use
+        render.effects_pipeline to finish the mix.
+        """
+        return _mix_call(*self._args, **self._kw, per_track=True)
 
     def render(self) -> np.ndarray:
         out = np.asarray(self.render_device())

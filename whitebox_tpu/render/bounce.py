@@ -73,14 +73,38 @@ def bounce(
             plan = None  # resampled rows or slot overflow: use the XLA path
 
         if plan is not None:
+            from whitebox_tpu.render.effects_pipeline import (
+                finish_mix, prepare_effect_tables, session_has_effects,
+            )
+
+            has_fx = session_has_effects(session)
+            if has_fx and len(session.tracks) * channels * plan.n_tiles * plan.tile * 4 > 6 << 30:
+                plan = None  # per-track buffers would blow HBM; chunked XLA path
+        if plan is not None:
             renderer = PallasMixRenderer(table, pool, session, channels=channels, plan=plan)
-            stats.carve_seconds = watch.lap()
-            # warm-up compile; the scalar fetch forces execution (plain
-            # block_until_ready is a no-op under async PJRT relays)
-            float(renderer.render_device().sum())
-            stats.compile_seconds = watch.lap()
-            out = renderer.render()
-            stats.device_seconds = watch.lap()
+            if has_fx:
+                (S, coeffs), (Sm, mcoeffs) = prepare_effect_tables(session, sample_rate, channels)
+                tg = jnp.asarray(plan.track_gain)
+                stats.carve_seconds = watch.lap()
+
+                def run_fx():
+                    pt = renderer.render_device_per_track()
+                    T = plan.num_tracks
+                    ptr = pt.reshape(T, channels, plan.n_tiles * plan.tile)
+                    return finish_mix(ptr, coeffs, mcoeffs, tg, T=T, C=channels, S=S, Sm=Sm)
+
+                float(run_fx().sum())  # warm-up compile (forced execution)
+                stats.compile_seconds = watch.lap()
+                out = np.asarray(run_fx())[:, : plan.total_frames]
+                stats.device_seconds = watch.lap()
+            else:
+                stats.carve_seconds = watch.lap()
+                # warm-up compile; the scalar fetch forces execution (plain
+                # block_until_ready is a no-op under async PJRT relays)
+                float(renderer.render_device().sum())
+                stats.compile_seconds = watch.lap()
+                out = renderer.render()
+                stats.device_seconds = watch.lap()
             if trim_frames is not None:
                 out = out[:, :trim_frames]
             stats.frames = out.shape[1]
@@ -91,6 +115,8 @@ def bounce(
                 write_wav(out_path, out, int(sample_rate), out_format)
             return BounceResult(audio=out, stats=stats)
 
+    from whitebox_tpu.render.effects_pipeline import session_has_effects
+
     dev = pack_device_tables(table, pool, session, channels=channels)
     stats.carve_seconds = watch.lap()
 
@@ -99,21 +125,44 @@ def bounce(
 
     F = dev.total_frames
     chunk_frames = min(chunk_frames, max(F, 1))
-
-    # warm-up compile (excluded from the device-time metric)
-    render_chunk(pool_dev, jt, jnp.int32(0), frames=chunk_frames, strict_order=strict_order).block_until_ready()
-    stats.compile_seconds = watch.lap()
-
     out = np.empty((channels, F), dtype=np.float32)
-    device_chunks = []
-    for start in range(0, F, chunk_frames):
-        device_chunks.append(
-            (start, render_chunk(pool_dev, jt, jnp.int32(start), frames=chunk_frames, strict_order=strict_order))
+
+    if session_has_effects(session):
+        from whitebox_tpu.ops.mix import render_chunk_per_track
+        from whitebox_tpu.render.effects_pipeline import (
+            finish_mix_chunk, init_effect_states, prepare_effect_tables,
         )
-    for start, chunk in device_chunks:
-        n = min(chunk_frames, F - start)
-        out[:, start : start + n] = np.asarray(chunk)[:, :n]
-    stats.device_seconds = watch.lap()
+
+        (S, coeffs), (Sm, mcoeffs) = prepare_effect_tables(session, sample_rate, channels)
+        tg = jnp.asarray(dev.track_gain)
+        T = dev.num_tracks
+        states, mstates = init_effect_states(T, channels, S, Sm)
+
+        def fx_chunk(start, states, mstates):
+            pt = render_chunk_per_track(pool_dev, jt, jnp.int32(start), frames=chunk_frames)
+            return finish_mix_chunk(pt, coeffs, mcoeffs, tg, states, mstates, T=T, C=channels, S=S, Sm=Sm)
+
+        _ = fx_chunk(0, states, mstates)  # warm-up compile
+        stats.compile_seconds = watch.lap()
+        for start in range(0, F, chunk_frames):
+            chunk, states, mstates = fx_chunk(start, states, mstates)
+            n = min(chunk_frames, F - start)
+            out[:, start : start + n] = np.asarray(chunk)[:, :n]
+        stats.device_seconds = watch.lap()
+    else:
+        # warm-up compile (excluded from the device-time metric)
+        render_chunk(pool_dev, jt, jnp.int32(0), frames=chunk_frames, strict_order=strict_order).block_until_ready()
+        stats.compile_seconds = watch.lap()
+
+        device_chunks = []
+        for start in range(0, F, chunk_frames):
+            device_chunks.append(
+                (start, render_chunk(pool_dev, jt, jnp.int32(start), frames=chunk_frames, strict_order=strict_order))
+            )
+        for start, chunk in device_chunks:
+            n = min(chunk_frames, F - start)
+            out[:, start : start + n] = np.asarray(chunk)[:, :n]
+        stats.device_seconds = watch.lap()
 
     if trim_frames is not None:
         out = out[:, :trim_frames]

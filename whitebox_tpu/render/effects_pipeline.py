@@ -1,0 +1,170 @@
+"""Effects-enabled mix finishing: per-track buffers -> chains -> gains ->
+ordered sum -> master chain -> hard clip.
+
+Processing order mirrors the engine: each track's chain runs on the track
+buffer *before* volume/pan (track.cpp:600,648-662); the master-bus chain (a
+framework extension) runs after the track sum and before the hard clip
+(engine.cpp:1627).
+
+All per-track chains are packed into one batched biquad cascade
+(ops.biquad.pack_chain_sections) and evaluated chunk-by-chunk inside a
+single jitted lax.scan with exact state carry, so one dispatch finishes the
+whole timeline.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whitebox_tpu.ops.biquad import biquad_scan_batched, pack_chain_sections
+from whitebox_tpu.session.session import Session
+
+
+def _chains_of(session: Session):
+    from whitebox_tpu.effects.base import EffectChain
+
+    chains = []
+    for t in session.tracks:
+        if t.effects:
+            chains.append(t.effects if isinstance(t.effects, EffectChain) else EffectChain(list(t.effects)))
+        else:
+            chains.append(None)
+    master = None
+    if session.master_effects:
+        from whitebox_tpu.effects.base import EffectChain as EC
+
+        master = session.master_effects if isinstance(session.master_effects, EC) else EC(list(session.master_effects))
+    return chains, master
+
+
+def session_has_effects(session: Session) -> bool:
+    return bool(session.master_effects) or any(t.effects for t in session.tracks)
+
+
+def prepare_effect_tables(session: Session, sample_rate: float, channels: int = 2):
+    """Pack (and prepare) all chains -> device coefficient arrays."""
+    chains, master = _chains_of(session)
+    for c in chains:
+        if c is not None:
+            c.prepare(sample_rate, channels)
+    S, coeffs = pack_chain_sections(chains, channels)
+    if master is not None:
+        master.prepare(sample_rate, channels)
+        Sm, mcoeffs = pack_chain_sections([master], channels)
+    else:
+        Sm, mcoeffs = 1, pack_chain_sections([None], channels)[1]
+    return (S, jnp.asarray(coeffs)), (Sm, jnp.asarray(mcoeffs))
+
+
+@functools.partial(jax.jit, static_argnames=("T", "C", "S", "Sm", "chunk"))
+def finish_mix(per_track, coeffs, mcoeffs, track_gain, *, T, C, S, Sm, chunk=1 << 16):
+    """per_track [T, C, F] f32 -> mixed [C, F] f32 (chains+gains+sum+master+clip)."""
+    F = per_track.shape[-1]
+    n_chunks = -(-F // chunk)
+    Fp = n_chunks * chunk
+    x = jnp.pad(per_track.reshape(T * C, F), ((0, 0), (0, Fp - F)))
+
+    tg = track_gain.reshape(T, C, 1)
+
+    def body(carry, i):
+        states, mstates = carry
+        xc = jax.lax.dynamic_slice_in_dim(x, i * chunk, chunk, axis=1)
+        new_states = []
+        for s in range(S):
+            xc, ns = biquad_scan_batched(xc, [coeffs[j, s] for j in range(9)], states[s])
+            new_states.append(ns)
+        y = xc.reshape(T, C, chunk) * tg
+
+        def add(acc, row):
+            return acc + row, None
+
+        total, _ = jax.lax.scan(add, jnp.zeros((C, chunk), jnp.float32), y)
+
+        new_mstates = []
+        for s in range(Sm):
+            total, ns = biquad_scan_batched(total, [mcoeffs[j, s] for j in range(9)], mstates[s])
+            new_mstates.append(ns)
+
+        total = jnp.where(total > 1.0, jnp.float32(1.0), total)
+        total = jnp.where(total < -1.0, jnp.float32(-1.0), total)
+        return (new_states, new_mstates), total
+
+    init = (
+        [jnp.zeros((T * C, 2), jnp.float32) for _ in range(S)],
+        [jnp.zeros((C, 2), jnp.float32) for _ in range(Sm)],
+    )
+    _, outs = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    # outs [n_chunks, C, chunk] -> [C, F]
+    return outs.transpose(1, 0, 2).reshape(C, Fp)[:, :F]
+
+
+def reference_finish_mix(per_track: np.ndarray, session: Session, sample_rate: float, channels: int = 2) -> np.ndarray:
+    """Host-side f64-biquad reference for the effects pipeline (test oracle)."""
+    from whitebox_tpu.ops.biquad import biquad_sequential
+    from whitebox_tpu.effects.eq import Biquad, ParametricEQ
+    from whitebox_tpu.effects.gain import Gain
+
+    chains, master = _chains_of(session)
+
+    def run_chain(chain, x):
+        if chain is None:
+            return x
+        chain.prepare(sample_rate, channels)
+        for e in chain.effects:
+            if isinstance(e, Biquad):
+                x, _ = biquad_sequential(x, e.coeffs)
+            elif isinstance(e, ParametricEQ):
+                for c in e.coeffs:
+                    x, _ = biquad_sequential(x, c)
+            elif isinstance(e, Gain):
+                x = x * float(e.gain_linear)
+            else:
+                raise TypeError(e)
+        return x
+
+    T, C, F = per_track.shape
+    total = np.zeros((C, F), dtype=np.float64)
+    for t, track in enumerate(session.tracks):
+        buf = run_chain(chains[t], per_track[t].astype(np.float64))
+        vol = np.float32(0.0) if track.mute else track.volume_linear
+        pan = track.pan_coeffs
+        for ch in range(C):
+            total[ch] += np.asarray(buf)[ch] * float(np.float32(vol * np.float32(pan[ch % 2])))
+    total = run_chain(master, total) if master is not None else total
+    return np.clip(total, -1.0, 1.0).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "C", "S", "Sm"))
+def finish_mix_chunk(pt_chunk, coeffs, mcoeffs, track_gain, states, mstates, *, T, C, S, Sm):
+    """Single-chunk finishing step with explicit state in/out (for drivers
+    that stream per-track buffers chunk by chunk, e.g. the XLA gather path)."""
+    Fc = pt_chunk.shape[-1]
+    xc = pt_chunk.reshape(T * C, Fc)
+    new_states = []
+    for s in range(S):
+        xc, ns = biquad_scan_batched(xc, [coeffs[j, s] for j in range(9)], states[s])
+        new_states.append(ns)
+    y = xc.reshape(T, C, Fc) * track_gain.reshape(T, C, 1)
+
+    def add(acc, row):
+        return acc + row, None
+
+    total, _ = jax.lax.scan(add, jnp.zeros((C, Fc), jnp.float32), y)
+    new_mstates = []
+    for s in range(Sm):
+        total, ns = biquad_scan_batched(total, [mcoeffs[j, s] for j in range(9)], mstates[s])
+        new_mstates.append(ns)
+    total = jnp.where(total > 1.0, jnp.float32(1.0), total)
+    total = jnp.where(total < -1.0, jnp.float32(-1.0), total)
+    return total, new_states, new_mstates
+
+
+def init_effect_states(T: int, C: int, S: int, Sm: int):
+    return (
+        [jnp.zeros((T * C, 2), jnp.float32) for _ in range(S)],
+        [jnp.zeros((C, 2), jnp.float32) for _ in range(Sm)],
+    )

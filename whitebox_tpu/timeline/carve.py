@@ -251,6 +251,34 @@ def carve_session(
     return table, pool
 
 
+def render_segments_per_track_numpy(table: SegmentTable, pool: SamplePool, out_channels: int = 2) -> np.ndarray:
+    """Per-track pre-gain buffers [T, C, F] f32 (exact f64 phase; host)."""
+    F = table.total_frames
+    out = np.zeros((table.num_tracks, out_channels, F), dtype=np.float32)
+    for r in range(len(table)):
+        t = int(table.track[r])
+        dst = int(table.dst_start[r])
+        L = int(table.length[r])
+        sid = int(table.sample_id[r])
+        gain = table.gain[r]
+        for ch in range(out_channels):
+            base = int(pool.channel_base[sid, ch])
+            if table.fast[r]:
+                seg = pool.data[base + table.src_int[r] : base + table.src_int[r] + L]
+                v = np.clip(seg, np.float32(-1.0), np.float32(1.0)) if table.clamp[r] else seg
+                out[t, ch, dst : dst + L] += v * gain
+            else:
+                j = np.arange(L, dtype=np.float64)
+                x = (table.src_int[r] + table.src_frac[r]) + j * table.speed[r]
+                ix = np.trunc(x).astype(np.int64)
+                fx = (x - ix.astype(np.float64)).astype(np.float32)
+                a = pool.data[base + ix]
+                b = pool.data[base + ix + 1]
+                s = a + fx * (b - a)
+                out[t, ch, dst : dst + L] += s * gain
+    return out
+
+
 def render_segments_numpy(table: SegmentTable, pool: SamplePool, session: Session, out_channels: int = 2) -> np.ndarray:
     """Host-side exact segment renderer (validation reference for the carve).
 
@@ -259,36 +287,14 @@ def render_segments_numpy(table: SegmentTable, pool: SamplePool, session: Sessio
     (no double-single approximation) — used to prove the carve itself is
     bit-identical to the oracle.
     """
+    per_track = render_segments_per_track_numpy(table, pool, out_channels)
     F = table.total_frames
     out = np.zeros((out_channels, F), dtype=np.float32)
-    trk = np.zeros((out_channels, F), dtype=np.float32)
-
     for t, track in enumerate(session.tracks):
-        trk[:] = 0.0
-        for r in table.for_track(t):
-            dst = int(table.dst_start[r])
-            L = int(table.length[r])
-            sid = int(table.sample_id[r])
-            gain = table.gain[r]
-            for ch in range(out_channels):
-                base = int(pool.channel_base[sid, ch])
-                if table.fast[r]:
-                    seg = pool.data[base + table.src_int[r] : base + table.src_int[r] + L]
-                    v = np.clip(seg, np.float32(-1.0), np.float32(1.0)) if table.clamp[r] else seg
-                    trk[ch, dst : dst + L] += v * gain
-                else:
-                    j = np.arange(L, dtype=np.float64)
-                    x = (table.src_int[r] + table.src_frac[r]) + j * table.speed[r]
-                    ix = np.trunc(x).astype(np.int64)
-                    fx = (x - ix.astype(np.float64)).astype(np.float32)
-                    a = pool.data[base + ix]
-                    b = pool.data[base + ix + 1]
-                    s = a + fx * (b - a)
-                    trk[ch, dst : dst + L] += s * gain
         vol = np.float32(0.0) if track.mute else track.volume_linear
         pan = track.pan_coeffs
         for ch in range(out_channels):
-            out[ch] += trk[ch] * (vol * np.float32(pan[ch % 2]))
+            out[ch] += per_track[t, ch] * (vol * np.float32(pan[ch % 2]))
 
     np.copyto(out, np.where(out > 1.0, np.float32(1.0), out))
     np.copyto(out, np.where(out < -1.0, np.float32(-1.0), out))
