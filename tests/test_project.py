@@ -98,3 +98,41 @@ class TestProjectRoundtrip:
         clip = wbpr["tracks"][0]["clips"][0]
         assert set(clip) == {"type", "name", "col", "active", "start", "end", "ofs", "data"}
         assert wbpr["midi_table"][0]["notes"][0][2] == 60  # [min,max,key,flags,vel]
+
+
+class TestExtensionPersistence:
+    def test_effects_and_automation_roundtrip(self, tmp_path):
+        from whitebox_tpu.effects import Biquad, EffectChain, Gain, ParametricEQ
+        from whitebox_tpu.ops.automation import AutomationLane, CurveType, TrackAutomation
+
+        s, _ = _make_session(tmp_path)
+        s.tracks[0].effects = EffectChain([Biquad("lowpass", 2000.0, q=1.2), Gain(-4.5)])
+        s.tracks[1].effects = EffectChain([ParametricEQ([("lowshelf", 100.0, 0.707, 3.0)])])
+        s.tracks[0].automation = TrackAutomation(
+            volume=AutomationLane().add(0.0, 1.0).add(2.0, 0.5, CurveType.EXP_EASE, 0.8),
+            pan=AutomationLane().add(0.0, -1.0).add(4.0, 1.0),
+        )
+        s.master_effects = EffectChain([Biquad("highpass", 30.0)])
+        p = tmp_path / "fx.wb"
+        write_project(s, p)
+        r = read_project(p)
+
+        fx0 = r.tracks[0].effects.effects
+        assert fx0[0].name == "biquad" and fx0[0].freq_hz == 2000.0 and fx0[0].q == 1.2
+        assert fx0[1].name == "gain" and fx0[1].gain_db == -4.5
+        assert r.tracks[1].effects.effects[0].bands[0][1] == 100.0
+        auto = r.tracks[0].automation
+        assert auto.volume.points[1].curve == CurveType.EXP_EASE
+        assert auto.volume.points[1].tension == 0.8
+        assert auto.pan.points[0].y == -1.0
+        assert r.master_effects.effects[0].freq_hz == 30.0
+
+    def test_plain_project_has_no_extension_keys(self, tmp_path):
+        import msgpack
+
+        s, _ = _make_session(tmp_path)
+        p = tmp_path / "plain.wb"
+        write_project(s, p)
+        doc = msgpack.unpackb(p.read_bytes(), raw=False)
+        assert "fx" not in doc["wbpr"]["tracks"][0]
+        assert "auto" not in doc["wbpr"]["tracks"][0]

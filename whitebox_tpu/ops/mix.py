@@ -46,6 +46,10 @@ class DeviceTables:
     gain: np.ndarray  # [T, S] f32
     fast: np.ndarray  # [T, S] bool
     clamp: np.ndarray  # [T, S] bool
+    fin_start: np.ndarray  # [T, S] i32 fade-in ramp start (global frame)
+    fin_inv: np.ndarray  # [T, S] f32
+    fout_end: np.ndarray  # [T, S] i32 fade-out ramp end
+    fout_inv: np.ndarray  # [T, S] f32
     track_gain: np.ndarray  # [T, C] f32 (volume * pan per channel)
     total_frames: int
     num_tracks: int
@@ -63,6 +67,10 @@ class DeviceTables:
             "gain": jnp.asarray(self.gain),
             "fast": jnp.asarray(self.fast),
             "clamp": jnp.asarray(self.clamp),
+            "fin_start": jnp.asarray(self.fin_start),
+            "fin_inv": jnp.asarray(self.fin_inv),
+            "fout_end": jnp.asarray(self.fout_end),
+            "fout_inv": jnp.asarray(self.fout_inv),
             "track_gain": jnp.asarray(self.track_gain),
         }
 
@@ -84,6 +92,10 @@ def pack_device_tables(
     gain = np.zeros((T, S), dtype=np.float32)
     fast = np.ones((T, S), dtype=bool)
     clamp = np.zeros((T, S), dtype=bool)
+    fin_start = np.full((T, S), -(1 << 30), dtype=np.int32)
+    fin_inv = np.ones((T, S), dtype=np.float32)
+    fout_end = np.full((T, S), 1 << 30, dtype=np.int32)
+    fout_inv = np.ones((T, S), dtype=np.float32)
 
     if len(table):
         fh, fl = split_f64(table.src_frac)
@@ -105,6 +117,10 @@ def pack_device_tables(
             gain[t, i] = table.gain[r]
             fast[t, i] = table.fast[r]
             clamp[t, i] = table.clamp[r]
+            fin_start[t, i] = table.fin_start[r]
+            fin_inv[t, i] = table.fin_inv[r]
+            fout_end[t, i] = table.fout_end[r]
+            fout_inv[t, i] = table.fout_inv[r]
 
     track_gain = np.zeros((T, channels), dtype=np.float32)
     for t, track in enumerate(session.tracks):
@@ -116,7 +132,9 @@ def pack_device_tables(
     return DeviceTables(
         dst_start=dst_start, length=length, src_base=src_base,
         frac_hi=frac_hi, frac_lo=frac_lo, speed_hi=speed_hi, speed_lo=speed_lo,
-        gain=gain, fast=fast, clamp=clamp, track_gain=track_gain,
+        gain=gain, fast=fast, clamp=clamp,
+        fin_start=fin_start, fin_inv=fin_inv, fout_end=fout_end, fout_inv=fout_inv,
+        track_gain=track_gain,
         total_frames=table.total_frames, num_tracks=T, channels=channels,
     )
 
@@ -140,7 +158,8 @@ def _bisect_right(a, v):
     return lo
 
 
-def _track_contrib(pool, g, dst_start, length, src_base, frac_hi, frac_lo, speed_hi, speed_lo, gain, fast, clamp):
+def _track_contrib(pool, g, dst_start, length, src_base, frac_hi, frac_lo, speed_hi, speed_lo, gain, fast, clamp,
+                   fin_start, fin_inv, fout_end, fout_inv):
     """Per-track contribution for global frames ``g`` [F] -> [C, F] f32."""
     idx = _bisect_right(dst_start, g) - 1
     idx_c = jnp.clip(idx, 0, dst_start.shape[0] - 1)
@@ -155,6 +174,11 @@ def _track_contrib(pool, g, dst_start, length, src_base, frac_hi, frac_lo, speed
     row_fast = fast[idx_c]
     row_clamp = clamp[idx_c]
     row_gain = gain[idx_c]
+
+    # clip fade envelope (linear ramps; identity rows use +-2^30 anchors so
+    # env == 1 exactly and bit-parity is preserved)
+    env = jnp.clip((g - fin_start[idx_c]).astype(jnp.float32) * fin_inv[idx_c], 0.0, 1.0)
+    env = env * jnp.clip((fout_end[idx_c] - g).astype(jnp.float32) * fout_inv[idx_c], 0.0, 1.0)
 
     ixl, fx = phase_eval(j, frac_hi[idx_c], frac_lo[idx_c], speed_hi[idx_c], speed_lo[idx_c])
     ixl = jnp.where(row_fast, j, ixl)
@@ -171,7 +195,7 @@ def _track_contrib(pool, g, dst_start, length, src_base, frac_hi, frac_lo, speed
         b = pool[src + 1]
         a_eff = jnp.where(clamp_row, jnp.clip(a, jnp.float32(-1.0), jnp.float32(1.0)), a)
         s = jnp.where(row_fast, a_eff, a + fx * (b - a))
-        outs.append(jnp.where(valid, s * row_gain, jnp.float32(0.0)))
+        outs.append(jnp.where(valid, (s * row_gain) * env, jnp.float32(0.0)))
     return jnp.stack(outs)  # [C, F]
 
 
@@ -181,13 +205,14 @@ def render_chunk(pool, tables, chunk_start, frames: int, strict_order: bool = Tr
     g = chunk_start + jnp.arange(frames, dtype=jnp.int32)
 
     contribs = jax.vmap(
-        lambda d, l, sb, fh, fl, sh, sl, gn, fs, cl: _track_contrib(
-            pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl
+        lambda d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3: _track_contrib(
+            pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3
         )
     )(
         tables["dst_start"], tables["length"], tables["src_base"],
         tables["frac_hi"], tables["frac_lo"], tables["speed_hi"], tables["speed_lo"],
         tables["gain"], tables["fast"], tables["clamp"],
+        tables["fin_start"], tables["fin_inv"], tables["fout_end"], tables["fout_inv"],
     )  # [T, C, F]
 
     scaled = contribs * tables["track_gain"][:, :, None]  # track volume*pan
@@ -211,13 +236,14 @@ def render_chunk_per_track(pool, tables, chunk_start, frames: int):
     """Per-track pre-gain contributions [T, C, F] (for the effects pipeline)."""
     g = chunk_start + jnp.arange(frames, dtype=jnp.int32)
     return jax.vmap(
-        lambda d, l, sb, fh, fl, sh, sl, gn, fs, cl: _track_contrib(
-            pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl
+        lambda d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3: _track_contrib(
+            pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3
         )
     )(
         tables["dst_start"], tables["length"], tables["src_base"],
         tables["frac_hi"], tables["frac_lo"], tables["speed_hi"], tables["speed_lo"],
         tables["gain"], tables["fast"], tables["clamp"],
+        tables["fin_start"], tables["fin_inv"], tables["fout_end"], tables["fout_inv"],
     )
 
 

@@ -47,6 +47,10 @@ class PallasMixPlan:
     me: np.ndarray  # [n_tiles, T, K] i32 mask end; 0 == inactive slot
     gain: np.ndarray  # [n_tiles, T, K] f32
     clampf: np.ndarray  # [n_tiles, T, K] i32 (1 = clamp normalize)
+    fin_start: np.ndarray  # [n_tiles, T, K] i32 fade-in ramp start, tile-relative
+    fin_inv: np.ndarray  # [n_tiles, T, K] f32
+    fout_end: np.ndarray  # [n_tiles, T, K] i32 fade-out ramp end, tile-relative
+    fout_inv: np.ndarray  # [n_tiles, T, K] f32
     track_gain: np.ndarray  # [T, C] f32
     n_tiles: int
     tile: int
@@ -93,6 +97,10 @@ def build_plan(
     me = np.zeros((n_tiles, T, K), dtype=np.int32)
     gain = np.zeros((n_tiles, T, K), dtype=np.float32)
     clampf = np.zeros((n_tiles, T, K), dtype=np.int32)
+    fin_start = np.full((n_tiles, T, K), -(1 << 30), dtype=np.int32)
+    fin_inv = np.ones((n_tiles, T, K), dtype=np.float32)
+    fout_end = np.full((n_tiles, T, K), 1 << 30, dtype=np.int32)
+    fout_inv = np.ones((n_tiles, T, K), dtype=np.float32)
     cursor = np.zeros((n_tiles, T), dtype=np.int32)
 
     for r in range(len(table)):
@@ -118,6 +126,11 @@ def build_plan(
             me[ti, trk, k] = min(dend, g0 + tile) - g0
             gain[ti, trk, k] = table.gain[r]
             clampf[ti, trk, k] = 1 if table.clamp[r] else 0
+            # fade anchors tile-relative (stay well inside i32)
+            fin_start[ti, trk, k] = max(int(table.fin_start[r]) - g0, -(1 << 30))
+            fin_inv[ti, trk, k] = table.fin_inv[r]
+            fout_end[ti, trk, k] = min(int(table.fout_end[r]) - g0, 1 << 30)
+            fout_inv[ti, trk, k] = table.fout_inv[r]
 
     track_gain = np.zeros((T, channels), dtype=np.float32)
     for t, track in enumerate(session.tracks):
@@ -127,13 +140,15 @@ def build_plan(
             track_gain[t, ch] = vol * np.float32(pan[ch % 2])
 
     return PallasMixPlan(
-        row_al=row_al, delta=delta, ms=ms, me=me, gain=gain, clampf=clampf, track_gain=track_gain,
+        row_al=row_al, delta=delta, ms=ms, me=me, gain=gain, clampf=clampf,
+        fin_start=fin_start, fin_inv=fin_inv, fout_end=fout_end, fout_inv=fout_inv,
+        track_gain=track_gain,
         n_tiles=n_tiles, tile=tile, num_tracks=T, channels=channels,
         total_frames=table.total_frames,
     )
 
 
-def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_ref, ms_ref, me_ref, gain_ref, clampf_ref, tg_ref, pool_ref, out_ref, scratch, sems):
+def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_ref, ms_ref, me_ref, gain_ref, clampf_ref, fis_ref, fii_ref, foe_ref, foi_ref, tg_ref, pool_ref, out_ref, scratch, sems):
     t = pl.program_id(1)
     n_tracks = pl.num_programs(1)
     R = TILE // 128  # output rows; scratch windows carry 8 extra rows (1024 elts)
@@ -189,7 +204,10 @@ def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_re
                 clamped = jnp.minimum(jnp.maximum(v, -1.0), 1.0)
                 v = jnp.where(clampf_ref[0, 0, 0, k] == 1, clamped, v)
                 mask = (pos >= ms_ref[0, 0, 0, k]) & (pos < me_ref[0, 0, 0, k])
-                scaled = v * gain_ref[0, 0, 0, k]
+                # clip fade envelope (no-fade rows use +-2^30 anchors: env==1)
+                env = jnp.clip((pos - fis_ref[0, 0, 0, k]).astype(jnp.float32) * fii_ref[0, 0, 0, k], 0.0, 1.0)
+                env = env * jnp.clip((foe_ref[0, 0, 0, k] - pos).astype(jnp.float32) * foi_ref[0, 0, 0, k], 0.0, 1.0)
+                scaled = (v * gain_ref[0, 0, 0, k]) * env
                 if not per_track:
                     # track volume*pan folds in here; per-track outputs leave
                     # it to the effects pipeline (chains run pre-gain,
@@ -210,7 +228,7 @@ def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_re
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "num_tracks", "K", "C", "TILE", "interpret", "per_track"))
-def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, tg, *, n_tiles, num_tracks, K, C, TILE, interpret=False, per_track=False):
+def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, tg, *, n_tiles, num_tracks, K, C, TILE, interpret=False, per_track=False):
     kernel = functools.partial(_mix_kernel, K, C, TILE, per_track)
     grid = (n_tiles, num_tracks)
     R = TILE // 128
@@ -226,10 +244,10 @@ def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, tg, *, n_tiles, num_t
         in_specs=[
             pl.BlockSpec((1, 1, K, C), lambda i, t: (i, t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, K, C), lambda i, t: (i, t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, K), lambda i, t: (i, t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, K), lambda i, t: (i, t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, K), lambda i, t: (i, t, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, K), lambda i, t: (i, t, 0, 0), memory_space=pltpu.SMEM),
+        ] + [
+            pl.BlockSpec((1, 1, 1, K), lambda i, t: (i, t, 0, 0), memory_space=pltpu.SMEM)
+            for _ in range(8)
+        ] + [
             pl.BlockSpec((1, 1, C), lambda i, t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # pool stays in HBM
         ],
@@ -240,7 +258,7 @@ def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, tg, *, n_tiles, num_t
             pltpu.SemaphoreType.DMA((K, C)),
         ],
         interpret=interpret,
-    )(row_al, delta, ms, me, gain, clampf, tg, pool2d)
+    )(row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, tg, pool2d)
 
 
 class PallasMixRenderer:
@@ -260,6 +278,8 @@ class PallasMixRenderer:
             jnp.asarray(p.row_al), jnp.asarray(p.delta),
             jnp.asarray(p.ms.reshape(nt, T, 1, K)), jnp.asarray(p.me.reshape(nt, T, 1, K)),
             jnp.asarray(p.gain.reshape(nt, T, 1, K)), jnp.asarray(p.clampf.reshape(nt, T, 1, K)),
+            jnp.asarray(p.fin_start.reshape(nt, T, 1, K)), jnp.asarray(p.fin_inv.reshape(nt, T, 1, K)),
+            jnp.asarray(p.fout_end.reshape(nt, T, 1, K)), jnp.asarray(p.fout_inv.reshape(nt, T, 1, K)),
             jnp.asarray(p.track_gain.reshape(p.num_tracks, 1, p.channels)),
         )
         self._kw = dict(n_tiles=p.n_tiles, num_tracks=p.num_tracks, K=K,

@@ -37,6 +37,10 @@ _TABLE_SPECS = {
     "gain": P("tracks", None),
     "fast": P("tracks", None),
     "clamp": P("tracks", None),
+    "fin_start": P("tracks", None),
+    "fin_inv": P("tracks", None),
+    "fout_end": P("tracks", None),
+    "fout_inv": P("tracks", None),
     "track_gain": P("tracks", None),
 }
 
@@ -66,13 +70,14 @@ def render_chunk_sharded(pool, tables, chunk_start, frames: int, mesh: Mesh):
         g = chunk_start + fidx * f_local + jnp.arange(f_local, dtype=jnp.int32)
 
         contribs = jax.vmap(
-            lambda d, l, sb, fh, fl, sh, sl, gn, fs, cl: _track_contrib(
-                pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl
+            lambda d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3: _track_contrib(
+                pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3
             )
         )(
             tables["dst_start"], tables["length"], tables["src_base"],
             tables["frac_hi"], tables["frac_lo"], tables["speed_hi"], tables["speed_lo"],
             tables["gain"], tables["fast"], tables["clamp"],
+            tables["fin_start"], tables["fin_inv"], tables["fout_end"], tables["fout_inv"],
         )  # [T_local, C, f_local]
         scaled = contribs * tables["track_gain"][:, :, None]
 

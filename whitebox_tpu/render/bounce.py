@@ -74,16 +74,18 @@ def bounce(
 
         if plan is not None:
             from whitebox_tpu.render.effects_pipeline import (
-                finish_mix, prepare_effect_tables, session_has_effects,
+                finish_mix, prepare_automation_tables, prepare_effect_tables, session_has_effects,
             )
+            from whitebox_tpu.ops.automation import session_has_automation
 
-            has_fx = session_has_effects(session)
+            has_fx = session_has_effects(session) or session_has_automation(session)
             if has_fx and len(session.tracks) * channels * plan.n_tiles * plan.tile * 4 > 6 << 30:
                 plan = None  # per-track buffers would blow HBM; chunked XLA path
         if plan is not None:
             renderer = PallasMixRenderer(table, pool, session, channels=channels, plan=plan)
             if has_fx:
                 (S, coeffs), (Sm, mcoeffs) = prepare_effect_tables(session, sample_rate, channels)
+                auto = prepare_automation_tables(session, sample_rate)
                 tg = jnp.asarray(plan.track_gain)
                 stats.carve_seconds = watch.lap()
 
@@ -91,7 +93,7 @@ def bounce(
                     pt = renderer.render_device_per_track()
                     T = plan.num_tracks
                     ptr = pt.reshape(T, channels, plan.n_tiles * plan.tile)
-                    return finish_mix(ptr, coeffs, mcoeffs, tg, T=T, C=channels, S=S, Sm=Sm)
+                    return finish_mix(ptr, coeffs, mcoeffs, tg, auto, T=T, C=channels, S=S, Sm=Sm)
 
                 float(run_fx().sum())  # warm-up compile (forced execution)
                 stats.compile_seconds = watch.lap()
@@ -115,6 +117,7 @@ def bounce(
                 write_wav(out_path, out, int(sample_rate), out_format)
             return BounceResult(audio=out, stats=stats)
 
+    from whitebox_tpu.ops.automation import session_has_automation
     from whitebox_tpu.render.effects_pipeline import session_has_effects
 
     dev = pack_device_tables(table, pool, session, channels=channels)
@@ -127,20 +130,22 @@ def bounce(
     chunk_frames = min(chunk_frames, max(F, 1))
     out = np.empty((channels, F), dtype=np.float32)
 
-    if session_has_effects(session):
+    if session_has_effects(session) or session_has_automation(session):
         from whitebox_tpu.ops.mix import render_chunk_per_track
         from whitebox_tpu.render.effects_pipeline import (
-            finish_mix_chunk, init_effect_states, prepare_effect_tables,
+            finish_mix_chunk, init_effect_states, prepare_automation_tables, prepare_effect_tables,
         )
 
         (S, coeffs), (Sm, mcoeffs) = prepare_effect_tables(session, sample_rate, channels)
+        auto = prepare_automation_tables(session, sample_rate)
         tg = jnp.asarray(dev.track_gain)
         T = dev.num_tracks
         states, mstates = init_effect_states(T, channels, S, Sm)
 
         def fx_chunk(start, states, mstates):
             pt = render_chunk_per_track(pool_dev, jt, jnp.int32(start), frames=chunk_frames)
-            return finish_mix_chunk(pt, coeffs, mcoeffs, tg, states, mstates, T=T, C=channels, S=S, Sm=Sm)
+            return finish_mix_chunk(pt, coeffs, mcoeffs, tg, states, mstates, jnp.int32(start), auto,
+                                    T=T, C=channels, S=S, Sm=Sm)
 
         _ = fx_chunk(0, states, mstates)  # warm-up compile
         stats.compile_seconds = watch.lap()

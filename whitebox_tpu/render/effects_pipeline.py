@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from whitebox_tpu.ops.automation import eval_lane_device, pan_coef_f32
 from whitebox_tpu.ops.biquad import biquad_scan_batched, pack_chain_sections
 from whitebox_tpu.session.session import Session
 
@@ -60,15 +61,34 @@ def prepare_effect_tables(session: Session, sample_rate: float, channels: int = 
     return (S, jnp.asarray(coeffs)), (Sm, jnp.asarray(mcoeffs))
 
 
+def _frame_gains(auto, track_gain, g, T, C):
+    """Per-frame track gains [T, C, F]: automation lanes where present,
+    constant fader gains elsewhere (bit-parity for non-automated tracks)."""
+    if auto is None:
+        F = g.shape[0]
+        return jnp.broadcast_to(track_gain[:, :, None], (T, C, F))
+    vol_t, pan_t, mute, use_auto = auto
+    vol = jax.vmap(lambda xs, ys, cv, tn: eval_lane_device(xs, ys, cv, tn, g))(
+        vol_t["xs"], vol_t["ys"], vol_t["cv"], vol_t["tn"]
+    )  # [T, F]
+    panv = jax.vmap(lambda xs, ys, cv, tn: eval_lane_device(xs, ys, cv, tn, g))(
+        pan_t["xs"], pan_t["ys"], pan_t["cv"], pan_t["tn"]
+    )
+    chans = []
+    for ch in range(C):
+        gain_ch = (vol * pan_coef_f32(panv, ch)) * mute[:, None]
+        const = jnp.broadcast_to(track_gain[:, ch : ch + 1], gain_ch.shape)
+        chans.append(jnp.where(use_auto[:, None], gain_ch, const))
+    return jnp.stack(chans, axis=1)  # [T, C, F]
+
+
 @functools.partial(jax.jit, static_argnames=("T", "C", "S", "Sm", "chunk"))
-def finish_mix(per_track, coeffs, mcoeffs, track_gain, *, T, C, S, Sm, chunk=1 << 16):
+def finish_mix(per_track, coeffs, mcoeffs, track_gain, auto=None, *, T, C, S, Sm, chunk=1 << 16):
     """per_track [T, C, F] f32 -> mixed [C, F] f32 (chains+gains+sum+master+clip)."""
     F = per_track.shape[-1]
     n_chunks = -(-F // chunk)
     Fp = n_chunks * chunk
     x = jnp.pad(per_track.reshape(T * C, F), ((0, 0), (0, Fp - F)))
-
-    tg = track_gain.reshape(T, C, 1)
 
     def body(carry, i):
         states, mstates = carry
@@ -77,7 +97,9 @@ def finish_mix(per_track, coeffs, mcoeffs, track_gain, *, T, C, S, Sm, chunk=1 <
         for s in range(S):
             xc, ns = biquad_scan_batched(xc, [coeffs[j, s] for j in range(9)], states[s])
             new_states.append(ns)
-        y = xc.reshape(T, C, chunk) * tg
+        g = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        gains = _frame_gains(auto, track_gain, g, T, C)
+        y = xc.reshape(T, C, chunk) * gains
 
         def add(acc, row):
             return acc + row, None
@@ -126,20 +148,36 @@ def reference_finish_mix(per_track: np.ndarray, session: Session, sample_rate: f
                 raise TypeError(e)
         return x
 
+    from whitebox_tpu.ops.automation import eval_lane_numpy, pack_session_automation, session_has_automation
+
     T, C, F = per_track.shape
+    g = np.arange(F, dtype=np.int64)
+    auto_tables = None
+    if session_has_automation(session):
+        auto_tables = pack_session_automation(session, sample_rate)
+
     total = np.zeros((C, F), dtype=np.float64)
     for t, track in enumerate(session.tracks):
         buf = run_chain(chains[t], per_track[t].astype(np.float64))
-        vol = np.float32(0.0) if track.mute else track.volume_linear
-        pan = track.pan_coeffs
-        for ch in range(C):
-            total[ch] += np.asarray(buf)[ch] * float(np.float32(vol * np.float32(pan[ch % 2])))
+        if track.automation is not None and auto_tables is not None:
+            vol_t, pan_t, mute = auto_tables
+            volv = eval_lane_numpy(vol_t["xs"][t], vol_t["ys"][t], vol_t["cv"][t], vol_t["tn"][t], g)
+            panv = eval_lane_numpy(pan_t["xs"][t], pan_t["ys"][t], pan_t["cv"][t], pan_t["tn"][t], g)
+            for ch in range(C):
+                coef = (np.sin(np.float32(0.5 * np.pi) * ((1.0 - 0.5 * (panv + 1.0)) if ch == 0 else 0.5 * (panv + 1.0)).astype(np.float32)) * np.float32(np.sqrt(2.0))).astype(np.float32)
+                gain = (volv * coef) * mute[t]
+                total[ch] += np.asarray(buf)[ch] * gain.astype(np.float64)
+        else:
+            vol = np.float32(0.0) if track.mute else track.volume_linear
+            pan = track.pan_coeffs
+            for ch in range(C):
+                total[ch] += np.asarray(buf)[ch] * float(np.float32(vol * np.float32(pan[ch % 2])))
     total = run_chain(master, total) if master is not None else total
     return np.clip(total, -1.0, 1.0).astype(np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("T", "C", "S", "Sm"))
-def finish_mix_chunk(pt_chunk, coeffs, mcoeffs, track_gain, states, mstates, *, T, C, S, Sm):
+def finish_mix_chunk(pt_chunk, coeffs, mcoeffs, track_gain, states, mstates, chunk_start=0, auto=None, *, T, C, S, Sm):
     """Single-chunk finishing step with explicit state in/out (for drivers
     that stream per-track buffers chunk by chunk, e.g. the XLA gather path)."""
     Fc = pt_chunk.shape[-1]
@@ -148,7 +186,9 @@ def finish_mix_chunk(pt_chunk, coeffs, mcoeffs, track_gain, states, mstates, *, 
     for s in range(S):
         xc, ns = biquad_scan_batched(xc, [coeffs[j, s] for j in range(9)], states[s])
         new_states.append(ns)
-    y = xc.reshape(T, C, Fc) * track_gain.reshape(T, C, 1)
+    g = chunk_start + jnp.arange(Fc, dtype=jnp.int32)
+    gains = _frame_gains(auto, track_gain, g, T, C)
+    y = xc.reshape(T, C, Fc) * gains
 
     def add(acc, row):
         return acc + row, None
@@ -168,3 +208,18 @@ def init_effect_states(T: int, C: int, S: int, Sm: int):
         [jnp.zeros((T * C, 2), jnp.float32) for _ in range(S)],
         [jnp.zeros((C, 2), jnp.float32) for _ in range(Sm)],
     )
+
+
+def prepare_automation_tables(session: Session, sample_rate: float):
+    """Pack session automation lanes for the device (None if no lanes)."""
+    from whitebox_tpu.ops.automation import pack_session_automation, session_has_automation
+
+    if not session_has_automation(session):
+        return None
+    vol, pan, mute = pack_session_automation(session, sample_rate)
+    use_auto = jnp.asarray(
+        np.array([t.automation is not None for t in session.tracks], dtype=bool)
+    )
+    volj = {k: jnp.asarray(v) for k, v in vol.items()}
+    panj = {k: jnp.asarray(v) for k, v in pan.items()}
+    return (volj, panj, jnp.asarray(mute), use_auto)

@@ -15,7 +15,9 @@ Schema (all keys as the reference writes them)::
 
 Notes: the reference writer never persists clip speed (its reader defaults
 it to 1.0, project.cpp:188); we write it as an extra "speed" key — the
-reference reader scans maps by key so extras are ignored. Missing sample
+reference reader scans maps by key so extras are ignored. Likewise, track
+effect chains and automation lanes (framework extensions) persist as extra
+"fx" / "auto" track keys. Missing sample
 files are searched for recursively next to the project file
 (project.cpp:71-99 relocation).
 """
@@ -48,6 +50,57 @@ def find_file_recursive(root, filename: str, max_depth: int = 8):
         if filename in filenames:
             return Path(dirpath) / filename
     return None
+
+
+def _effect_to_doc(e) -> dict:
+    from whitebox_tpu.effects.eq import Biquad, ParametricEQ
+    from whitebox_tpu.effects.gain import Gain
+
+    if isinstance(e, Gain):
+        return {"type": "gain", "gain_db": e.gain_db}
+    if isinstance(e, Biquad):
+        return {"type": "biquad", "ftype": e.ftype.value, "freq": e.freq_hz, "q": e.q, "gain_db": e.gain_db}
+    if isinstance(e, ParametricEQ):
+        return {"type": "eq", "bands": [[t.value, f, q, g] for (t, f, q, g) in e.bands]}
+    raise TypeError(f"cannot serialize effect {e!r}")
+
+
+def _effect_from_doc(d):
+    from whitebox_tpu.effects.eq import Biquad, ParametricEQ
+    from whitebox_tpu.effects.gain import Gain
+
+    t = _as_str(d.get("type"))
+    if t == "gain":
+        return Gain(float(d.get("gain_db", 0.0)))
+    if t == "biquad":
+        return Biquad(_as_str(d.get("ftype", "lowpass")), float(d.get("freq", 1000.0)),
+                      float(d.get("q", 0.7071067811865476)), float(d.get("gain_db", 0.0)))
+    if t == "eq":
+        return ParametricEQ([(_as_str(b[0]), float(b[1]), float(b[2]), float(b[3])) for b in d.get("bands", [])])
+    raise ValueError(f"unknown effect type {t!r}")
+
+
+def _chain_to_doc(effects) -> list:
+    from whitebox_tpu.effects.base import EffectChain
+
+    effs = effects.effects if isinstance(effects, EffectChain) else list(effects or [])
+    return [_effect_to_doc(e) for e in effs]
+
+
+def _chain_from_doc(docs):
+    from whitebox_tpu.effects.base import EffectChain
+
+    return EffectChain([_effect_from_doc(d) for d in docs])
+
+
+def _lane_to_doc(lane) -> list:
+    return [[p.x, p.y, int(p.curve), p.tension] for p in lane.points]
+
+
+def _lane_from_doc(docs):
+    from whitebox_tpu.ops.automation import AutomationLane, CurveType, EnvelopePoint
+
+    return AutomationLane([EnvelopePoint(float(p[0]), float(p[1]), CurveType(int(p[2])), float(p[3])) for p in docs])
 
 
 def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
@@ -99,8 +152,19 @@ def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
                 }
             clip_docs.append(doc)
 
+        extras = {}
+        if track.effects:
+            extras["fx"] = _chain_to_doc(track.effects)
+        if track.automation is not None:
+            auto_doc = {}
+            if track.automation.volume is not None:
+                auto_doc["vol"] = _lane_to_doc(track.automation.volume)
+            if track.automation.pan is not None:
+                auto_doc["pan"] = _lane_to_doc(track.automation.pan)
+            extras["auto"] = auto_doc
         track_docs.append(
             {
+                **extras,
                 "name": track.name,
                 "col": track.color,
                 "height": float(track.height),
@@ -132,6 +196,8 @@ def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
             "tracks": track_docs,
         }
     }
+    if session.master_effects:
+        doc["wbpr"]["master_fx"] = _chain_to_doc(session.master_effects)
 
     blob = msgpack.packb(doc, use_bin_type=False, use_single_float=False)
     if hasattr(path, "write"):
@@ -203,6 +269,9 @@ def read_project(path, search_dirs: list | None = None) -> Session:
             )
         midi_assets.append(session.midi_table.create_midi(MidiNoteBuffer(notes)))
 
+    if project.get("master_fx"):
+        session.master_effects = _chain_from_doc(project["master_fx"])
+
     for t in project.get("tracks", []) or []:
         track = Track(
             name=_as_str(t.get("name", "")),
@@ -214,6 +283,16 @@ def read_project(path, search_dirs: list | None = None) -> Session:
             solo=bool(t.get("solo", False)),
             shown=bool(t.get("shown", True)),
         )
+        if t.get("fx"):
+            track.effects = _chain_from_doc(t["fx"])
+        if t.get("auto"):
+            from whitebox_tpu.ops.automation import TrackAutomation
+
+            a = t["auto"]
+            track.automation = TrackAutomation(
+                volume=_lane_from_doc(a["vol"]) if a.get("vol") else None,
+                pan=_lane_from_doc(a["pan"]) if a.get("pan") else None,
+            )
         for j, c in enumerate(t.get("clips", []) or []):
             ctype = ClipType(int(c.get("type", 0)))
             clip = Clip(

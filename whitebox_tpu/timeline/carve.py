@@ -58,6 +58,13 @@ class SegmentTable:
     fast: np.ndarray  # bool — speed==1.0 fast path (clamped normalize)
     clamp: np.ndarray  # bool — format clamps on the fast path (fmt != F32)
     clip_id: np.ndarray  # int32 (debugging / introspection)
+    # clip fade envelope (a framework extension — the reference stores
+    # fade_start/fade_end but never applies them, SURVEY §2.9):
+    # env(g) = clamp((g - fin_start)*fin_inv, 0, 1) * clamp((fout_end - g)*fout_inv, 0, 1)
+    fin_start: np.ndarray  # int32 global frame where the fade-in ramp starts
+    fin_inv: np.ndarray  # f32 1/fade_in_frames (no fade: start=-2^30, inv=1)
+    fout_end: np.ndarray  # int32 global frame where the fade-out ramp ends
+    fout_inv: np.ndarray  # f32 1/fade_out_frames (no fade: end=2^30, inv=1)
     num_tracks: int
     total_frames: int
     buffer_size: int
@@ -118,7 +125,8 @@ def _carve_track_audio(
         playback_speed = (float(sample.sample_rate) / rate) * clip_speed  # sampler.h:24
 
         # ---- Play event position + initial sampler offset ----
-        if first and float(P[0]) > clip.min_time:
+        first_mid_start = first and float(P[0]) > clip.min_time
+        if first_mid_start:
             # partial start (track.cpp:372-388)
             rel = float(P[0]) - clip.min_time
             sample_pos = beat_to_samples(rel, rate, bd)
@@ -145,12 +153,33 @@ def _carve_track_audio(
         if ge > gs and o0 < count and playback_speed > 0.0:
             gain = np.float32(clip.audio.gain)
             clampf = sample.format != AudioFormat.F32
+
+            # fade envelope anchors (framework extension; frame-domain linear
+            # ramps over the clip's [min_time, max_time) span)
+            NOFADE = 1 << 30
+            if clip.audio.fade_start > 0.0 or clip.audio.fade_end > 0.0:
+                elapsed = 0
+                if first_mid_start:
+                    elapsed = int(round(beat_to_samples(float(P[0]) - clip.min_time, rate, bd)))
+                clip_begin = play_global - elapsed
+                clip_frames = int(round(beat_to_samples(clip.max_time - clip.min_time, rate, bd)))
+                clip_end = clip_begin + clip_frames
+                fin_frames = int(round(beat_to_samples(clip.audio.fade_start, rate, bd)))
+                fout_frames = int(round(beat_to_samples(clip.audio.fade_end, rate, bd)))
+                fin_start = clip_begin if fin_frames > 0 else -NOFADE
+                fin_inv = np.float32(1.0 / fin_frames) if fin_frames > 0 else np.float32(1.0)
+                fout_end = clip_end if fout_frames > 0 else NOFADE
+                fout_inv = np.float32(1.0 / fout_frames) if fout_frames > 0 else np.float32(1.0)
+            else:
+                fin_start, fin_inv = -NOFADE, np.float32(1.0)
+                fout_end, fout_inv = NOFADE, np.float32(1.0)
+            fade = (fin_start, fin_inv, fout_end, fout_inv)
             if playback_speed == 1.0:
                 # merged run: integer phase, exact
                 length = min(ge - gs, int(count) - int(o0))
                 if length > 0:
                     rows.append(
-                        (track_idx, gs, length, sid, int(o0), 0.0, 1.0, gain, True, clampf, clip.id)
+                        (track_idx, gs, length, sid, int(o0), 0.0, 1.0, gain, True, clampf, clip.id, *fade)
                     )
             else:
                 # per-block rows with exact accumulated f64 offsets
@@ -192,6 +221,7 @@ def _carve_track_audio(
                             False,
                             clampf,
                             clip.id,
+                            *fade,
                         )
                     )
 
@@ -226,7 +256,7 @@ def carve_session(
         rows.sort(key=lambda r: (r[0], r[1]))
         cols = list(zip(*rows))
     else:
-        cols = [[] for _ in range(11)]
+        cols = [[] for _ in range(15)]
 
     total_frames = num_blocks * buffer_size
     if total_frames >= 2**31:
@@ -244,6 +274,10 @@ def carve_session(
         fast=np.asarray(cols[8], dtype=bool),
         clamp=np.asarray(cols[9], dtype=bool),
         clip_id=np.asarray(cols[10], dtype=np.int32),
+        fin_start=np.asarray(cols[11], dtype=np.int32),
+        fin_inv=np.asarray(cols[12], dtype=np.float32),
+        fout_end=np.asarray(cols[13], dtype=np.int32),
+        fout_inv=np.asarray(cols[14], dtype=np.float32),
         num_tracks=len(session.tracks),
         total_frames=total_frames,
         buffer_size=buffer_size,
@@ -261,12 +295,16 @@ def render_segments_per_track_numpy(table: SegmentTable, pool: SamplePool, out_c
         L = int(table.length[r])
         sid = int(table.sample_id[r])
         gain = table.gain[r]
+        g = np.arange(dst, dst + L, dtype=np.int64)
+        env = np.clip((g - table.fin_start[r]).astype(np.float32) * table.fin_inv[r], 0.0, 1.0)
+        env *= np.clip((table.fout_end[r] - g).astype(np.float32) * table.fout_inv[r], 0.0, 1.0)
+        env = env.astype(np.float32)
         for ch in range(out_channels):
             base = int(pool.channel_base[sid, ch])
             if table.fast[r]:
                 seg = pool.data[base + table.src_int[r] : base + table.src_int[r] + L]
                 v = np.clip(seg, np.float32(-1.0), np.float32(1.0)) if table.clamp[r] else seg
-                out[t, ch, dst : dst + L] += v * gain
+                out[t, ch, dst : dst + L] += (v * gain) * env
             else:
                 j = np.arange(L, dtype=np.float64)
                 x = (table.src_int[r] + table.src_frac[r]) + j * table.speed[r]
@@ -275,7 +313,7 @@ def render_segments_per_track_numpy(table: SegmentTable, pool: SamplePool, out_c
                 a = pool.data[base + ix]
                 b = pool.data[base + ix + 1]
                 s = a + fx * (b - a)
-                out[t, ch, dst : dst + L] += s * gain
+                out[t, ch, dst : dst + L] += (s * gain) * env
     return out
 
 
