@@ -1,0 +1,131 @@
+"""Standard MIDI File parsing — replaces src/core/midi_file.cpp + midi-parser.
+
+Reads format 0/1 SMF, pairs note-on/note-off per key, converts ticks to
+beats (ticks / division, matching the reference's tick->beat conversion),
+normalizes velocity to [0, 1]. Tempo events are ignored (the session's BPM
+governs playback, as in the reference).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from whitebox_tpu.midi.notes import MidiNote, MidiNoteBuffer
+
+
+def _read_varlen(data: bytes, pos: int) -> tuple[int, int]:
+    value = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        value = (value << 7) | (b & 0x7F)
+        if not (b & 0x80):
+            return value, pos
+
+
+def parse_smf(data: bytes) -> MidiNoteBuffer:
+    if data[0:4] != b"MThd":
+        raise ValueError("not a Standard MIDI File")
+    (hlen,) = struct.unpack_from(">I", data, 4)
+    fmt, ntrks, division = struct.unpack_from(">HHH", data, 8)
+    if division & 0x8000:
+        raise ValueError("SMPTE time division not supported")
+    if division == 0:
+        raise ValueError("invalid division")
+
+    notes: list[MidiNote] = []
+    pos = 8 + hlen
+    for _ in range(ntrks):
+        if data[pos : pos + 4] != b"MTrk":
+            raise ValueError("missing MTrk chunk")
+        (tlen,) = struct.unpack_from(">I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + tlen]
+        pos += 8 + tlen
+
+        tick = 0
+        p = 0
+        running = 0
+        active: dict[tuple[int, int], tuple[int, float]] = {}  # (ch, key) -> (start_tick, vel)
+        while p < len(body):
+            delta, p = _read_varlen(body, p)
+            tick += delta
+            status = body[p]
+            if status & 0x80:
+                p += 1
+                running = status
+            else:
+                status = running
+            ev = status & 0xF0
+            ch = status & 0x0F
+            if ev == 0x90:  # note on (vel 0 == off)
+                key, vel = body[p], body[p + 1]
+                p += 2
+                if vel > 0:
+                    active[(ch, key)] = (tick, vel / 127.0)
+                else:
+                    startv = active.pop((ch, key), None)
+                    if startv is not None:
+                        notes.append(MidiNote(startv[0] / division, tick / division, key=key, velocity=startv[1]))
+            elif ev == 0x80:  # note off
+                key = body[p]
+                p += 2
+                startv = active.pop((ch, key), None)
+                if startv is not None:
+                    notes.append(MidiNote(startv[0] / division, tick / division, key=key, velocity=startv[1]))
+            elif ev in (0xA0, 0xB0, 0xE0):
+                p += 2
+            elif ev in (0xC0, 0xD0):
+                p += 1
+            elif status == 0xFF:  # meta
+                p += 1  # type
+                ln, p = _read_varlen(body, p)
+                p += ln
+            elif status in (0xF0, 0xF7):  # sysex
+                ln, p = _read_varlen(body, p)
+                p += ln
+            else:
+                raise ValueError(f"unhandled MIDI status {status:#x}")
+        # unterminated notes end at track end
+        for (ch, key), (t0, vel) in active.items():
+            notes.append(MidiNote(t0 / division, tick / division, key=key, velocity=vel))
+
+    return MidiNoteBuffer(notes)
+
+
+def load_notes_from_file(path) -> MidiNoteBuffer:
+    """midi_file.cpp:19 load_notes_from_file equivalent."""
+    with open(path, "rb") as f:
+        return parse_smf(f.read())
+
+
+def write_smf(notes: MidiNoteBuffer, path, division: int = 480) -> None:
+    """Minimal SMF format-0 writer (round-trip/testing)."""
+    events = []
+    for n in notes:
+        events.append((int(round(n.min_time * division)), 0x90, n.key, max(1, int(round(n.velocity * 127)))))
+        events.append((int(round(n.max_time * division)), 0x80, n.key, 64))
+    events.sort(key=lambda e: (e[0], e[1]))
+
+    body = bytearray()
+    last = 0
+    for tick, status, key, vel in events:
+        delta = tick - last
+        last = tick
+        chunk = bytearray()
+        while True:
+            chunk.insert(0, delta & 0x7F)
+            delta >>= 7
+            if not delta:
+                break
+        for i in range(len(chunk) - 1):
+            chunk[i] |= 0x80
+        body += chunk + bytes([status, key, vel])
+    body += b"\x00\xff\x2f\x00"  # end of track
+
+    blob = b"MThd" + struct.pack(">IHHH", 6, 0, 1, division)
+    blob += b"MTrk" + struct.pack(">I", len(body)) + bytes(body)
+    if hasattr(path, "write"):
+        path.write(blob)
+    else:
+        with open(path, "wb") as f:
+            f.write(blob)

@@ -21,6 +21,36 @@ from whitebox_tpu.session.session import Session
 from whitebox_tpu.timeline.carve import carve_session
 
 
+def _session_has_midi(session) -> bool:
+    return any(c.is_midi() and c.midi is not None and c.midi.asset is not None
+               for t in session.tracks for c in t.clips)
+
+
+def _prepare_synth_tables(session, sample_rate, buffer_size, num_blocks):
+    """Per-track device slot tables for the built-in synth (midi.synth)."""
+    from whitebox_tpu.midi.synth import build_slot_segments, pack_slot_tables
+    from whitebox_tpu.midi.voice import carve_midi_events
+
+    events = carve_midi_events(session, sample_rate, buffer_size, num_blocks)
+    out = {}
+    for t, evs in events.items():
+        ns, segs = build_slot_segments(evs)
+        if segs is None:
+            continue
+        tables = pack_slot_tables(segs, sample_rate, ns)
+        out[t] = {k: jnp.asarray(v) for k, v in tables.items()}
+    return out
+
+
+def _add_synth(per_track, synth_tables, chunk_start, frames):
+    from whitebox_tpu.midi.synth import render_synth_chunk
+
+    for t, tables in synth_tables.items():
+        sy = render_synth_chunk(tables, jnp.int32(chunk_start), frames=frames)
+        per_track = per_track.at[t].add(sy[None, :])
+    return per_track
+
+
 @dataclass
 class BounceResult:
     audio: np.ndarray  # [channels, frames] f32
@@ -78,7 +108,8 @@ def bounce(
             )
             from whitebox_tpu.ops.automation import session_has_automation
 
-            has_fx = session_has_effects(session) or session_has_automation(session)
+            has_midi = _session_has_midi(session)
+            has_fx = session_has_effects(session) or session_has_automation(session) or has_midi
             if has_fx and len(session.tracks) * channels * plan.n_tiles * plan.tile * 4 > 6 << 30:
                 plan = None  # per-track buffers would blow HBM; chunked XLA path
         if plan is not None:
@@ -87,12 +118,19 @@ def bounce(
                 (S, coeffs), (Sm, mcoeffs) = prepare_effect_tables(session, sample_rate, channels)
                 auto = prepare_automation_tables(session, sample_rate)
                 tg = jnp.asarray(plan.track_gain)
+                F_pad = plan.n_tiles * plan.tile
+                synth_tables = (
+                    _prepare_synth_tables(session, sample_rate, buffer_size, plan.total_frames // buffer_size)
+                    if has_midi else {}
+                )
                 stats.carve_seconds = watch.lap()
 
                 def run_fx():
                     pt = renderer.render_device_per_track()
                     T = plan.num_tracks
-                    ptr = pt.reshape(T, channels, plan.n_tiles * plan.tile)
+                    ptr = pt.reshape(T, channels, F_pad)
+                    if synth_tables:
+                        ptr = _add_synth(ptr, synth_tables, 0, F_pad)
                     return finish_mix(ptr, coeffs, mcoeffs, tg, auto, T=T, C=channels, S=S, Sm=Sm)
 
                 float(run_fx().sum())  # warm-up compile (forced execution)
@@ -130,7 +168,7 @@ def bounce(
     chunk_frames = min(chunk_frames, max(F, 1))
     out = np.empty((channels, F), dtype=np.float32)
 
-    if session_has_effects(session) or session_has_automation(session):
+    if session_has_effects(session) or session_has_automation(session) or _session_has_midi(session):
         from whitebox_tpu.ops.mix import render_chunk_per_track
         from whitebox_tpu.render.effects_pipeline import (
             finish_mix_chunk, init_effect_states, prepare_automation_tables, prepare_effect_tables,
@@ -141,9 +179,15 @@ def bounce(
         tg = jnp.asarray(dev.track_gain)
         T = dev.num_tracks
         states, mstates = init_effect_states(T, channels, S, Sm)
+        synth_tables = (
+            _prepare_synth_tables(session, sample_rate, buffer_size, F // buffer_size)
+            if _session_has_midi(session) else {}
+        )
 
         def fx_chunk(start, states, mstates):
             pt = render_chunk_per_track(pool_dev, jt, jnp.int32(start), frames=chunk_frames)
+            if synth_tables:
+                pt = _add_synth(pt, synth_tables, start, chunk_frames)
             return finish_mix_chunk(pt, coeffs, mcoeffs, tg, states, mstates, jnp.int32(start), auto,
                                     T=T, C=channels, S=S, Sm=Sm)
 
