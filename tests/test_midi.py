@@ -153,7 +153,7 @@ class TestSynth:
 
     def test_step32(self):
         st = step32_for_key(np.array([69]), 48000.0)[0]
-        assert st == round(440.0 / 48000.0 / 2.0 * 2**32)
+        assert st == round(440.0 / 48000.0 * 2**32)
 
 
 class TestEndToEnd:

@@ -9,11 +9,13 @@ renders it — the call is commented out (track.cpp:726) — so this framework
 defines the production numerics:
 
 - phase: a 32-bit fixed-point accumulator — ``phase32(n) = n * step32 mod
-  2^32`` with ``step32 = round(freq/rate/2 * 2^32)``; the square output is
+  2^32`` with ``step32 = round(freq/rate * 2^32)``; the square output is
   the top bit. Deterministic, drift-free over arbitrary lengths, and
   identical between the NumPy reference and the TPU path (closed form
   replaces TestSynth's sequential f64 adds; worst-case detune is
-  2^-32 relative).
+  2^-32 relative). NOTE: TestSynth's period-2 phase makes it sound an
+  octave below the note's nominal pitch — since its render call is dead
+  code, we fix the octave so note 69 plays 440 Hz.
 - envelope: ``amp(n) = max(1 - n * (5/44100), 0)`` in f32.
 - per-frame voice sum in slot order (matching TestSynth's LSB-first bit
   scan), added equally to every output channel, before track volume/pan.
@@ -49,6 +51,9 @@ def build_slot_segments(events: list[VoiceEvent], num_slots: int = 64):
     max_slot = -1
     for ev in events:
         if ev.on:
+            prev = opens.pop(ev.slot, None)
+            if prev is not None and ev.frame > prev.frame:  # defensive close
+                rows.append((prev.slot, prev.frame, ev.frame, prev.key, prev.velocity))
             opens[ev.slot] = ev
             max_slot = max(max_slot, ev.slot)
         else:
@@ -72,9 +77,9 @@ def build_slot_segments(events: list[VoiceEvent], num_slots: int = 64):
 
 
 def step32_for_key(key, sample_rate: float) -> np.ndarray:
-    """Fixed-point phase step: round(note_hz/rate/2 * 2^32) as uint32."""
+    """Fixed-point phase step: round(note_hz/rate * 2^32) as uint32."""
     freq = note_to_hz(np.asarray(key, dtype=np.float64))
-    step = np.round(freq / sample_rate / 2.0 * 4294967296.0)
+    step = np.round(freq / sample_rate * 4294967296.0)
     return (step.astype(np.uint64) & 0xFFFFFFFF).astype(np.uint32)
 
 

@@ -172,7 +172,9 @@ def carve_midi_events(
             events.append(VoiceEvent(min(frame_of(v.max_time, num_blocks - 1), num_blocks * bs),
                                      False, v.key, v.velocity, v.slot, v.max_time))
 
-        events.sort(key=lambda e: (e.frame, not e.on))
+        # same-frame ordering: releases precede allocations (the engine
+        # releases voices before adding the new note, track.cpp:481-520)
+        events.sort(key=lambda e: (e.frame, e.on))
         if events:
             out[t_idx] = events
     return out
