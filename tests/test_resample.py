@@ -1,0 +1,124 @@
+"""Windowed-sinc resampler: quality (SNR/alias rejection) + device parity."""
+
+import numpy as np
+import pytest
+
+from whitebox_tpu.ops.resample import (
+    design_sinc_bank, resample_audio, resample_reference,
+)
+
+
+def sine(freq, rate, n, amp=0.5):
+    return (amp * np.sin(2 * np.pi * freq * np.arange(n) / rate)).astype(np.float32)
+
+
+def snr_db(y, rate, freq):
+    # signal power at freq vs everything else (excluding DC + transition bins)
+    n = len(y)
+    w = np.hanning(n)
+    S = np.abs(np.fft.rfft(y * w)) ** 2
+    f = np.fft.rfftfreq(n, 1 / rate)
+    sig = S[np.abs(f - freq) < 50].sum()
+    noise = S[(np.abs(f - freq) >= 50) & (f > 20)].sum()
+    return 10 * np.log10(sig / max(noise, 1e-30))
+
+
+class TestBank:
+    def test_dc_gain_unity(self):
+        bank = design_sinc_bank(1.0)
+        np.testing.assert_allclose(bank.sum(axis=1), 1.0, atol=1e-6)
+
+    def test_phase0_dominant_tap(self):
+        # phase 0: the on-sample tap dominates (0.91-cutoff sinc peak)
+        bank = design_sinc_bank(1.0)
+        k = int(np.argmax(np.abs(bank[0])))
+        assert bank[0, k] > 0.85
+        assert abs(bank[0]).argsort()[-1] == k
+
+
+class TestQuality:
+    def test_upsample_44k1_to_48k_snr(self):
+        x = sine(1000.0, 44100, 44100)
+        y = resample_audio(x[None], 44100, 48000)[0]
+        # skip edge transients
+        q = snr_db(y[2000:-2000], 48000, 1000.0)
+        assert q > 80.0, f"sinc SNR {q:.1f} dB"
+
+    def test_beats_linear(self):
+        # high-frequency content: sinc should crush linear interpolation
+        x = sine(15000.0, 44100, 44100)
+        y = resample_audio(x[None], 44100, 48000)[0]
+        q_sinc = snr_db(y[2000:-2000], 48000, 15000.0)
+
+        ratio = 44100 / 48000
+        n = np.arange(len(y))
+        pos = n * ratio
+        ix = np.floor(pos).astype(int)
+        fx = (pos - ix).astype(np.float32)
+        xp = np.pad(x, (0, 2))
+        ylin = xp[ix] + fx * (xp[ix + 1] - xp[ix])
+        q_lin = snr_db(ylin[2000:-2000], 48000, 15000.0)
+        assert q_sinc > q_lin + 30, f"sinc {q_sinc:.1f} dB vs linear {q_lin:.1f} dB"
+
+    def test_downsample_antialias(self):
+        # a 30 kHz tone at 96k would alias to 18 kHz at 48k; the polyphase
+        # decimation filter must reject it (tone sits at 0.625 of source
+        # Nyquist, inside the 32-tap transition band -> ~-57 dB)
+        x = sine(30000.0, 96000, 96000)
+        y = resample_audio(x[None], 96000, 48000)[0]
+        in_rms = np.sqrt(np.mean(x.astype(np.float64) ** 2))
+        out_rms = np.sqrt(np.mean(y[2000:-2000].astype(np.float64) ** 2))
+        rejection_db = 20 * np.log10(max(out_rms, 1e-30) / in_rms)
+        assert rejection_db < -50, f"alias rejection only {rejection_db:.1f} dB"
+        # deeper in the stopband (40 kHz -> would alias to 8 kHz): crushed
+        x2 = sine(40000.0, 96000, 96000)
+        y2 = resample_audio(x2[None], 96000, 48000)[0]
+        r2 = 20 * np.log10(max(np.sqrt(np.mean(y2[2000:-2000].astype(np.float64) ** 2)), 1e-30) / in_rms)
+        assert r2 < -75, f"stopband rejection only {r2:.1f} dB"
+
+    def test_identity_ratio(self):
+        x = sine(440.0, 48000, 8000)
+        y = resample_audio(x[None], 48000, 48000)[0]
+        # ratio 1, phase 0 everywhere: near-identity
+        np.testing.assert_allclose(y[100:7900], x[100:7900], atol=1e-4)
+
+
+class TestDeviceParity:
+    def test_device_matches_reference(self):
+        rng = np.random.default_rng(0)
+        x = (rng.standard_normal((2, 5000)) * 0.3).astype(np.float32)
+        got = resample_audio(x, 44100, 48000)
+        ref = resample_reference(x, 44100, 48000)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=5e-6)
+
+
+class TestMixSincMode:
+    def test_sinc_mode_improves_clip_resampling(self):
+        from whitebox_tpu.core.formats import AudioFormat
+        from whitebox_tpu.render.bounce import bounce
+        from whitebox_tpu.session import Session
+        from whitebox_tpu.session.sample import Sample
+
+        # 15 kHz tone in a 44.1k sample played in a 48k session
+        x = sine(15000.0, 44100, 44100)
+        s = Session(bpm=60.0)
+        asset = s.sample_table.add_sample(Sample.from_planar(x[None], 44100, AudioFormat.F32), key="a")
+        tr = s.add_track("t")
+        s.add_audio_clip(tr, "c", 0.0, 0.9, asset=asset)
+
+        lin = bounce(s, 48000.0, engine="xla").audio[0]
+        snc = bounce(s, 48000.0, engine="xla", interpolation="sinc").audio[0]
+        q_lin = snr_db(lin[4000:40000], 48000, 15000.0)
+        q_snc = snr_db(snc[4000:40000], 48000, 15000.0)
+        assert q_snc > q_lin + 25, f"sinc {q_snc:.1f} vs linear {q_lin:.1f} dB"
+
+    def test_sinc_mode_keeps_fast_rows_bit_exact(self):
+        from tests.test_carve import random_session
+        from whitebox_tpu.render.bounce import bounce
+        from whitebox_tpu.timeline.oracle import OracleRenderer
+
+        s = random_session(12, rate=48000, bpm=120.0, n_tracks=3)  # all speed 1
+        oracle = OracleRenderer(s, 48000.0, buffer_size=512).render()
+        res = bounce(s, 48000.0, engine="xla", interpolation="sinc")
+        np.testing.assert_array_equal(res.audio[:, : oracle.shape[1]], oracle)

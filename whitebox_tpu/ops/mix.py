@@ -159,8 +159,13 @@ def _bisect_right(a, v):
 
 
 def _track_contrib(pool, g, dst_start, length, src_base, frac_hi, frac_lo, speed_hi, speed_lo, gain, fast, clamp,
-                   fin_start, fin_inv, fout_end, fout_inv):
-    """Per-track contribution for global frames ``g`` [F] -> [C, F] f32."""
+                   fin_start, fin_inv, fout_end, fout_inv, sinc_bank=None):
+    """Per-track contribution for global frames ``g`` [F] -> [C, F] f32.
+
+    ``sinc_bank`` (optional [phases+1, taps] f32): windowed-sinc taps for
+    resampled rows instead of the engine's linear interpolation (fast rows
+    are untouched either way — bit parity holds).
+    """
     idx = _bisect_right(dst_start, g) - 1
     idx_c = jnp.clip(idx, 0, dst_start.shape[0] - 1)
 
@@ -188,25 +193,39 @@ def _track_contrib(pool, g, dst_start, length, src_base, frac_hi, frac_lo, speed
     # trailing channels dim of 2 would tile-pad 64x on TPU (8,128) layout.
     limit = pool.shape[0] - 2
     clamp_row = row_fast & row_clamp
+    if sinc_bank is not None:
+        phases = sinc_bank.shape[0] - 1
+        taps = sinc_bank.shape[1]
+        half = taps // 2
+        pf = fx * phases
+        p0 = jnp.clip(pf.astype(jnp.int32), 0, phases - 1)
+        pl = pf - p0.astype(jnp.float32)
     outs = []
     for ch in range(src_base.shape[1]):
         src = jnp.clip(src_base[idx_c, ch] + ixl, 0, limit)
         a = pool[src]
-        b = pool[src + 1]
         a_eff = jnp.where(clamp_row, jnp.clip(a, jnp.float32(-1.0), jnp.float32(1.0)), a)
-        s = jnp.where(row_fast, a_eff, a + fx * (b - a))
+        if sinc_bank is None:
+            b = pool[src + 1]
+            s = jnp.where(row_fast, a_eff, a + fx * (b - a))
+        else:
+            acc = jnp.zeros_like(a)
+            for k in range(taps):
+                w = sinc_bank[p0, k] + pl * (sinc_bank[p0 + 1, k] - sinc_bank[p0, k])
+                acc = acc + w * pool[jnp.clip(src + (k - half + 1), 0, limit)]
+            s = jnp.where(row_fast, a_eff, acc)
         outs.append(jnp.where(valid, (s * row_gain) * env, jnp.float32(0.0)))
     return jnp.stack(outs)  # [C, F]
 
 
 @functools.partial(jax.jit, static_argnames=("frames", "strict_order"))
-def render_chunk(pool, tables, chunk_start, frames: int, strict_order: bool = True):
+def render_chunk(pool, tables, chunk_start, frames: int, strict_order: bool = True, sinc_bank=None):
     """Render ``frames`` output frames starting at ``chunk_start`` -> [C, F]."""
     g = chunk_start + jnp.arange(frames, dtype=jnp.int32)
 
     contribs = jax.vmap(
         lambda d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3: _track_contrib(
-            pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3
+            pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3, sinc_bank
         )
     )(
         tables["dst_start"], tables["length"], tables["src_base"],
@@ -232,12 +251,12 @@ def render_chunk(pool, tables, chunk_start, frames: int, strict_order: bool = Tr
 
 
 @functools.partial(jax.jit, static_argnames=("frames",))
-def render_chunk_per_track(pool, tables, chunk_start, frames: int):
+def render_chunk_per_track(pool, tables, chunk_start, frames: int, sinc_bank=None):
     """Per-track pre-gain contributions [T, C, F] (for the effects pipeline)."""
     g = chunk_start + jnp.arange(frames, dtype=jnp.int32)
     return jax.vmap(
         lambda d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3: _track_contrib(
-            pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3
+            pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3, sinc_bank
         )
     )(
         tables["dst_start"], tables["length"], tables["src_base"],

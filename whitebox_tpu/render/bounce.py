@@ -72,6 +72,7 @@ def bounce(
     trim_frames: int | None = None,
     strict_order: bool = True,
     engine: str = "auto",
+    interpolation: str = "linear",
     out_path=None,
     out_format: AudioFormat = AudioFormat.F32,
 ) -> BounceResult:
@@ -84,6 +85,10 @@ def bounce(
     ``engine``: "pallas" (fused TPU kernel; requires an all-speed-1 table),
     "xla" (portable gather path, handles resampling), or "auto" (pallas
     when the table allows, else xla). Both are bit-parity paths.
+
+    ``interpolation``: "linear" (reference parity, sampler.cpp:34) or
+    "sinc" (windowed-sinc for resampled clips — forces the XLA path when
+    any resampled rows exist; speed==1 rows stay bit-exact).
     """
     stats = RenderStats(channels=channels, sample_rate=float(sample_rate), tracks=len(session.tracks))
     watch = Stopwatch()
@@ -91,6 +96,19 @@ def bounce(
     table, pool = carve_session(
         session, sample_rate, buffer_size=buffer_size, num_blocks=num_blocks, out_channels=channels
     )
+
+    sinc_bank = None
+    if interpolation == "sinc":
+        from whitebox_tpu.ops.resample import design_sinc_bank
+
+        slow = ~table.fast if len(table) else np.array([], dtype=bool)
+        if slow.any():
+            max_ratio = float(np.max(table.speed[slow]))
+            sinc_bank = jnp.asarray(design_sinc_bank(max(max_ratio, 1.0)))
+            if engine == "auto":
+                engine = "xla"  # sinc path lives in the XLA renderer
+    elif interpolation != "linear":
+        raise ValueError("interpolation must be 'linear' or 'sinc'")
 
     if engine in ("auto", "pallas"):
         from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, SlowRowsPresent, build_plan
@@ -185,7 +203,7 @@ def bounce(
         )
 
         def fx_chunk(start, states, mstates):
-            pt = render_chunk_per_track(pool_dev, jt, jnp.int32(start), frames=chunk_frames)
+            pt = render_chunk_per_track(pool_dev, jt, jnp.int32(start), frames=chunk_frames, sinc_bank=sinc_bank)
             if synth_tables:
                 pt = _add_synth(pt, synth_tables, start, chunk_frames)
             return finish_mix_chunk(pt, coeffs, mcoeffs, tg, states, mstates, jnp.int32(start), auto,
@@ -200,13 +218,13 @@ def bounce(
         stats.device_seconds = watch.lap()
     else:
         # warm-up compile (excluded from the device-time metric)
-        render_chunk(pool_dev, jt, jnp.int32(0), frames=chunk_frames, strict_order=strict_order).block_until_ready()
+        render_chunk(pool_dev, jt, jnp.int32(0), frames=chunk_frames, strict_order=strict_order, sinc_bank=sinc_bank).block_until_ready()
         stats.compile_seconds = watch.lap()
 
         device_chunks = []
         for start in range(0, F, chunk_frames):
             device_chunks.append(
-                (start, render_chunk(pool_dev, jt, jnp.int32(start), frames=chunk_frames, strict_order=strict_order))
+                (start, render_chunk(pool_dev, jt, jnp.int32(start), frames=chunk_frames, strict_order=strict_order, sinc_bank=sinc_bank))
             )
         for start, chunk in device_chunks:
             n = min(chunk_frames, F - start)
