@@ -1,0 +1,70 @@
+"""Auxiliary subsystems: preview streaming, recording ingest, settings."""
+
+import numpy as np
+
+from whitebox_tpu.config import Settings
+from whitebox_tpu.core.formats import AudioFormat
+from whitebox_tpu.render.preview import PreviewStream
+from whitebox_tpu.session import Session
+from whitebox_tpu.session.sample import Sample
+
+
+def make_session():
+    s = Session(bpm=60.0)
+    data = (np.arange(32768, dtype=np.float32) / 65536.0)[None]
+    asset = s.sample_table.add_sample(Sample.from_planar(data, 32768, AudioFormat.F32), key="a")
+    tr = s.add_track("t")
+    s.add_audio_clip(tr, "c", 0.0, 0.9, asset=asset)
+    return s
+
+
+class TestPreview:
+    def test_blocks_match_bounce(self):
+        from whitebox_tpu.render.bounce import bounce
+
+        s = make_session()
+        full = bounce(s, 32768.0, buffer_size=256).audio
+        ps = PreviewStream(s, 32768.0, buffer_size=256)
+        blocks = list(ps)
+        assert len(blocks) == -(-full.shape[1] // 256)
+        joined = np.concatenate(blocks, axis=1)[:, : full.shape[1]]
+        np.testing.assert_array_equal(joined, full)
+
+    def test_seek(self):
+        s = make_session()
+        ps = PreviewStream(s, 32768.0, buffer_size=256)
+        ps.seek(0.5)  # beat 0.5 @60bpm/32768 = frame 16384
+        assert ps.position_frames == 16384
+        b = ps.next_block()
+        assert b.shape == (2, 256)
+
+
+class TestRecording:
+    def test_take_becomes_clip(self):
+        s = Session(bpm=120.0)
+        tr = s.add_track("rec")
+        take = np.random.default_rng(0).standard_normal((2, 24000)).astype(np.float32) * 0.1
+        clip = s.add_recorded_take(tr, take, 48000, at_beat=2.0)
+        assert clip.is_audio()
+        assert clip.min_time == 2.0
+        assert clip.max_time == 2.0 + 24000 / 48000.0 / 0.5
+        assert clip.audio.asset.sample.count == 24000
+
+
+class TestSettings:
+    def test_roundtrip(self, tmp_path):
+        st = Settings(sample_rate=44100, engine="xla", user_dirs=["/tmp/samples"])
+        p = st.save(tmp_path / "settings.json")
+        back = Settings.load(p)
+        assert back.sample_rate == 44100
+        assert back.engine == "xla"
+        assert back.user_dirs == ["/tmp/samples"]
+
+    def test_missing_file_defaults(self, tmp_path):
+        st = Settings.load(tmp_path / "nope.json")
+        assert st.sample_rate == 48000 and st.buffer_size == 512
+
+    def test_corrupt_file_defaults(self, tmp_path):
+        p = tmp_path / "bad.json"
+        p.write_text("{not json")
+        assert Settings.load(p).sample_rate == 48000

@@ -267,6 +267,8 @@ class PallasMixRenderer:
     def __init__(self, table: SegmentTable, pool: SamplePool, session: Session,
                  channels: int = 2, tile: int = DEFAULT_TILE, interpret: bool = False,
                  plan: PallasMixPlan | None = None) -> None:
+        # Mosaic only compiles on TPU; CPU (tests / virtual meshes) interprets
+        interpret = interpret or jax.default_backend() == "cpu"
         self.plan = plan or build_plan(table, pool, session, channels=channels, tile=tile)
         p = self.plan
         nt, T, K = p.ms.shape

@@ -1,0 +1,341 @@
+"""Undo/redo command history — replaces src/ui/command{,_manager}.{h,cpp}.
+
+The reference implements 30+ Command subclasses with hand-written
+execute/undo pairs over the engine edit API (command.h:22-374) and a
+history ring with a project-modified flag. Here commands wrap the Session
+edit API and capture track-level clip snapshots (clips are cheap clones;
+assets are refcounted handles), which uniformly undoes every clip edit the
+API can express — including the reserve_track_region trims/splits that make
+hand-written inverses fiddly.
+
+    mgr = CommandManager(session)
+    mgr.execute(ClipMove(track_idx=0, clip_id=2, relative_pos=1.5))
+    mgr.undo(); mgr.redo()
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from whitebox_tpu.session.session import Session
+from whitebox_tpu.session.track import Track
+
+
+class Command:
+    """One undoable edit. Subclasses implement ``apply``; snapshotting of the
+    affected tracks is handled by the manager via ``touched_tracks``."""
+
+    name = "command"
+
+    def touched_tracks(self, session: Session) -> list[int]:
+        raise NotImplementedError
+
+    def apply(self, session: Session) -> None:
+        raise NotImplementedError
+
+
+@dataclass
+class _TrackSnapshot:
+    index: int
+    clips: list
+    volume_db: float
+    pan: float
+    mute: bool
+    solo: bool
+    name: str
+
+    @staticmethod
+    def capture(session: Session, index: int) -> "_TrackSnapshot":
+        t = session.tracks[index]
+        return _TrackSnapshot(
+            index=index, clips=[c.clone() for c in t.clips],
+            volume_db=t.volume_db, pan=t.pan, mute=t.mute, solo=t.solo, name=t.name,
+        )
+
+    def restore(self, session: Session) -> None:
+        t = session.tracks[self.index]
+        t.clips = [c.clone() for c in self.clips]
+        t.volume_db, t.pan, t.mute, t.solo, t.name = (
+            self.volume_db, self.pan, self.mute, self.solo, self.name,
+        )
+
+
+# ---- clip commands (command.h: ClipMoveCmd, ClipResizeCmd, ClipDeleteCmd,
+#      ClipAddAudioCmd, ClipDuplicateCmd, ClipAdjustGainCmd, ...) ----
+
+
+@dataclass
+class ClipAddAudio(Command):
+    name = "add audio clip"
+    track_idx: int = 0
+    clip_name: str = ""
+    min_time: float = 0.0
+    max_time: float = 0.0
+    start_offset: float = 0.0
+    asset: object = None
+    gain: float = 1.0
+    speed: float = 1.0
+    fade_start: float = 0.0
+    fade_end: float = 0.0
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        session.add_audio_clip(
+            session.tracks[self.track_idx], self.clip_name, self.min_time, self.max_time,
+            self.start_offset, asset=self.asset, gain=self.gain, speed=self.speed,
+            fade_start=self.fade_start, fade_end=self.fade_end,
+        )
+
+
+@dataclass
+class ClipAddMidi(Command):
+    name = "add midi clip"
+    track_idx: int = 0
+    clip_name: str = ""
+    min_time: float = 0.0
+    max_time: float = 0.0
+    start_offset: float = 0.0
+    asset: object = None
+    transpose: int = 0
+    rate: int = 1
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        session.add_midi_clip(
+            session.tracks[self.track_idx], self.clip_name, self.min_time, self.max_time,
+            self.start_offset, asset=self.asset, transpose=self.transpose, rate=self.rate,
+        )
+
+
+@dataclass
+class ClipMove(Command):
+    name = "move clip"
+    track_idx: int = 0
+    clip_id: int = 0
+    relative_pos: float = 0.0
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        track = session.tracks[self.track_idx]
+        session.move_clip(track, track.clips[self.clip_id], self.relative_pos)
+
+
+@dataclass
+class ClipResize(Command):
+    name = "resize clip"
+    track_idx: int = 0
+    clip_id: int = 0
+    relative_pos: float = 0.0
+    left_side: bool = False
+    shift: bool = False
+    stretch: bool = False
+    min_length: float = 1.0 / 96.0
+    resize_limit: float = 0.0
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        track = session.tracks[self.track_idx]
+        session.resize_clip(
+            track, track.clips[self.clip_id], self.relative_pos, self.resize_limit,
+            self.min_length, self.left_side, self.shift, self.stretch,
+        )
+
+
+@dataclass
+class ClipDelete(Command):
+    name = "delete clip"
+    track_idx: int = 0
+    clip_id: int = 0
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        track = session.tracks[self.track_idx]
+        session.delete_clip(track, track.clips[self.clip_id])
+
+
+@dataclass
+class ClipAdjustGain(Command):
+    name = "adjust clip gain"
+    track_idx: int = 0
+    clip_id: int = 0
+    gain: float = 1.0
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        session.tracks[self.track_idx].clips[self.clip_id].audio.gain = self.gain
+
+
+@dataclass
+class ClipSetFades(Command):
+    name = "set clip fades"
+    track_idx: int = 0
+    clip_id: int = 0
+    fade_start: float = 0.0
+    fade_end: float = 0.0
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        c = session.tracks[self.track_idx].clips[self.clip_id]
+        c.audio.fade_start = self.fade_start
+        c.audio.fade_end = self.fade_end
+
+
+@dataclass
+class DeleteRegion(Command):
+    name = "delete region"
+    track_idx: int = 0
+    min_time: float = 0.0
+    max_time: float = 0.0
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        session.delete_region(session.tracks[self.track_idx], self.min_time, self.max_time)
+
+
+# ---- track parameter commands (TrackParameterChangedCmd etc.) ----
+
+
+@dataclass
+class TrackSetParam(Command):
+    name = "set track parameter"
+    track_idx: int = 0
+    volume_db: Optional[float] = None
+    pan: Optional[float] = None
+    mute: Optional[bool] = None
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        t = session.tracks[self.track_idx]
+        if self.volume_db is not None:
+            t.volume_db = self.volume_db
+        if self.pan is not None:
+            t.pan = self.pan
+        if self.mute is not None:
+            t.mute = self.mute
+
+
+# ---- note commands (NoteAddCmd/NoteDeleteCmd/NoteMoveCmd...) operate on a
+#      clip's note buffer; snapshots capture the asset's notes too ----
+
+
+@dataclass
+class NoteAdd(Command):
+    name = "add note"
+    track_idx: int = 0
+    clip_id: int = 0
+    min_time: float = 0.0
+    max_time: float = 0.0
+    key: int = 60
+    velocity: float = 1.0
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        from whitebox_tpu.midi.notes import MidiNote
+
+        clip = session.tracks[self.track_idx].clips[self.clip_id]
+        clip.midi.asset.notes.add_note(MidiNote(self.min_time, self.max_time, key=self.key, velocity=self.velocity))
+
+
+@dataclass
+class _HistoryEntry:
+    command: Command
+    before: list  # _TrackSnapshot list
+    after: list
+
+
+class CommandManager:
+    """command_manager.cpp equivalent: bounded history + modified flag."""
+
+    def __init__(self, session: Session, max_history: int = 256) -> None:
+        self.session = session
+        self.max_history = max_history
+        self.undo_stack: list[_HistoryEntry] = []
+        self.redo_stack: list[_HistoryEntry] = []
+        self.is_modified = False
+
+    def execute(self, command: Command) -> None:
+        tracks = command.touched_tracks(self.session)
+        # MIDI note edits mutate shared assets: snapshot their note lists too
+        before = [_TrackSnapshot.capture(self.session, i) for i in tracks]
+        note_snaps = self._capture_notes(tracks)
+        command.apply(self.session)
+        after = [_TrackSnapshot.capture(self.session, i) for i in tracks]
+        entry = _HistoryEntry(command, before, after)
+        entry.notes_before = note_snaps
+        entry.notes_after = self._capture_notes(tracks)
+        self.undo_stack.append(entry)
+        if len(self.undo_stack) > self.max_history:
+            self.undo_stack.pop(0)
+        self.redo_stack.clear()
+        self.is_modified = True
+
+    def _capture_notes(self, tracks):
+        snaps = {}
+        for i in tracks:
+            for c in self.session.tracks[i].clips:
+                if c.is_midi() and c.midi is not None and c.midi.asset is not None:
+                    from dataclasses import replace
+
+                    snaps[id(c.midi.asset)] = (c.midi.asset, [replace(n) for n in c.midi.asset.notes])
+        return snaps
+
+    @staticmethod
+    def _restore_notes(snaps):
+        from whitebox_tpu.midi.notes import MidiNoteBuffer
+
+        for asset, notes in snaps.values():
+            asset.notes = MidiNoteBuffer([n for n in notes])
+
+    def undo(self) -> bool:
+        if not self.undo_stack:
+            return False
+        entry = self.undo_stack.pop()
+        for snap in entry.before:
+            snap.restore(self.session)
+        self._restore_notes(entry.notes_before)
+        self.redo_stack.append(entry)
+        self.is_modified = True
+        return True
+
+    def redo(self) -> bool:
+        if not self.redo_stack:
+            return False
+        entry = self.redo_stack.pop()
+        for snap in entry.after:
+            snap.restore(self.session)
+        self._restore_notes(entry.notes_after)
+        self.undo_stack.append(entry)
+        self.is_modified = True
+        return True
+
+    def mark_saved(self) -> None:
+        self.is_modified = False
+
+    @property
+    def can_undo(self) -> bool:
+        return bool(self.undo_stack)
+
+    @property
+    def can_redo(self) -> bool:
+        return bool(self.redo_stack)

@@ -325,6 +325,26 @@ class Session:
 
         return result
 
+    # ---- recording ingestion (Engine::stop_record flow, engine.cpp:107-140:
+    #      recorded audio becomes a registered Sample + a clip at the record
+    #      region; here takes arrive as arrays instead of a recorder thread) ----
+
+    def add_recorded_take(self, track: Track, audio, sample_rate: int, at_beat: float, name: str = "") -> "Clip":
+        """Register recorded planar f32 audio [C, N] and place it as a clip."""
+        import numpy as np
+
+        from whitebox_tpu.core.formats import AudioFormat
+        from whitebox_tpu.core.math import samples_to_beat
+        from whitebox_tpu.session.sample import Sample
+
+        audio = np.atleast_2d(np.asarray(audio, dtype=np.float32))
+        name = name or f"take {len(self.sample_table.samples) + 1}"
+        sample = Sample.from_planar(audio, int(sample_rate), AudioFormat.F32, name=name)
+        asset = self.sample_table.add_sample(sample, key=f"take:{name}:{id(sample)}")
+        length = samples_to_beat(sample.count, float(sample_rate), self.beat_duration)
+        self.add_audio_clip(track, name, at_beat, at_beat + length, 0.0, asset=asset, gain=1.0)
+        return track.clips[-1] if track.clips else None
+
     # ---- introspection ----
 
     def end_time(self) -> float:
