@@ -79,17 +79,42 @@ def build_plan(
     T = table.num_tracks
     n_tiles = -(-table.total_frames // tile)
 
-    # count slots per (tile, track) to size K
-    counts = np.zeros((n_tiles, T), dtype=np.int32)
-    row_tiles = []
-    for r in range(len(table)):
-        t0 = int(table.dst_start[r]) // tile
-        t1 = (int(table.dst_start[r]) + int(table.length[r]) - 1) // tile
-        row_tiles.append((t0, t1))
-        counts[t0 : t1 + 1, table.track[r]] += 1
-    K = max(int(counts.max()) if counts.size else 1, 1)
+    # count slots per (tile, track) to size K (vectorized row->tile expansion)
+    if len(table):
+        t0s = table.dst_start // tile
+        t1s = (table.dst_start + table.length - 1) // tile
+        reps = (t1s - t0s + 1).astype(np.int64)
+        rows_exp = np.repeat(np.arange(len(table)), reps)
+        # tile index within each row's range
+        offs = np.arange(reps.sum()) - np.repeat(np.cumsum(reps) - reps, reps)
+        tiles_exp = t0s[rows_exp] + offs
+        counts = np.zeros((n_tiles, T), dtype=np.int64)
+        np.add.at(counts, (tiles_exp, table.track[rows_exp]), 1)
+        K = max(int(counts.max()), 1)
+    else:
+        K = 1
     if K > max_slots:
         raise ValueError(f"needs {K} slots per (tile, track), max {max_slots}; lower tile size")
+
+    # native fast path for the row expansion (falls back to the Python loop)
+    from whitebox_tpu.io import native as _native
+
+    nat = _native.build_mix_plan(table, pool, channels, tile, n_tiles, T, K) if len(table) else None
+    if nat is not None:
+        row_al, delta, ms, me, gain, clampf, fin_start, fin_inv, fout_end, fout_inv = nat
+        track_gain = np.zeros((T, channels), dtype=np.float32)
+        for t, track in enumerate(session.tracks):
+            vol = np.float32(0.0) if track.mute else track.volume_linear
+            pan = track.pan_coeffs
+            for ch in range(channels):
+                track_gain[t, ch] = vol * np.float32(pan[ch % 2])
+        return PallasMixPlan(
+            row_al=row_al, delta=delta, ms=ms, me=me, gain=gain, clampf=clampf,
+            fin_start=fin_start, fin_inv=fin_inv, fout_end=fout_end, fout_inv=fout_inv,
+            track_gain=track_gain,
+            n_tiles=n_tiles, tile=tile, num_tracks=T, channels=channels,
+            total_frames=table.total_frames,
+        )
 
     row_al = np.zeros((n_tiles, T, K, channels), dtype=np.int32)
     delta = np.zeros((n_tiles, T, K, channels), dtype=np.int32)
@@ -108,7 +133,8 @@ def build_plan(
         dst0 = int(table.dst_start[r])
         dend = dst0 + int(table.length[r])
         sid = int(table.sample_id[r])
-        t0, t1 = row_tiles[r]
+        t0 = dst0 // tile
+        t1 = (dend - 1) // tile
         for ti in range(t0, t1 + 1):
             g0 = ti * tile
             k = int(cursor[ti, trk])
