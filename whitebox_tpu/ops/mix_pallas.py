@@ -301,15 +301,17 @@ class PallasMixRenderer:
         pool2d = pool.data
         if pool2d.shape[0] % 128:
             pool2d = np.pad(pool2d, (0, 128 - pool2d.shape[0] % 128))
-        self._args = (
-            jnp.asarray(pool2d.reshape(-1, 128)),
-            jnp.asarray(p.row_al), jnp.asarray(p.delta),
-            jnp.asarray(p.ms.reshape(nt, T, 1, K)), jnp.asarray(p.me.reshape(nt, T, 1, K)),
-            jnp.asarray(p.gain.reshape(nt, T, 1, K)), jnp.asarray(p.clampf.reshape(nt, T, 1, K)),
-            jnp.asarray(p.fin_start.reshape(nt, T, 1, K)), jnp.asarray(p.fin_inv.reshape(nt, T, 1, K)),
-            jnp.asarray(p.fout_end.reshape(nt, T, 1, K)), jnp.asarray(p.fout_inv.reshape(nt, T, 1, K)),
-            jnp.asarray(p.track_gain.reshape(p.num_tracks, 1, p.channels)),
-        )
+        # one batched device_put: per-array transfers pay full round-trip
+        # latency each on relayed/remote devices
+        self._args = jax.device_put((
+            pool2d.reshape(-1, 128),
+            p.row_al, p.delta,
+            p.ms.reshape(nt, T, 1, K), p.me.reshape(nt, T, 1, K),
+            p.gain.reshape(nt, T, 1, K), p.clampf.reshape(nt, T, 1, K),
+            p.fin_start.reshape(nt, T, 1, K), p.fin_inv.reshape(nt, T, 1, K),
+            p.fout_end.reshape(nt, T, 1, K), p.fout_inv.reshape(nt, T, 1, K),
+            p.track_gain.reshape(p.num_tracks, 1, p.channels),
+        ))
         self._kw = dict(n_tiles=p.n_tiles, num_tracks=p.num_tracks, K=K,
                         C=p.channels, TILE=p.tile, interpret=interpret)
 
