@@ -141,3 +141,48 @@ class TestSolo:
         session.solo_track(0)
         session.solo_track(1)
         assert not a.solo and b.solo and a.mute and not b.mute
+
+
+class TestRegionOps:
+    def test_duplicate_region_across_tracks(self, session, asset):
+        a = session.add_track("a")
+        b = session.add_track("b")
+        session.add_audio_clip(a, "c1", 0.0, 4.0, asset=asset, gain=0.7)
+        session.move_or_duplicate_region(0, 1, 1.0, 3.0, dst_track_offset=1,
+                                         dst_time_offset=0.0, duplicate=True)
+        # source untouched; destination has the trimmed copy with shifted content
+        assert clip_spans(a) == [(0.0, 4.0)]
+        assert clip_spans(b) == [(1.0, 3.0)]
+        assert b.clips[0].start_offset == 24000.0  # 1 beat @120bpm/48k
+        assert b.clips[0].audio.gain == 0.7
+
+    def test_move_region_in_time(self, session, asset):
+        a = session.add_track("a")
+        session.add_audio_clip(a, "c1", 0.0, 2.0, asset=asset)
+        session.move_or_duplicate_region(0, 1, 0.0, 2.0, dst_time_offset=4.0)
+        assert clip_spans(a) == [(4.0, 6.0)]
+
+    def test_move_region_overwrites_destination(self, session, asset):
+        a = session.add_track("a")
+        session.add_audio_clip(a, "src", 0.0, 2.0, asset=asset)
+        session.add_audio_clip(a, "dst", 4.0, 8.0, asset=asset)
+        session.move_or_duplicate_region(0, 1, 0.0, 2.0, dst_time_offset=5.0)
+        names = [(c.name, c.min_time, c.max_time) for c in a.clips]
+        assert ("src", 5.0, 7.0) in names
+        # dst trimmed/split around [5,7)
+        assert ("dst", 4.0, 5.0) in names and ("dst", 7.0, 8.0) in names
+
+    def test_shift_clips_content(self, session, asset):
+        a = session.add_track("a")
+        session.add_audio_clip(a, "c", 0.0, 2.0, asset=asset)
+        session.shift_clips(a, 0.0, 2.0, -0.5)  # shift content later by 0.5 beat
+        assert a.clips[0].start_offset == 12000.0
+
+    def test_resize_clips_multi(self, session, asset):
+        a = session.add_track("a")
+        b = session.add_track("b")
+        session.add_audio_clip(a, "c", 0.0, 4.0, asset=asset)
+        session.add_audio_clip(b, "c", 0.0, 4.0, asset=asset)
+        session.resize_clips([(0, 0), (1, 0)], -1.0)
+        assert clip_spans(a) == [(0.0, 3.0)]
+        assert clip_spans(b) == [(0.0, 3.0)]

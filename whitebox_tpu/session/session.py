@@ -325,6 +325,73 @@ class Session:
 
         return result
 
+    # ---- multi-track region ops (engine.cpp:600 move_or_duplicate_region,
+    #      :877 resize_clips, :953 shift_clips, :1042 delete_region) ----
+
+    def _extract_region(self, track: Track, rmin: float, rmax: float) -> list[Clip]:
+        """Clones of the clips intersecting [rmin, rmax], trimmed to the
+        region with content shifts (the reference's substitute-clip logic)."""
+        out = []
+        for clip in track.clips:
+            if clip.max_time <= rmin or clip.min_time >= rmax:
+                continue
+            c = clip.clone()
+            if c.min_time < rmin:
+                c.start_offset = shift_clip_content(c, c.min_time - rmin, self.beat_duration)
+                c.min_time = rmin
+            if c.max_time > rmax:
+                c.max_time = rmax
+            out.append(c)
+        return out
+
+    def move_or_duplicate_region(
+        self,
+        first_track: int,
+        num_tracks: int,
+        min_pos: float,
+        max_pos: float,
+        dst_track_offset: int = 0,
+        dst_time_offset: float = 0.0,
+        duplicate: bool = False,
+    ) -> None:
+        """Move (or copy) every clip region across a block of tracks."""
+        if dst_track_offset == 0 and dst_time_offset == 0.0 and not duplicate:
+            return
+        dst_first = max(0, min(first_track + dst_track_offset, len(self.tracks) - num_tracks))
+        extracted = [
+            self._extract_region(self.tracks[first_track + i], min_pos, max_pos)
+            for i in range(num_tracks)
+        ]
+        if not duplicate:
+            for i in range(num_tracks):
+                self.delete_region(self.tracks[first_track + i], min_pos, max_pos)
+        for i, clones in enumerate(extracted):
+            dst = self.tracks[dst_first + i]
+            for c in clones:
+                c.min_time += dst_time_offset
+                c.max_time += dst_time_offset
+                if c.min_time < 0.0:
+                    shift = -c.min_time
+                    c.start_offset = shift_clip_content(c, -shift, self.beat_duration)
+                    c.min_time = 0.0
+                self._add_to_cliplist(dst, c)
+
+    def shift_clips(self, track: Track, tmin: float, tmax: float, relative_pos: float) -> None:
+        """engine.cpp:953 — shift the *content* of clips in a region."""
+        for clip in track.clips:
+            if clip.max_time <= tmin or clip.min_time >= tmax:
+                continue
+            clip.start_offset = shift_clip_content(clip, relative_pos, self.beat_duration)
+            clip.internal_state_changed = True
+
+    def resize_clips(self, specs: list, relative_pos: float, resize_limit: float = 0.0,
+                     min_length: float = 1.0 / 96.0, left_side: bool = False, shift: bool = False) -> None:
+        """engine.cpp:877 — resize one clip per track; specs = [(track_idx, clip_id), ...]."""
+        for track_idx, clip_id in specs:
+            track = self.tracks[track_idx]
+            self.resize_clip(track, track.clips[clip_id], relative_pos, resize_limit,
+                             min_length, left_side, shift)
+
     # ---- recording ingestion (Engine::stop_record flow, engine.cpp:107-140:
     #      recorded audio becomes a registered Sample + a clip at the record
     #      region; here takes arrive as arrays instead of a recorder thread) ----
