@@ -48,3 +48,29 @@ def test_sharded_output_sharding(mesh):
     assert out.shape == (2, 4096)
     # output is sharded along frames
     assert len(out.sharding.device_set) == 8
+
+
+def test_frame_sharded_biquad_matches_single(mesh):
+    import functools
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from whitebox_tpu.ops import biquad as bq
+    from whitebox_tpu.parallel.biquad_sharded import biquad_shard_framewise
+
+    c = bq.design_biquad("highpass", 30.0, 48000.0)
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((2, 8192)) * 0.3).astype(np.float32)
+    ref, _ = bq.biquad_scan(jnp.asarray(x), c)
+
+    pa = bq.eig_section_params(c)
+    params = [jnp.full((2, 1), v, jnp.float32) for v in pa]
+    fp = mesh.shape["frames"]
+
+    fn = shard_map(
+        functools.partial(biquad_shard_framewise, axis_name="frames", num_shards=fp),
+        mesh=mesh,
+        in_specs=(P(None, "frames"), [P()] * 9),
+        out_specs=P(None, "frames"),
+    )
+    got = fn(jnp.asarray(x), params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

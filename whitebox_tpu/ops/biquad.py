@@ -220,6 +220,44 @@ def _biquad_scan_eig(x, params, state):
     return y.astype(jnp.float32), new_state
 
 
+def biquad_scan_with_transition(x, params, state):
+    """Like the core scan but also returns the shard-level affine transition
+    (A_total [B,2,2], v_total [B,2]) and the per-position cumulative A
+    (shifted by one: position n carries A^(0..n-1)) — the pieces a
+    frame-sharded render needs to inject an upstream state exactly:
+
+        y_corrected[n] = y_local[n] + P_row · (Acum_shift[n] @ z_in)
+        z_out          = A_total @ z_in + v_total
+    """
+    m11, m12, m21, m22, bv1, bv2, p11, p12, b0 = params
+    zeros = jnp.zeros_like(x)
+    elems = (
+        m11 + zeros, m12 + zeros, m21 + zeros, m22 + zeros,
+        bv1 * x, bv2 * x,
+    )
+    a11, a12, a21, a22, v1, v2 = jax.lax.associative_scan(_affine_compose, elems, axis=1)
+    z1 = a11 * state[:, 0:1] + a12 * state[:, 1:2] + v1
+    z2 = a21 * state[:, 0:1] + a22 * state[:, 1:2] + v2
+    z1_shift = jnp.concatenate([state[:, 0:1], z1[:, :-1]], axis=1)
+    z2_shift = jnp.concatenate([state[:, 1:2], z2[:, :-1]], axis=1)
+    y = b0 * x + (p11 * z1_shift + p12 * z2_shift)
+    new_state = jnp.stack([z1[:, -1], z2[:, -1]], axis=1)
+
+    one = jnp.ones_like(x[:, :1])
+    zero = jnp.zeros_like(x[:, :1])
+    acum = (
+        jnp.concatenate([one, a11[:, :-1]], axis=1),
+        jnp.concatenate([zero, a12[:, :-1]], axis=1),
+        jnp.concatenate([zero, a21[:, :-1]], axis=1),
+        jnp.concatenate([one, a22[:, :-1]], axis=1),
+    )
+    A_total = jnp.stack([
+        jnp.stack([a11[:, -1], a12[:, -1]], axis=-1),
+        jnp.stack([a21[:, -1], a22[:, -1]], axis=-1),
+    ], axis=1)  # [B, 2, 2]
+    return y.astype(jnp.float32), new_state, acum, A_total
+
+
 def coeffs_device_arrays(c: BiquadCoeffs) -> np.ndarray:
     """f64 coefficients -> the 9 eigenbasis section params (f32)."""
     return eig_section_params(c)
