@@ -72,3 +72,21 @@ class TestEffectsBounce:
         g = np.float32(Gain(-6.0).gain_linear)
         expected = ((np.float32(0.5) * np.float32(1.0)) * g) * (tr.volume_linear * tr.pan_coeffs[0])
         np.testing.assert_allclose(res.audio[0, 100:1000], expected, atol=1e-7)
+
+
+class TestFirMode:
+    def test_fir_matches_reference(self):
+        s = add_effects(random_session(10, rate=48000, bpm=120.0, n_tracks=3, n_clips=2))
+        res = bounce(s, RATE, engine="pallas", effects_mode="fir")
+        table, pool = carve_session(s, RATE, buffer_size=512)
+        pt = render_segments_per_track_numpy(table, pool)
+        ref = reference_finish_mix(pt, s, RATE)
+        scale = max(rms(ref), 1e-9)
+        err = rms(res.audio[:, : ref.shape[1]] - ref) / scale
+        assert err < 2e-4, f"fir relative rms err {err}"
+
+    def test_fir_matches_scan(self):
+        s = add_effects(random_session(11, rate=48000, bpm=120.0, n_tracks=2, n_clips=2))
+        a = bounce(s, RATE, engine="pallas", effects_mode="scan").audio
+        b = bounce(s, RATE, engine="pallas", effects_mode="fir").audio
+        np.testing.assert_allclose(a, b, atol=5e-4)

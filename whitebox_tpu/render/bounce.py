@@ -73,6 +73,7 @@ def bounce(
     strict_order: bool = True,
     engine: str = "auto",
     interpolation: str = "linear",
+    effects_mode: str = "scan",
     out_path=None,
     out_format: AudioFormat = AudioFormat.F32,
 ) -> BounceResult:
@@ -89,6 +90,10 @@ def bounce(
     ``interpolation``: "linear" (reference parity, sampler.cpp:34) or
     "sinc" (windowed-sinc for resampled clips — forces the XLA path when
     any resampled rows exist; speed==1 rows stay bit-exact).
+
+    ``effects_mode``: "scan" (eigenbasis associative scan, ~1e-7 accuracy)
+    or "fir" (chains collapsed to impulse responses, overlap-save FFT —
+    several times faster at high track counts, ~-120 dB truncation).
     """
     stats = RenderStats(channels=channels, sample_rate=float(sample_rate), tracks=len(session.tracks))
     watch = Stopwatch()
@@ -143,13 +148,24 @@ def bounce(
                 )
                 stats.carve_seconds = watch.lap()
 
-                def run_fx():
-                    pt = renderer.render_device_per_track()
-                    T = plan.num_tracks
-                    ptr = pt.reshape(T, channels, F_pad)
-                    if synth_tables:
-                        ptr = _add_synth(ptr, synth_tables, 0, F_pad)
-                    return finish_mix(ptr, coeffs, mcoeffs, tg, auto, T=T, C=channels, S=S, Sm=Sm)
+                if effects_mode == "fir":
+                    from whitebox_tpu.render.effects_fir import run_fir_finish
+
+                    def run_fx():
+                        pt = renderer.render_device_per_track()
+                        T = plan.num_tracks
+                        ptr = pt.reshape(T, channels, F_pad)
+                        if synth_tables:
+                            ptr = _add_synth(ptr, synth_tables, 0, F_pad)
+                        return run_fir_finish(ptr, session, sample_rate, tg, auto, channels)
+                else:
+                    def run_fx():
+                        pt = renderer.render_device_per_track()
+                        T = plan.num_tracks
+                        ptr = pt.reshape(T, channels, F_pad)
+                        if synth_tables:
+                            ptr = _add_synth(ptr, synth_tables, 0, F_pad)
+                        return finish_mix(ptr, coeffs, mcoeffs, tg, auto, T=T, C=channels, S=S, Sm=Sm)
 
                 float(run_fx().sum())  # warm-up compile (forced execution)
                 stats.compile_seconds = watch.lap()
