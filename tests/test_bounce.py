@@ -43,3 +43,32 @@ class TestBounce:
         ref = render_segments_numpy(table, pool, s)
         out = render_timeline_pallas(table, pool, s, tile=1024, interpret=True)
         np.testing.assert_array_equal(out, ref)
+
+
+class TestPallasResampled:
+    def _ulp_check(self, got, ref, max_ulps=2, abs_tol=2.4e-7):
+        a = got.view(np.int32).astype(np.int64)
+        b = ref.view(np.int32).astype(np.int64)
+        ulps = np.abs(a - b)
+        absd = np.abs(got.astype(np.float64) - ref.astype(np.float64))
+        bad = (ulps > max_ulps) & (absd > abs_tol)
+        assert not bad.any(), (
+            f"{bad.sum()} samples exceed {max_ulps} ulp and {abs_tol} abs "
+            f"(max ulp {ulps.max()}, max abs {absd.max()})"
+        )
+
+    def test_pallas_slow_path_matches_reference(self):
+        s = random_session(21, rate=48000, bpm=120.0, n_tracks=3, n_clips=2,
+                           speeds=(0.5, 1.0, 1.37), src_rates=(44100, 48000))
+        table, pool = carve_session(s, 48000.0, buffer_size=512)
+        ref = render_segments_numpy(table, pool, s)
+        out = render_timeline_pallas(table, pool, s, tile=2048, interpret=True)
+        self._ulp_check(out, ref)
+
+    def test_pallas_pure_resample_session(self):
+        s = random_session(22, rate=48000, bpm=97.3, n_tracks=2, n_clips=2, speeds=(0.91875,))
+        table, pool = carve_session(s, 48000.0, buffer_size=512)
+        assert not table.fast.all()
+        ref = render_segments_numpy(table, pool, s)
+        out = render_timeline_pallas(table, pool, s, tile=1024, interpret=True)
+        self._ulp_check(out, ref)

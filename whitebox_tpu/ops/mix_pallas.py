@@ -51,6 +51,12 @@ class PallasMixPlan:
     fin_inv: np.ndarray  # [n_tiles, T, K] f32
     fout_end: np.ndarray  # [n_tiles, T, K] i32 fade-out ramp end, tile-relative
     fout_inv: np.ndarray  # [n_tiles, T, K] f32
+    # resampled (slow) slots: ds phase at the slot's dst start (ms)
+    is_slow: np.ndarray  # [n_tiles, T, K] i32
+    sfrac_hi: np.ndarray  # [n_tiles, T, K] f32
+    sfrac_lo: np.ndarray  # [n_tiles, T, K] f32
+    sspeed_hi: np.ndarray  # [n_tiles, T, K] f32
+    sspeed_lo: np.ndarray  # [n_tiles, T, K] f32
     track_gain: np.ndarray  # [T, C] f32
     n_tiles: int
     tile: int
@@ -60,7 +66,57 @@ class PallasMixPlan:
 
 
 class SlowRowsPresent(ValueError):
-    """Raised when the table contains resampled rows (use the XLA path)."""
+    """Raised when resampled rows cannot be planned (kept for API compat;
+    the kernel now handles resampled slots natively)."""
+
+
+def _merge_slow_runs(table: SegmentTable):
+    """Group consecutive per-block resampled rows into maximal runs.
+
+    Rows of one clip are per engine block with exact accumulated offsets;
+    a run re-bases the phase at each tile with the f64 closed form
+    o0 + (g - dst0)*speed (deviation from the per-block accumulation is a
+    few f64 ulps — within the documented resampling contract). Vectorized:
+    run breaks at any change of track/sample/speed/gain/fades, a dst gap,
+    or a phase discontinuity.
+    """
+    idx = np.nonzero(~table.fast)[0]
+    if idx.size == 0:
+        return []
+    trk = table.track[idx]
+    d0 = table.dst_start[idx].astype(np.int64)
+    ln = table.length[idx].astype(np.int64)
+    sid = table.sample_id[idx]
+    x0 = table.src_int[idx].astype(np.float64) + table.src_frac[idx]
+    sp = table.speed[idx]
+    gn = table.gain[idx]
+    fis = table.fin_start[idx]
+    fii = table.fin_inv[idx]
+    foe = table.fout_end[idx]
+    foi = table.fout_inv[idx]
+
+    brk = np.ones(idx.size, dtype=bool)
+    if idx.size > 1:
+        cont = (
+            (trk[1:] == trk[:-1]) & (sid[1:] == sid[:-1]) & (sp[1:] == sp[:-1])
+            & (gn[1:] == gn[:-1]) & (fis[1:] == fis[:-1]) & (fii[1:] == fii[:-1])
+            & (foe[1:] == foe[:-1]) & (foi[1:] == foi[:-1])
+            & (d0[1:] == d0[:-1] + ln[:-1])
+            & (np.abs((x0[:-1] + ln[:-1] * sp[:-1]) - x0[1:]) < 1e-6)
+        )
+        brk[1:] = ~cont
+    starts = np.nonzero(brk)[0]
+    ends = np.append(starts[1:], idx.size) - 1
+
+    runs = []
+    for s, e in zip(starts, ends):
+        runs.append({
+            "trk": int(trk[s]), "d0": int(d0[s]), "end": int(d0[e] + ln[e]),
+            "sid": int(sid[s]), "x0": float(x0[s]), "speed": float(sp[s]),
+            "gain": float(gn[s]), "fis": int(fis[s]), "fii": float(fii[s]),
+            "foe": int(foe[s]), "foi": float(foi[s]),
+        })
+    return runs
 
 
 def build_plan(
@@ -73,45 +129,77 @@ def build_plan(
 ) -> PallasMixPlan:
     if tile > MAX_TILE_FRAMES or tile % 128:
         raise ValueError(f"tile must be a multiple of 128 and <= {MAX_TILE_FRAMES}")
-    if len(table) and not bool(table.fast.all()):
-        raise SlowRowsPresent("segment table contains resampled (speed!=1) rows")
 
     T = table.num_tracks
     n_tiles = -(-table.total_frames // tile)
+    R = tile // 128
+    # max in-window source index: ixl+1+delta must stay inside (R+10)*128
+    span_limit = (R + 16) * 128 - 1024 - 2
 
-    # count slots per (tile, track) to size K (vectorized row->tile expansion)
-    if len(table):
-        t0s = table.dst_start // tile
-        t1s = (table.dst_start + table.length - 1) // tile
+    fast_mask = table.fast if len(table) else np.zeros(0, dtype=bool)
+    any_slow = bool((~fast_mask).any()) if len(table) else False
+
+    # ---- slow slots: merged runs split per tile (and per span limit) ----
+    slow_slots = []  # (tile, trk, ms, me, sid, src_i, frac, speed, gain, fades...)
+    if any_slow:
+        for run in _merge_slow_runs(table):
+            sp = run["speed"]
+            max_len = max(int((span_limit - 2) / sp), 1)
+            g = run["d0"]
+            while g < run["end"]:
+                ti = g // tile
+                ge = min((ti + 1) * tile, run["end"], g + max_len)
+                x_at = run["x0"] + (g - run["d0"]) * sp
+                src_i = int(np.floor(x_at))
+                frac = x_at - src_i
+                slow_slots.append(
+                    (ti, run["trk"], g - ti * tile, ge - ti * tile, run["sid"], src_i, frac, sp,
+                     np.float32(run["gain"]), run["fis"], run["fii"], run["foe"], run["foi"])
+                )
+                g = ge
+
+    # ---- count slots per (tile, track) to size K ----
+    counts = np.zeros((n_tiles, T), dtype=np.int64)
+    if fast_mask.any():
+        fr = np.nonzero(fast_mask)[0]
+        t0s = table.dst_start[fr] // tile
+        t1s = (table.dst_start[fr] + table.length[fr] - 1) // tile
         reps = (t1s - t0s + 1).astype(np.int64)
-        rows_exp = np.repeat(np.arange(len(table)), reps)
-        # tile index within each row's range
+        rows_exp = np.repeat(fr, reps)
         offs = np.arange(reps.sum()) - np.repeat(np.cumsum(reps) - reps, reps)
-        tiles_exp = t0s[rows_exp] + offs
-        counts = np.zeros((n_tiles, T), dtype=np.int64)
+        tiles_exp = t0s[np.searchsorted(fr, rows_exp)] + offs
         np.add.at(counts, (tiles_exp, table.track[rows_exp]), 1)
-        K = max(int(counts.max()), 1)
-    else:
-        K = 1
+    for s in slow_slots:
+        counts[s[0], s[1]] += 1
+    K = max(int(counts.max()) if counts.size else 1, 1)
     if K > max_slots:
         raise ValueError(f"needs {K} slots per (tile, track), max {max_slots}; lower tile size")
 
-    # native fast path for the row expansion (falls back to the Python loop)
+    # ---- native fast path for the fast-row expansion ----
     from whitebox_tpu.io import native as _native
+    from whitebox_tpu.ops.dsarith import split_f64
 
-    nat = _native.build_mix_plan(table, pool, channels, tile, n_tiles, T, K) if len(table) else None
-    if nat is not None:
-        row_al, delta, ms, me, gain, clampf, fin_start, fin_inv, fout_end, fout_inv = nat
-        track_gain = np.zeros((T, channels), dtype=np.float32)
+    def _track_gain():
+        tg = np.zeros((T, channels), dtype=np.float32)
         for t, track in enumerate(session.tracks):
             vol = np.float32(0.0) if track.mute else track.volume_linear
             pan = track.pan_coeffs
             for ch in range(channels):
-                track_gain[t, ch] = vol * np.float32(pan[ch % 2])
+                tg[t, ch] = vol * np.float32(pan[ch % 2])
+        return tg
+
+    nat = None
+    if len(table) and not any_slow:
+        nat = _native.build_mix_plan(table, pool, channels, tile, n_tiles, T, K)
+    if nat is not None:
+        row_al, delta, ms, me, gain, clampf, fin_start, fin_inv, fout_end, fout_inv = nat
+        zl = np.zeros((n_tiles, T, K), dtype=np.int32)
+        zf = np.zeros((n_tiles, T, K), dtype=np.float32)
         return PallasMixPlan(
             row_al=row_al, delta=delta, ms=ms, me=me, gain=gain, clampf=clampf,
             fin_start=fin_start, fin_inv=fin_inv, fout_end=fout_end, fout_inv=fout_inv,
-            track_gain=track_gain,
+            is_slow=zl, sfrac_hi=zf, sfrac_lo=zf.copy(), sspeed_hi=np.ones_like(zf), sspeed_lo=zf.copy(),
+            track_gain=_track_gain(),
             n_tiles=n_tiles, tile=tile, num_tracks=T, channels=channels,
             total_frames=table.total_frames,
         )
@@ -126,9 +214,24 @@ def build_plan(
     fin_inv = np.ones((n_tiles, T, K), dtype=np.float32)
     fout_end = np.full((n_tiles, T, K), 1 << 30, dtype=np.int32)
     fout_inv = np.ones((n_tiles, T, K), dtype=np.float32)
+    is_slow = np.zeros((n_tiles, T, K), dtype=np.int32)
+    sfrac_hi = np.zeros((n_tiles, T, K), dtype=np.float32)
+    sfrac_lo = np.zeros((n_tiles, T, K), dtype=np.float32)
+    sspeed_hi = np.ones((n_tiles, T, K), dtype=np.float32)
+    sspeed_lo = np.zeros((n_tiles, T, K), dtype=np.float32)
     cursor = np.zeros((n_tiles, T), dtype=np.int32)
 
+    def _fill_window(ti, trk, k, sid, src_i, dst_anchor):
+        """w[ch] = channel_base + src_i + dst_anchor; store aligned + delta."""
+        for ch in range(channels):
+            w = int(pool.channel_base[sid, ch]) + src_i + dst_anchor
+            w_al = (w // 1024) * 1024
+            row_al[ti, trk, k, ch] = w_al // 128
+            delta[ti, trk, k, ch] = w - w_al
+
     for r in range(len(table)):
+        if not table.fast[r]:
+            continue
         trk = int(table.track[r])
         dst0 = int(table.dst_start[r])
         dend = dst0 + int(table.length[r])
@@ -139,42 +242,49 @@ def build_plan(
             g0 = ti * tile
             k = int(cursor[ti, trk])
             cursor[ti, trk] += 1
-            for ch in range(channels):
-                # window covers the whole tile; value for tile pos p is
-                # pool[w + p]. DMA sources must be 1024-aligned, so store
-                # the aligned start (in 128-lane rows) plus residual shift;
-                # guard bands keep [w_al, w_al + tile + 1024) in-bounds.
-                w = int(pool.channel_base[sid, ch]) + int(table.src_int[r]) + (g0 - dst0)
-                w_al = (w // 1024) * 1024
-                row_al[ti, trk, k, ch] = w_al // 128
-                delta[ti, trk, k, ch] = w - w_al
+            _fill_window(ti, trk, k, sid, int(table.src_int[r]), g0 - dst0)
             ms[ti, trk, k] = max(dst0, g0) - g0
             me[ti, trk, k] = min(dend, g0 + tile) - g0
             gain[ti, trk, k] = table.gain[r]
             clampf[ti, trk, k] = 1 if table.clamp[r] else 0
-            # fade anchors tile-relative (stay well inside i32)
             fin_start[ti, trk, k] = max(int(table.fin_start[r]) - g0, -(1 << 30))
             fin_inv[ti, trk, k] = table.fin_inv[r]
             fout_end[ti, trk, k] = min(int(table.fout_end[r]) - g0, 1 << 30)
             fout_inv[ti, trk, k] = table.fout_inv[r]
 
-    track_gain = np.zeros((T, channels), dtype=np.float32)
-    for t, track in enumerate(session.tracks):
-        vol = np.float32(0.0) if track.mute else track.volume_linear
-        pan = track.pan_coeffs
-        for ch in range(channels):
-            track_gain[t, ch] = vol * np.float32(pan[ch % 2])
+    for (ti, trk, s_ms, s_me, sid, src_i, frac, sp, gn, fis, fii, foe, foi) in slow_slots:
+        g0 = ti * tile
+        k = int(cursor[ti, trk])
+        cursor[ti, trk] += 1
+        _fill_window(ti, trk, k, sid, src_i, 0)
+        ms[ti, trk, k] = s_ms
+        me[ti, trk, k] = s_me
+        gain[ti, trk, k] = gn
+        clampf[ti, trk, k] = 0  # the linear resample path never clamps
+        is_slow[ti, trk, k] = 1
+        fh, fl = split_f64(np.float64(frac))
+        sh, sl = split_f64(np.float64(sp))
+        sfrac_hi[ti, trk, k] = fh
+        sfrac_lo[ti, trk, k] = fl
+        sspeed_hi[ti, trk, k] = sh
+        sspeed_lo[ti, trk, k] = sl
+        fin_start[ti, trk, k] = max(fis - g0, -(1 << 30))
+        fin_inv[ti, trk, k] = fii
+        fout_end[ti, trk, k] = min(foe - g0, 1 << 30)
+        fout_inv[ti, trk, k] = foi
 
     return PallasMixPlan(
         row_al=row_al, delta=delta, ms=ms, me=me, gain=gain, clampf=clampf,
         fin_start=fin_start, fin_inv=fin_inv, fout_end=fout_end, fout_inv=fout_inv,
-        track_gain=track_gain,
+        is_slow=is_slow, sfrac_hi=sfrac_hi, sfrac_lo=sfrac_lo,
+        sspeed_hi=sspeed_hi, sspeed_lo=sspeed_lo,
+        track_gain=_track_gain(),
         n_tiles=n_tiles, tile=tile, num_tracks=T, channels=channels,
         total_frames=table.total_frames,
     )
 
 
-def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_ref, ms_ref, me_ref, gain_ref, clampf_ref, fis_ref, fii_ref, foe_ref, foi_ref, tg_ref, pool_ref, out_ref, scratch, sems):
+def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_ref, ms_ref, me_ref, gain_ref, clampf_ref, fis_ref, fii_ref, foe_ref, foi_ref, slow_ref, sfh_ref, sfl_ref, ssh_ref, ssl_ref, tg_ref, pool_ref, out_ref, scratch, sems):
     t = pl.program_id(1)
     n_tracks = pl.num_programs(1)
     R = TILE // 128  # output rows; scratch windows carry 8 extra rows (1024 elts)
@@ -187,7 +297,7 @@ def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_re
             def _():
                 start_row = pl.multiple_of(row_al_ref[0, 0, k, ch], 8)
                 pltpu.make_async_copy(
-                    pool_ref.at[pl.ds(start_row, R + 8)],
+                    pool_ref.at[pl.ds(start_row, R + 16)],
                     scratch.at[k, ch],
                     sems.at[k, ch],
                 ).start()
@@ -202,7 +312,7 @@ def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_re
     row_i = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
     pos = row_i * 128 + lane_i
-    lane_big = jax.lax.broadcasted_iota(jnp.int32, (R + 8, 128), 1)
+    lane_big = jax.lax.broadcasted_iota(jnp.int32, (R + 16, 128), 1)
 
     for k in range(K):
         active = me_ref[0, 0, 0, k] > ms_ref[0, 0, 0, k]
@@ -211,24 +321,59 @@ def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_re
             def _():
                 start_row = pl.multiple_of(row_al_ref[0, 0, k, ch], 8)
                 pltpu.make_async_copy(
-                    pool_ref.at[pl.ds(start_row, R + 8)],
+                    pool_ref.at[pl.ds(start_row, R + 16)],
                     scratch.at[k, ch],
                     sems.at[k, ch],
                 ).wait()
-                # shift the aligned window by delta = 128*q + r:
-                # y[p] = window[p + delta] via dynamic sublane+lane rotates
                 delta = delta_ref[0, 0, k, ch]
-                q = delta >> 7
-                r = delta & 127
-                win = scratch[k, ch]  # [R+8, 128]
-                n_rows = R + 8
-                rows_q = pltpu.roll(win, (n_rows - q) % n_rows, axis=0)
-                rows_q1 = pltpu.roll(win, (n_rows - q - 1) % n_rows, axis=0)
-                a1 = pltpu.roll(rows_q, (128 - r) % 128, axis=1)
-                a2 = pltpu.roll(rows_q1, (128 - r) % 128, axis=1)
-                v = jnp.where(lane_big < 128 - r, a1, a2)[:R, :]
-                clamped = jnp.minimum(jnp.maximum(v, -1.0), 1.0)
-                v = jnp.where(clampf_ref[0, 0, 0, k] == 1, clamped, v)
+                win = scratch[k, ch]  # [R+10, 128]
+                is_slow = slow_ref[0, 0, 0, k] == 1
+
+                def fast_value():
+                    # shift the aligned window by delta = 128*q + r:
+                    # y[p] = window[p + delta] via dynamic sublane+lane rotates
+                    q = delta >> 7
+                    r = delta & 127
+                    n_rows = R + 16
+                    rows_q = pltpu.roll(win, (n_rows - q) % n_rows, axis=0)
+                    rows_q1 = pltpu.roll(win, (n_rows - q - 1) % n_rows, axis=0)
+                    a1 = pltpu.roll(rows_q, (128 - r) % 128, axis=1)
+                    a2 = pltpu.roll(rows_q1, (128 - r) % 128, axis=1)
+                    v = jnp.where(lane_big < 128 - r, a1, a2)[:R, :]
+                    clamped = jnp.minimum(jnp.maximum(v, -1.0), 1.0)
+                    return jnp.where(clampf_ref[0, 0, 0, k] == 1, clamped, v)
+
+                def slow_value():
+                    # resampled slot: ds phase + per-lane window gather
+                    from whitebox_tpu.ops.dsarith import phase_eval
+
+                    j = jnp.maximum(pos - ms_ref[0, 0, 0, k], 0)
+                    ixl, fx = phase_eval(
+                        j, sfh_ref[0, 0, 0, k], sfl_ref[0, 0, 0, k],
+                        ssh_ref[0, 0, 0, k], ssl_ref[0, 0, 0, k],
+                    )
+                    m = ixl + delta
+                    qg = m >> 7
+                    rg = m & 127
+                    qg1 = (m + 1) >> 7
+                    rg1 = (m + 1) & 127
+
+                    def body(wq, carry):
+                        a_acc, b_acc = carry
+                        # dynamic sublane read from the VMEM ref (Mosaic
+                        # supports pl.ds ref indexing, not value dyn-slice)
+                        wrow = jnp.broadcast_to(scratch[k, ch, pl.ds(wq, 1), :], (R, 128))
+                        ga = jnp.take_along_axis(wrow, rg, axis=1)
+                        gb = jnp.take_along_axis(wrow, rg1, axis=1)
+                        a_acc = jnp.where(qg == wq, ga, a_acc)
+                        b_acc = jnp.where(qg1 == wq, gb, b_acc)
+                        return a_acc, b_acc
+
+                    zero = jnp.zeros((R, 128), jnp.float32)
+                    a, b = jax.lax.fori_loop(0, R + 16, body, (zero, zero))
+                    return a + fx * (b - a)  # sampler.cpp:55 lerp form
+
+                v = jnp.where(is_slow, slow_value(), fast_value())
                 mask = (pos >= ms_ref[0, 0, 0, k]) & (pos < me_ref[0, 0, 0, k])
                 # clip fade envelope (no-fade rows use +-2^30 anchors: env==1)
                 env = jnp.clip((pos - fis_ref[0, 0, 0, k]).astype(jnp.float32) * fii_ref[0, 0, 0, k], 0.0, 1.0)
@@ -254,7 +399,7 @@ def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_re
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "num_tracks", "K", "C", "TILE", "interpret", "per_track"))
-def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, tg, *, n_tiles, num_tracks, K, C, TILE, interpret=False, per_track=False):
+def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, slow, sfh, sfl, ssh, ssl, tg, *, n_tiles, num_tracks, K, C, TILE, interpret=False, per_track=False):
     kernel = functools.partial(_mix_kernel, K, C, TILE, per_track)
     grid = (n_tiles, num_tracks)
     R = TILE // 128
@@ -272,7 +417,7 @@ def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, t
             pl.BlockSpec((1, 1, K, C), lambda i, t: (i, t, 0, 0), memory_space=pltpu.SMEM),
         ] + [
             pl.BlockSpec((1, 1, 1, K), lambda i, t: (i, t, 0, 0), memory_space=pltpu.SMEM)
-            for _ in range(8)
+            for _ in range(13)
         ] + [
             pl.BlockSpec((1, 1, C), lambda i, t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # pool stays in HBM
@@ -280,11 +425,11 @@ def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, t
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((K, C, R + 8, 128), jnp.float32),
+            pltpu.VMEM((K, C, R + 16, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((K, C)),
         ],
         interpret=interpret,
-    )(row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, tg, pool2d)
+    )(row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, slow, sfh, sfl, ssh, ssl, tg, pool2d)
 
 
 class PallasMixRenderer:
@@ -310,6 +455,9 @@ class PallasMixRenderer:
             p.gain.reshape(nt, T, 1, K), p.clampf.reshape(nt, T, 1, K),
             p.fin_start.reshape(nt, T, 1, K), p.fin_inv.reshape(nt, T, 1, K),
             p.fout_end.reshape(nt, T, 1, K), p.fout_inv.reshape(nt, T, 1, K),
+            p.is_slow.reshape(nt, T, 1, K),
+            p.sfrac_hi.reshape(nt, T, 1, K), p.sfrac_lo.reshape(nt, T, 1, K),
+            p.sspeed_hi.reshape(nt, T, 1, K), p.sspeed_lo.reshape(nt, T, 1, K),
             p.track_gain.reshape(p.num_tracks, 1, p.channels),
         ))
         self._kw = dict(n_tiles=p.n_tiles, num_tracks=p.num_tracks, K=K,

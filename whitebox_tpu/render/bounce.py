@@ -83,9 +83,10 @@ def bounce(
     carving semantics (and the reference's boundary quirks), not the device
     schedule; the device renders ``chunk_frames`` frames per dispatch.
 
-    ``engine``: "pallas" (fused TPU kernel; requires an all-speed-1 table),
-    "xla" (portable gather path, handles resampling), or "auto" (pallas
-    when the table allows, else xla). Both are bit-parity paths.
+    ``engine``: "pallas" (fused TPU kernel — handles both copy and
+    linear-resampled segments in-kernel), "xla" (portable gather path), or
+    "auto" (pallas unless sinc interpolation or slot overflow forces xla).
+    Both are bit-parity paths per the carve contract.
 
     ``interpolation``: "linear" (reference parity, sampler.cpp:34) or
     "sinc" (windowed-sinc for resampled clips — forces the XLA path when
@@ -118,12 +119,15 @@ def bounce(
     if engine in ("auto", "pallas"):
         from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, SlowRowsPresent, build_plan
 
-        try:
-            plan = build_plan(table, pool, session, channels=channels)
-        except (SlowRowsPresent, ValueError):
-            if engine == "pallas":
-                raise
-            plan = None  # resampled rows or slot overflow: use the XLA path
+        if sinc_bank is not None:
+            plan = None  # sinc interpolation lives in the XLA renderer
+        else:
+            try:
+                plan = build_plan(table, pool, session, channels=channels)
+            except (SlowRowsPresent, ValueError):
+                if engine == "pallas":
+                    raise
+                plan = None  # slot overflow: use the XLA path
 
         if plan is not None:
             from whitebox_tpu.render.effects_pipeline import (

@@ -89,6 +89,7 @@ def _carve_track_audio(
     num_blocks: int,
     pool: SamplePool,
     rows: list,
+    slow_cols: list,
     track_idx: int,
 ) -> None:
     bs = transport.buffer_size
@@ -183,47 +184,45 @@ def _carve_track_audio(
                     )
             else:
                 # per-block rows with exact accumulated f64 offsets
-                # stream-call boundaries: gs, next block edges, ge
+                # stream-call boundaries: gs, next block edges, ge (vectorized)
                 first_edge = min(ge, (gs // bs + 1) * bs)
-                edges = [gs, first_edge]
-                e = first_edge
-                while e < ge:
-                    e = min(e + bs, ge)
-                    edges.append(e)
-                edges = np.asarray(edges, dtype=np.int64)
+                n_mid = max((ge - first_edge + bs - 1) // bs, 0)
+                edges = np.empty(n_mid + 2, dtype=np.int64)
+                edges[0] = gs
+                edges[1] = first_edge
+                if n_mid:
+                    edges[2:] = np.minimum(first_edge + bs * np.arange(1, n_mid + 1), ge)
                 lengths = np.diff(edges)
-                lengths = lengths[lengths.cumsum() <= (ge - gs)]  # guard (no-op normally)
                 # o_{i+1} = o_i + L_i * speed, sequentially rounded (sampler.cpp:103)
                 incs = np.empty(lengths.shape[0], dtype=np.float64)
                 incs[0] = o0
                 if lengths.shape[0] > 1:
                     incs[1:] = lengths[:-1].astype(np.float64) * playback_speed
                 offs = np.add.accumulate(incs)
-                for i in range(lengths.shape[0]):
-                    o = float(offs[i])
-                    if o >= count:
-                        break  # sampler frozen (sampler.cpp:99)
-                    L = int(lengths[i])
-                    num_actual = min(L, int(math.ceil((count - o) / playback_speed)))
-                    if num_actual <= 0:
-                        continue
-                    oi = math.floor(o)
-                    rows.append(
-                        (
-                            track_idx,
-                            int(edges[i]),
-                            num_actual,
-                            sid,
-                            int(oi),
-                            o - oi,
-                            playback_speed,
-                            gain,
-                            False,
-                            clampf,
-                            clip.id,
-                            *fade,
-                        )
-                    )
+                live = offs < count  # sampler frozen past the end (sampler.cpp:99)
+                num_actual = np.minimum(
+                    lengths, np.ceil((count - offs) / playback_speed).astype(np.int64)
+                )
+                keep = live & (num_actual > 0)
+                if keep.any():
+                    o_k = offs[keep]
+                    oi = np.floor(o_k)
+                    n = int(keep.sum())
+                    slow_cols.append((
+                        np.full(n, track_idx, np.int32),
+                        edges[:-1][keep].astype(np.int32),
+                        num_actual[keep].astype(np.int32),
+                        np.full(n, sid, np.int32),
+                        oi.astype(np.int32),
+                        (o_k - oi).astype(np.float64),
+                        np.full(n, playback_speed, np.float64),
+                        np.full(n, gain, np.float32),
+                        np.full(n, clip.id, np.int32),
+                        np.full(n, fade[0], np.int32),
+                        np.full(n, fade[1], np.float32),
+                        np.full(n, fade[2], np.int32),
+                        np.full(n, fade[3], np.float32),
+                    ))
 
         ci += 1
 
@@ -249,35 +248,59 @@ def carve_session(
         pool = build_sample_pool(session, out_channels=out_channels)
 
     rows: list = []
+    slow_cols: list = []
     for t, track in enumerate(session.tracks):
-        _carve_track_audio(track, transport, P, S, num_blocks, pool, rows, t)
+        _carve_track_audio(track, transport, P, S, num_blocks, pool, rows, slow_cols, t)
 
+    # combine scalar fast rows + vectorized slow-row blocks, sort by (track, dst)
+    fast_arrays = None
     if rows:
         rows.sort(key=lambda r: (r[0], r[1]))
-        cols = list(zip(*rows))
+        c = list(zip(*rows))
+        fast_arrays = (
+            np.asarray(c[0], np.int32), np.asarray(c[1], np.int32), np.asarray(c[2], np.int32),
+            np.asarray(c[3], np.int32), np.asarray(c[4], np.int32), np.asarray(c[5], np.float64),
+            np.asarray(c[6], np.float64), np.asarray(c[7], np.float32),
+            np.asarray(c[10], np.int32),
+            np.asarray(c[11], np.int32), np.asarray(c[12], np.float32),
+            np.asarray(c[13], np.int32), np.asarray(c[14], np.float32),
+        )
+        fast_flags = np.asarray(c[8], bool)
+        clamp_flags = np.asarray(c[9], bool)
+
+    if slow_cols or fast_arrays is not None:
+        parts = []
+        if fast_arrays is not None:
+            parts.append(fast_arrays + (fast_flags, clamp_flags))
+        for sc in slow_cols:
+            n = sc[0].shape[0]
+            parts.append(sc + (np.zeros(n, bool), np.ones(n, bool)))
+        # concatenate each of the 15 columns; clamp flag for slow rows is
+        # irrelevant (linear path never clamps) but kept consistent
+        def cat(i):
+            return np.concatenate([p[i] for p in parts])
+
+        trk_a, dst_a = cat(0), cat(1)
+        order = np.lexsort((dst_a, trk_a))
+        cols15 = [cat(i)[order] for i in range(15)]
+        (trk_a, dst_a, len_a, sid_a, si_a, sf_a, sp_a, gn_a, cid_a,
+         fis_a, fii_a, foe_a, foi_a, fast_a, clamp_a) = cols15
     else:
-        cols = [[] for _ in range(15)]
+        z = np.zeros(0)
+        trk_a = dst_a = len_a = sid_a = si_a = cid_a = fis_a = foe_a = z.astype(np.int32)
+        sf_a = sp_a = z.astype(np.float64)
+        gn_a = fii_a = foi_a = z.astype(np.float32)
+        fast_a = clamp_a = z.astype(bool)
 
     total_frames = num_blocks * buffer_size
     if total_frames >= 2**31:
         raise ValueError("render window exceeds int32 frame addressing")
 
     table = SegmentTable(
-        track=np.asarray(cols[0], dtype=np.int32),
-        dst_start=np.asarray(cols[1], dtype=np.int32),
-        length=np.asarray(cols[2], dtype=np.int32),
-        sample_id=np.asarray(cols[3], dtype=np.int32),
-        src_int=np.asarray(cols[4], dtype=np.int32),
-        src_frac=np.asarray(cols[5], dtype=np.float64),
-        speed=np.asarray(cols[6], dtype=np.float64),
-        gain=np.asarray(cols[7], dtype=np.float32),
-        fast=np.asarray(cols[8], dtype=bool),
-        clamp=np.asarray(cols[9], dtype=bool),
-        clip_id=np.asarray(cols[10], dtype=np.int32),
-        fin_start=np.asarray(cols[11], dtype=np.int32),
-        fin_inv=np.asarray(cols[12], dtype=np.float32),
-        fout_end=np.asarray(cols[13], dtype=np.int32),
-        fout_inv=np.asarray(cols[14], dtype=np.float32),
+        track=trk_a, dst_start=dst_a, length=len_a, sample_id=sid_a,
+        src_int=si_a, src_frac=sf_a, speed=sp_a, gain=gn_a,
+        fast=fast_a, clamp=clamp_a, clip_id=cid_a,
+        fin_start=fis_a, fin_inv=fii_a, fout_end=foe_a, fout_inv=foi_a,
         num_tracks=len(session.tracks),
         total_frames=total_frames,
         buffer_size=buffer_size,

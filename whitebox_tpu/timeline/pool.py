@@ -36,7 +36,8 @@ class SamplePool:
 #: Guard bands so the Pallas mix kernel's fixed-size DMA windows
 #: (tile_frames <= MAX_TILE_FRAMES) are always in-bounds without clamping.
 MAX_TILE_FRAMES = 8192
-_GUARD = MAX_TILE_FRAMES + 384  # multiple of 128
+# windows are (tile/128 + 16) rows of 128 plus the 1024-alignment slack
+_GUARD = MAX_TILE_FRAMES + 16 * 128 + 256
 
 
 def build_sample_pool(session: Session, out_channels: int = 2, pad: int = SAMPLE_PADDING, lane_align: int = 128) -> SamplePool:
