@@ -30,6 +30,9 @@ def _cmd_render(args) -> int:
         buffer_size=args.buffer_size,
         chunk_frames=args.chunk_frames,
         strict_order=not args.fast_sum,
+        engine=args.engine,
+        interpolation=args.interpolation,
+        effects_mode=args.effects_mode,
         out_path=args.out,
         out_format=fmt,
     )
@@ -97,6 +100,11 @@ def main(argv=None) -> int:
     p.add_argument("--chunk-frames", type=int, default=1 << 17)
     p.add_argument("--format", choices=["f32", "i16", "i24", "i32"], default="f32")
     p.add_argument("--fast-sum", action="store_true", help="relax track-sum ordering (faster, not bit-parity)")
+    p.add_argument("--engine", choices=["auto", "pallas", "xla"], default="auto")
+    p.add_argument("--interpolation", choices=["linear", "sinc"], default="linear",
+                   help="resampling quality: linear (engine parity) or windowed-sinc")
+    p.add_argument("--effects-mode", choices=["scan", "fir"], default="scan",
+                   help="effect-chain evaluation: associative scan or FFT-FIR")
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=_cmd_render)
 
