@@ -53,6 +53,7 @@ class PallasMixPlan:
     fout_inv: np.ndarray  # [n_tiles, T, K] f32
     # resampled (slow) slots: ds phase at the slot's dst start (ms)
     is_slow: np.ndarray  # [n_tiles, T, K] i32
+    sqhi: np.ndarray  # [n_tiles, T, K] i32 window rows touched (rel. to delta>>7)
     sfrac_hi: np.ndarray  # [n_tiles, T, K] f32
     sfrac_lo: np.ndarray  # [n_tiles, T, K] f32
     sspeed_hi: np.ndarray  # [n_tiles, T, K] f32
@@ -139,24 +140,54 @@ def build_plan(
     fast_mask = table.fast if len(table) else np.zeros(0, dtype=bool)
     any_slow = bool((~fast_mask).any()) if len(table) else False
 
-    # ---- slow slots: merged runs split per tile (and per span limit) ----
-    slow_slots = []  # (tile, trk, ms, me, sid, src_i, frac, speed, gain, fades...)
+    # ---- slow slots: merged runs split per tile and per span limit,
+    #      expanded vectorized (runs -> tile segments -> max_len sub-slots) ----
+    slow = None
     if any_slow:
-        for run in _merge_slow_runs(table):
-            sp = run["speed"]
-            max_len = max(int((span_limit - 2) / sp), 1)
-            g = run["d0"]
-            while g < run["end"]:
-                ti = g // tile
-                ge = min((ti + 1) * tile, run["end"], g + max_len)
-                x_at = run["x0"] + (g - run["d0"]) * sp
-                src_i = int(np.floor(x_at))
-                frac = x_at - src_i
-                slow_slots.append(
-                    (ti, run["trk"], g - ti * tile, ge - ti * tile, run["sid"], src_i, frac, sp,
-                     np.float32(run["gain"]), run["fis"], run["fii"], run["foe"], run["foi"])
-                )
-                g = ge
+        runs = _merge_slow_runs(table)
+        Rn = len(runs)
+        trk_r = np.array([r["trk"] for r in runs], np.int64)
+        d0_r = np.array([r["d0"] for r in runs], np.int64)
+        end_r = np.array([r["end"] for r in runs], np.int64)
+        sid_r = np.array([r["sid"] for r in runs], np.int64)
+        x0_r = np.array([r["x0"] for r in runs], np.float64)
+        sp_r = np.array([r["speed"] for r in runs], np.float64)
+        gn_r = np.array([r["gain"] for r in runs], np.float32)
+        fis_r = np.array([r["fis"] for r in runs], np.int64)
+        fii_r = np.array([r["fii"] for r in runs], np.float32)
+        foe_r = np.array([r["foe"] for r in runs], np.int64)
+        foi_r = np.array([r["foi"] for r in runs], np.float32)
+        maxlen_r = np.maximum(((span_limit - 2) / sp_r).astype(np.int64), 1)
+
+        def _expand(starts, reps):
+            tot = int(reps.sum())
+            parent = np.repeat(np.arange(starts.shape[0]), reps)
+            offs = np.arange(tot) - np.repeat(np.cumsum(reps) - reps, reps)
+            return parent, offs
+
+        t0_r = d0_r // tile
+        t1_r = (end_r - 1) // tile
+        seg_parent, seg_off = _expand(t0_r, t1_r - t0_r + 1)
+        ti_s = t0_r[seg_parent] + seg_off
+        gs_s = np.maximum(d0_r[seg_parent], ti_s * tile)
+        ge_s = np.minimum(end_r[seg_parent], (ti_s + 1) * tile)
+        nsub = -(-(ge_s - gs_s) // maxlen_r[seg_parent])
+        sub_parent, sub_off = _expand(gs_s, nsub)
+        run_of = seg_parent[sub_parent]
+        g = gs_s[sub_parent] + sub_off * maxlen_r[run_of]
+        ge = np.minimum(g + maxlen_r[run_of], ge_s[sub_parent])
+        ti_v = ti_s[sub_parent]
+
+        x_at = x0_r[run_of] + (g - d0_r[run_of]) * sp_r[run_of]
+        src_i = np.floor(x_at)
+        frac_v = x_at - src_i
+        slow = {
+            "ti": ti_v, "trk": trk_r[run_of], "ms": (g - ti_v * tile).astype(np.int64),
+            "me": (ge - ti_v * tile).astype(np.int64), "sid": sid_r[run_of],
+            "src_i": src_i.astype(np.int64), "frac": frac_v, "speed": sp_r[run_of],
+            "gain": gn_r[run_of], "fis": fis_r[run_of], "fii": fii_r[run_of],
+            "foe": foe_r[run_of], "foi": foi_r[run_of],
+        }
 
     # ---- count slots per (tile, track) to size K ----
     counts = np.zeros((n_tiles, T), dtype=np.int64)
@@ -169,8 +200,8 @@ def build_plan(
         offs = np.arange(reps.sum()) - np.repeat(np.cumsum(reps) - reps, reps)
         tiles_exp = t0s[np.searchsorted(fr, rows_exp)] + offs
         np.add.at(counts, (tiles_exp, table.track[rows_exp]), 1)
-    for s in slow_slots:
-        counts[s[0], s[1]] += 1
+    if slow is not None:
+        np.add.at(counts, (slow["ti"], slow["trk"]), 1)
     K = max(int(counts.max()) if counts.size else 1, 1)
     if K > max_slots:
         raise ValueError(f"needs {K} slots per (tile, track), max {max_slots}; lower tile size")
@@ -198,7 +229,8 @@ def build_plan(
         return PallasMixPlan(
             row_al=row_al, delta=delta, ms=ms, me=me, gain=gain, clampf=clampf,
             fin_start=fin_start, fin_inv=fin_inv, fout_end=fout_end, fout_inv=fout_inv,
-            is_slow=zl, sfrac_hi=zf, sfrac_lo=zf.copy(), sspeed_hi=np.ones_like(zf), sspeed_lo=zf.copy(),
+            is_slow=zl, sqhi=zl.copy(), sfrac_hi=zf, sfrac_lo=zf.copy(),
+            sspeed_hi=np.ones_like(zf), sspeed_lo=zf.copy(),
             track_gain=_track_gain(),
             n_tiles=n_tiles, tile=tile, num_tracks=T, channels=channels,
             total_frames=table.total_frames,
@@ -215,6 +247,7 @@ def build_plan(
     fout_end = np.full((n_tiles, T, K), 1 << 30, dtype=np.int32)
     fout_inv = np.ones((n_tiles, T, K), dtype=np.float32)
     is_slow = np.zeros((n_tiles, T, K), dtype=np.int32)
+    sqhi = np.zeros((n_tiles, T, K), dtype=np.int32)
     sfrac_hi = np.zeros((n_tiles, T, K), dtype=np.float32)
     sfrac_lo = np.zeros((n_tiles, T, K), dtype=np.float32)
     sspeed_hi = np.ones((n_tiles, T, K), dtype=np.float32)
@@ -252,31 +285,48 @@ def build_plan(
             fout_end[ti, trk, k] = min(int(table.fout_end[r]) - g0, 1 << 30)
             fout_inv[ti, trk, k] = table.fout_inv[r]
 
-    for (ti, trk, s_ms, s_me, sid, src_i, frac, sp, gn, fis, fii, foe, foi) in slow_slots:
-        g0 = ti * tile
-        k = int(cursor[ti, trk])
-        cursor[ti, trk] += 1
-        _fill_window(ti, trk, k, sid, src_i, 0)
-        ms[ti, trk, k] = s_ms
-        me[ti, trk, k] = s_me
-        gain[ti, trk, k] = gn
-        clampf[ti, trk, k] = 0  # the linear resample path never clamps
-        is_slow[ti, trk, k] = 1
-        fh, fl = split_f64(np.float64(frac))
-        sh, sl = split_f64(np.float64(sp))
-        sfrac_hi[ti, trk, k] = fh
-        sfrac_lo[ti, trk, k] = fl
-        sspeed_hi[ti, trk, k] = sh
-        sspeed_lo[ti, trk, k] = sl
-        fin_start[ti, trk, k] = max(fis - g0, -(1 << 30))
-        fin_inv[ti, trk, k] = fii
-        fout_end[ti, trk, k] = min(foe - g0, 1 << 30)
-        fout_inv[ti, trk, k] = foi
+    if slow is not None:
+        ti_v, trk_v = slow["ti"], slow["trk"]
+        # slot index: fast cursor base + rank within each (tile, track)
+        key = ti_v * T + trk_v
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        # rank within each (tile, track) group (stable sort keeps slot order)
+        rank_sorted = np.arange(ks.shape[0]) - np.searchsorted(ks, ks, side="left")
+        rank = np.empty(ks.shape[0], dtype=np.int64)
+        rank[order] = rank_sorted
+        k_v = cursor[ti_v, trk_v].astype(np.int64) + rank
+
+        g0_v = ti_v * tile
+        span_v = np.ceil(slow["frac"] + (slow["me"] - slow["ms"]) * slow["speed"]).astype(np.int64) + 2
+        fh, fl = split_f64(slow["frac"])
+        sh, sl = split_f64(slow["speed"])
+
+        idx = (ti_v, trk_v, k_v)
+        ms[idx] = slow["ms"]
+        me[idx] = slow["me"]
+        gain[idx] = slow["gain"]
+        clampf[idx] = 0  # the linear resample path never clamps
+        is_slow[idx] = 1
+        sqhi[idx] = span_v // 128 + 2
+        sfrac_hi[idx] = fh
+        sfrac_lo[idx] = fl
+        sspeed_hi[idx] = sh
+        sspeed_lo[idx] = sl
+        fin_start[idx] = np.maximum(slow["fis"] - g0_v, -(1 << 30))
+        fin_inv[idx] = slow["fii"]
+        fout_end[idx] = np.minimum(slow["foe"] - g0_v, 1 << 30)
+        fout_inv[idx] = slow["foi"]
+        for ch in range(channels):
+            w = pool.channel_base[slow["sid"], ch].astype(np.int64) + slow["src_i"]
+            w_al = (w // 1024) * 1024
+            row_al[ti_v, trk_v, k_v, ch] = w_al // 128
+            delta[ti_v, trk_v, k_v, ch] = w - w_al
 
     return PallasMixPlan(
         row_al=row_al, delta=delta, ms=ms, me=me, gain=gain, clampf=clampf,
         fin_start=fin_start, fin_inv=fin_inv, fout_end=fout_end, fout_inv=fout_inv,
-        is_slow=is_slow, sfrac_hi=sfrac_hi, sfrac_lo=sfrac_lo,
+        is_slow=is_slow, sqhi=sqhi, sfrac_hi=sfrac_hi, sfrac_lo=sfrac_lo,
         sspeed_hi=sspeed_hi, sspeed_lo=sspeed_lo,
         track_gain=_track_gain(),
         n_tiles=n_tiles, tile=tile, num_tracks=T, channels=channels,
@@ -284,7 +334,7 @@ def build_plan(
     )
 
 
-def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_ref, ms_ref, me_ref, gain_ref, clampf_ref, fis_ref, fii_ref, foe_ref, foi_ref, slow_ref, sfh_ref, sfl_ref, ssh_ref, ssl_ref, tg_ref, pool_ref, out_ref, scratch, sems):
+def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_ref, ms_ref, me_ref, gain_ref, clampf_ref, fis_ref, fii_ref, foe_ref, foi_ref, slow_ref, sqhi_ref, sfh_ref, sfl_ref, ssh_ref, ssl_ref, tg_ref, pool_ref, out_ref, scratch, sems):
     t = pl.program_id(1)
     n_tracks = pl.num_programs(1)
     R = TILE // 128  # output rows; scratch windows carry 8 extra rows (1024 elts)
@@ -370,7 +420,9 @@ def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_re
                         return a_acc, b_acc
 
                     zero = jnp.zeros((R, 128), jnp.float32)
-                    a, b = jax.lax.fori_loop(0, R + 16, body, (zero, zero))
+                    q_lo = delta >> 7
+                    q_hi = jnp.minimum(q_lo + sqhi_ref[0, 0, 0, k], R + 16)
+                    a, b = jax.lax.fori_loop(q_lo, q_hi, body, (zero, zero))
                     return a + fx * (b - a)  # sampler.cpp:55 lerp form
 
                 v = jnp.where(is_slow, slow_value(), fast_value())
@@ -399,7 +451,7 @@ def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_re
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "num_tracks", "K", "C", "TILE", "interpret", "per_track"))
-def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, slow, sfh, sfl, ssh, ssl, tg, *, n_tiles, num_tracks, K, C, TILE, interpret=False, per_track=False):
+def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, slow, sqhi, sfh, sfl, ssh, ssl, tg, *, n_tiles, num_tracks, K, C, TILE, interpret=False, per_track=False):
     kernel = functools.partial(_mix_kernel, K, C, TILE, per_track)
     grid = (n_tiles, num_tracks)
     R = TILE // 128
@@ -417,7 +469,7 @@ def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, s
             pl.BlockSpec((1, 1, K, C), lambda i, t: (i, t, 0, 0), memory_space=pltpu.SMEM),
         ] + [
             pl.BlockSpec((1, 1, 1, K), lambda i, t: (i, t, 0, 0), memory_space=pltpu.SMEM)
-            for _ in range(13)
+            for _ in range(14)
         ] + [
             pl.BlockSpec((1, 1, C), lambda i, t: (t, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # pool stays in HBM
@@ -429,7 +481,7 @@ def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, s
             pltpu.SemaphoreType.DMA((K, C)),
         ],
         interpret=interpret,
-    )(row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, slow, sfh, sfl, ssh, ssl, tg, pool2d)
+    )(row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, slow, sqhi, sfh, sfl, ssh, ssl, tg, pool2d)
 
 
 class PallasMixRenderer:
@@ -455,7 +507,7 @@ class PallasMixRenderer:
             p.gain.reshape(nt, T, 1, K), p.clampf.reshape(nt, T, 1, K),
             p.fin_start.reshape(nt, T, 1, K), p.fin_inv.reshape(nt, T, 1, K),
             p.fout_end.reshape(nt, T, 1, K), p.fout_inv.reshape(nt, T, 1, K),
-            p.is_slow.reshape(nt, T, 1, K),
+            p.is_slow.reshape(nt, T, 1, K), p.sqhi.reshape(nt, T, 1, K),
             p.sfrac_hi.reshape(nt, T, 1, K), p.sfrac_lo.reshape(nt, T, 1, K),
             p.sspeed_hi.reshape(nt, T, 1, K), p.sspeed_lo.reshape(nt, T, 1, K),
             p.track_gain.reshape(p.num_tracks, 1, p.channels),
