@@ -1,0 +1,163 @@
+"""Run all five BASELINE.json benchmark configs on the attached TPU.
+
+Usage: python benchmarks/run_all.py [--duration 60] [--json]
+
+Timing methodology: each config times the full host+device pipeline
+(carve + plan + upload + device render, execution forced via an on-device
+checksum — device->host readback over this sandbox's relay tunnel is
+excluded and reported separately where relevant; on production hosts it is
+PCIe-speed). Compiles are warmed first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def _rtf_pallas(session, rate, effects_mode=None, runs=3):
+    import jax
+    import jax.numpy as jnp
+
+    from whitebox_tpu.render.bounce import bounce
+    from whitebox_tpu.ops.mix_pallas import PallasMixRenderer
+    from whitebox_tpu.timeline.carve import carve_session
+
+    if effects_mode is not None:
+        r = bounce(session, rate, effects_mode=effects_mode)  # warm compile
+        best = None
+        for _ in range(runs):
+            r = bounce(session, rate, effects_mode=effects_mode)
+            w = r.stats.carve_seconds + r.stats.device_seconds
+            best = w if best is None else min(best, w)
+        return r.stats.audio_seconds / best
+
+    @jax.jit
+    def checksum(x):
+        return x.sum()
+
+    t, p = carve_session(session, rate, buffer_size=512)
+    float(checksum(PallasMixRenderer(t, p, session).render_device()))  # warm
+    best = None
+    frames = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        t, p = carve_session(session, rate, buffer_size=512)
+        r = PallasMixRenderer(t, p, session)
+        float(checksum(r.render_device()))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        frames = r.plan.total_frames
+    return frames / rate / best
+
+
+def config1(duration):
+    """8-track stereo WAV mix, static gain/pan, offline bounce @48kHz."""
+    from whitebox_tpu.render.demo import make_demo_session
+
+    s = make_demo_session(n_tracks=8, duration_seconds=duration, sample_rate=48000, seed=1)
+    return _rtf_pallas(s, 48000.0)
+
+
+def config2(duration):
+    """32-track mix + sample-accurate gain/pan automation + clip fades."""
+    from whitebox_tpu.ops.automation import AutomationLane, TrackAutomation
+    from whitebox_tpu.render.demo import make_demo_session
+
+    s = make_demo_session(n_tracks=32, duration_seconds=duration, sample_rate=48000, seed=2, fades=True)
+    beats = duration / s.beat_duration
+    for i, tr in enumerate(s.tracks):
+        tr.automation = TrackAutomation(
+            volume=AutomationLane().add(0.0, 1.0).add(beats * 0.5, 0.4).add(beats, 0.9),
+            pan=AutomationLane().add(0.0, -0.8 + 0.05 * i).add(beats, 0.8 - 0.05 * i),
+        )
+    return _rtf_pallas(s, 48000.0, effects_mode="scan")
+
+
+def config3(duration):
+    """Clip-rate resampling playback (44.1k/96k clips -> 48k session), 128 trk."""
+    from whitebox_tpu.render.demo import make_demo_session
+
+    s = make_demo_session(n_tracks=128, duration_seconds=duration, sample_rate=44100,
+                          seed=7, clip_speeds=(1.0, 1.088435374149660, 0.5))
+    return _rtf_pallas(s, 48000.0)
+
+
+def config4():
+    """Waveform min/max peak mipmaps for 1h audio -> Gsamples/s."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whitebox_tpu.ops.peaks import _pyramid_single_channel
+
+    N = 48000 * 3600
+    codes = np.random.default_rng(0).integers(-32768, 32768, N).astype(np.int32)
+    fn = jax.jit(lambda c: sum(f.sum() + s.sum() for f, s in _pyramid_single_channel(c, N)))
+    cd = jnp.asarray(codes)
+    float(fn(cd))
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fn(cd))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return N / best / 1e9
+
+
+def config5(duration):
+    """128-track session with per-track EQ chains + master bus."""
+    from whitebox_tpu.effects import Biquad, EffectChain, ParametricEQ
+    from whitebox_tpu.render.demo import make_demo_session
+
+    s = make_demo_session(n_tracks=128, duration_seconds=duration, sample_rate=48000, seed=7)
+    for i, tr in enumerate(s.tracks):
+        tr.effects = EffectChain([ParametricEQ([
+            ("lowshelf", 100.0, 0.707, 2.0), ("peak", 1000.0 + 37.0 * i, 1.0, -1.5),
+            ("highshelf", 8000.0, 0.707, 1.0),
+        ])])
+    s.master_effects = EffectChain([Biquad("highpass", 25.0)])
+    return _rtf_pallas(s, 48000.0, effects_mode="fir")
+
+
+def headline(duration):
+    """128-track 48 kHz bounce (the bench.py metric)."""
+    from whitebox_tpu.render.demo import make_demo_session
+
+    s = make_demo_session(n_tracks=128, duration_seconds=duration, sample_rate=48000, seed=7)
+    return _rtf_pallas(s, 48000.0)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=60.0)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    results = {}
+    for name, fn in [
+        ("config1_8trk_mix_rtf", lambda: config1(args.duration)),
+        ("config2_32trk_automation_fades_rtf", lambda: config2(args.duration)),
+        ("config3_resampling_128trk_rtf", lambda: config3(args.duration)),
+        ("config4_peaks_gsamples_per_s", config4),
+        ("config5_128trk_eq_master_rtf", lambda: config5(args.duration)),
+        ("headline_128trk_bounce_rtf", lambda: headline(args.duration)),
+    ]:
+        t0 = time.perf_counter()
+        try:
+            results[name] = round(float(fn()), 1)
+        except Exception as e:  # keep going; report the failure
+            results[name] = f"ERROR: {e}"
+        print(f"{name}: {results[name]}  ({time.perf_counter() - t0:.0f}s incl. compile)", flush=True)
+
+    if args.json:
+        print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

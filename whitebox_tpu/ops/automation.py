@@ -88,35 +88,27 @@ def lane_frame_table(lane: AutomationLane | None, sample_rate: float, beat_durat
     return xs, ys, cv, tn
 
 
-def _bisect_right_dev(a, v):
-    S = a.shape[0]
-    lo = jnp.zeros(v.shape, dtype=jnp.int32)
-    hi = jnp.full(v.shape, S, dtype=jnp.int32)
-    steps = max(int(np.ceil(np.log2(S + 1))), 1)
-    for _ in range(steps):
-        mid = (lo + hi) >> 1
-        pred = a[jnp.clip(mid, 0, S - 1)] <= v
-        lo = jnp.where(pred, mid + 1, lo)
-        hi = jnp.where(pred, hi, mid)
-    return lo
-
-
 def eval_lane_device(xs, ys, cv, tn, g):
-    """Evaluate one lane at frames ``g`` [F] -> f32 [F] (jnp; device or trace)."""
+    """Evaluate one lane at frames ``g`` [F] -> f32 [F] (jnp).
+
+    Static unrolled sweep over the (few) breakpoints with elementwise
+    selects — per-frame gathers of tiny tables lower catastrophically on
+    TPU (~20M gathers/s), while P passes of VPU ops are free.
+    """
     P = xs.shape[0]
-    i = jnp.clip(_bisect_right_dev(xs, g) - 1, 0, P - 1)
-    i1 = jnp.clip(i + 1, 0, P - 1)
-    x0 = xs[i]
-    x1 = xs[i1]
-    y0 = ys[i]
-    y1 = ys[i1]
-    span = jnp.maximum(x1 - x0, 1)
-    u = jnp.clip((g - x0).astype(jnp.float32) / span.astype(jnp.float32), 0.0, 1.0)
-    u = jnp.where(x1 == _SENTINEL, jnp.float32(0.0), u)  # hold after last point
-    t = tn[i]
-    eased = (u - t * u) / (t - 2.0 * t * jnp.abs(u) + 1.0)  # exponential_ease2
-    u = jnp.where(cv[i] == int(CurveType.EXP_EASE), eased, u)
-    return y0 + u * (y1 - y0)
+    val = jnp.full(g.shape, ys[0], dtype=jnp.float32)
+    for i in range(P - 1):
+        x0 = xs[i]
+        x1 = xs[i + 1]
+        span = jnp.maximum(x1 - x0, 1)
+        u = jnp.clip((g - x0).astype(jnp.float32) / span.astype(jnp.float32), 0.0, 1.0)
+        u = jnp.where(x1 == _SENTINEL, jnp.float32(0.0), u)  # hold after last point
+        t = tn[i]
+        eased = (u - t * u) / (t - 2.0 * t * jnp.abs(u) + 1.0)  # exponential_ease2
+        u = jnp.where(cv[i] == int(CurveType.EXP_EASE), eased, u)
+        seg = ys[i] + u * (ys[i + 1] - ys[i])
+        val = jnp.where(g >= x0, seg, val)
+    return val
 
 
 def eval_lane_numpy(xs, ys, cv, tn, g):
