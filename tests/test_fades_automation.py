@@ -153,3 +153,33 @@ class TestAutomation:
         s2.tracks[0].mute = True
         only1 = bounce(s2, RATE, engine="xla").audio
         np.testing.assert_array_equal(muted0, only1)
+
+
+class TestCurveTypes:
+    @pytest.mark.parametrize("curve,tension,check", [
+        (CurveType.HOLD, 0.0, lambda u, v: np.all(v == 0.0)),
+        (CurveType.LINEAR, 0.0, lambda u, v: np.allclose(v, u, atol=1e-6)),
+        (CurveType.EXP_SINGLE, 2.0, lambda u, v: v[50] < u[50]),   # convex for t>0
+        (CurveType.EXP_ALT_SINGLE, 0.9, lambda u, v: v[50] < u[50]),
+        (CurveType.POW_SINGLE, 1.0, lambda u, v: np.allclose(v, u**2, atol=1e-5)),
+        (CurveType.STEP, 0.0, lambda u, v: np.all(v[:-1] == 0.0) and v[-1] == 1.0),
+        (CurveType.EXP_DUAL, 2.0, lambda u, v: abs(v[50] - 0.5) < 1e-3),  # S-curve midpoint
+        (CurveType.POW_DUAL, 1.0, lambda u, v: abs(v[50] - 0.5) < 1e-3),
+    ])
+    def test_curve_shapes(self, curve, tension, check):
+        from whitebox_tpu.ops.automation import _apply_curve
+
+        u = np.linspace(0.0, 1.0, 101, dtype=np.float32)
+        v = _apply_curve(u, np.int32(int(curve)), np.float32(tension), np)
+        assert v[0] == pytest.approx(0.0, abs=1e-6) or curve == CurveType.HOLD
+        assert check(u, v), f"{curve} shape check failed"
+
+    def test_device_matches_numpy_for_all_curves(self):
+        import jax.numpy as jnp
+        from whitebox_tpu.ops.automation import _apply_curve
+
+        u = np.linspace(0.0, 1.0, 257, dtype=np.float32)
+        for curve in CurveType:
+            ref = _apply_curve(u, np.int32(int(curve)), np.float32(0.7), np)
+            got = np.asarray(_apply_curve(jnp.asarray(u), jnp.int32(int(curve)), jnp.float32(0.7), jnp))
+            np.testing.assert_allclose(got, ref, atol=2e-6, err_msg=str(curve))

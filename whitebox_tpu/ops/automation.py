@@ -31,8 +31,27 @@ _SENTINEL = np.int32(2**31 - 1)
 
 
 class CurveType(enum.IntEnum):
-    LINEAR = 0
-    EXP_EASE = 1  # exponential_ease2(u, tension)
+    """envelope_storage.h:12 EnvelopePointType — all nine curve shapes.
+
+    The reference only *edits* these (env_editor.cpp); here they evaluate
+    per frame. Formula notes: EXP_* use core_math.h exponential_ease,
+    EXP_ALT_* the rational exponential_ease2, POW_* u^(2^tension); *_DUAL
+    are the symmetric S-curve forms; HOLD/STEP are the two constants.
+    """
+
+    HOLD = 0
+    LINEAR = 1
+    EXP_SINGLE = 2
+    EXP_DUAL = 3
+    EXP_ALT_SINGLE = 4
+    EXP_ALT_DUAL = 5
+    POW_SINGLE = 6
+    POW_DUAL = 7
+    STEP = 8
+
+
+#: backward-compat alias (earlier rounds persisted EXP_EASE == ExpAltSingle)
+CurveType.EXP_EASE = CurveType.EXP_ALT_SINGLE
 
 
 @dataclass
@@ -103,12 +122,46 @@ def eval_lane_device(xs, ys, cv, tn, g):
         span = jnp.maximum(x1 - x0, 1)
         u = jnp.clip((g - x0).astype(jnp.float32) / span.astype(jnp.float32), 0.0, 1.0)
         u = jnp.where(x1 == _SENTINEL, jnp.float32(0.0), u)  # hold after last point
-        t = tn[i]
-        eased = (u - t * u) / (t - 2.0 * t * jnp.abs(u) + 1.0)  # exponential_ease2
-        u = jnp.where(cv[i] == int(CurveType.EXP_EASE), eased, u)
+        u = _apply_curve(u, cv[i], tn[i], jnp)
         seg = ys[i] + u * (ys[i + 1] - ys[i])
         val = jnp.where(g >= x0, seg, val)
     return val
+
+
+def _apply_curve(u, curve, t, mod):
+    """Shape the unit ramp ``u`` per CurveType (works for jnp and numpy)."""
+    t_safe = mod.where(mod.abs(t) < 1e-2, 1e-2, t)
+    exp_s = (mod.exp(u * t_safe) - 1.0) / (mod.exp(t_safe) - 1.0)
+    exp_s = mod.where(mod.abs(t) < 1e-2, u, exp_s)  # linear near t == 0
+
+    def dual(f_u, f_mirror):
+        return mod.where(u < 0.5, 0.5 * f_u, 1.0 - 0.5 * f_mirror)
+
+    # duals evaluate the single form at 2u / 2(1-u)
+    u2 = mod.clip(2.0 * u, 0.0, 1.0)
+    um = mod.clip(2.0 * (1.0 - u), 0.0, 1.0)
+    exp_s2 = mod.where(mod.abs(t) < 1e-2, u2, (mod.exp(u2 * t_safe) - 1.0) / (mod.exp(t_safe) - 1.0))
+    exp_sm = mod.where(mod.abs(t) < 1e-2, um, (mod.exp(um * t_safe) - 1.0) / (mod.exp(t_safe) - 1.0))
+
+    alt = (u - t * u) / (t - 2.0 * t * mod.abs(u) + 1.0)  # exponential_ease2
+    alt2 = (u2 - t * u2) / (t - 2.0 * t * mod.abs(u2) + 1.0)
+    altm = (um - t * um) / (t - 2.0 * t * mod.abs(um) + 1.0)
+
+    p = mod.exp2(t)
+    pow_s = u ** p
+    pow_2 = u2 ** p
+    pow_m = um ** p
+
+    out = u  # LINEAR default
+    out = mod.where(curve == int(CurveType.HOLD), 0.0, out)
+    out = mod.where(curve == int(CurveType.EXP_SINGLE), exp_s, out)
+    out = mod.where(curve == int(CurveType.EXP_DUAL), dual(exp_s2, exp_sm), out)
+    out = mod.where(curve == int(CurveType.EXP_ALT_SINGLE), alt, out)
+    out = mod.where(curve == int(CurveType.EXP_ALT_DUAL), dual(alt2, altm), out)
+    out = mod.where(curve == int(CurveType.POW_SINGLE), pow_s, out)
+    out = mod.where(curve == int(CurveType.POW_DUAL), dual(pow_2, pow_m), out)
+    out = mod.where(curve == int(CurveType.STEP), mod.where(u >= 1.0, 1.0, 0.0), out)
+    return out.astype(mod.float32) if hasattr(out, "astype") else out
 
 
 def eval_lane_numpy(xs, ys, cv, tn, g):
@@ -121,9 +174,7 @@ def eval_lane_numpy(xs, ys, cv, tn, g):
     span = np.maximum(x1 - x0, 1)
     u = np.clip((g - x0).astype(np.float32) / span.astype(np.float32), 0.0, 1.0)
     u = np.where(x1 == _SENTINEL, np.float32(0.0), u)
-    t = tn[i]
-    eased = (u - t * u) / (t - 2.0 * t * np.abs(u) + 1.0)
-    u = np.where(cv[i] == int(CurveType.EXP_EASE), eased, u).astype(np.float32)
+    u = _apply_curve(u, cv[i], tn[i].astype(np.float32), np).astype(np.float32)
     return (y0 + u * (y1 - y0)).astype(np.float32)
 
 
