@@ -143,9 +143,11 @@ def _apply_curve(u, curve, t, mod):
     exp_s2 = mod.where(mod.abs(t) < 1e-2, u2, (mod.exp(u2 * t_safe) - 1.0) / (mod.exp(t_safe) - 1.0))
     exp_sm = mod.where(mod.abs(t) < 1e-2, um, (mod.exp(um * t_safe) - 1.0) / (mod.exp(t_safe) - 1.0))
 
-    alt = (u - t * u) / (t - 2.0 * t * mod.abs(u) + 1.0)  # exponential_ease2
-    alt2 = (u2 - t * u2) / (t - 2.0 * t * mod.abs(u2) + 1.0)
-    altm = (um - t * um) / (t - 2.0 * t * mod.abs(um) + 1.0)
+    # exponential_ease2 poles at |t| >= 1: clamp tension into its domain
+    ta = mod.clip(t, -0.95, 0.95)
+    alt = (u - ta * u) / (ta - 2.0 * ta * mod.abs(u) + 1.0)
+    alt2 = (u2 - ta * u2) / (ta - 2.0 * ta * mod.abs(u2) + 1.0)
+    altm = (um - ta * um) / (ta - 2.0 * ta * mod.abs(um) + 1.0)
 
     p = mod.exp2(t)
     pow_s = u ** p
