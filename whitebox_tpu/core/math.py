@@ -62,15 +62,43 @@ def exponential_ease2(x, y):
     return (x - y * x) / (y - 2.0 * y * np.abs(x) + 1.0)
 
 
+def _load_libm_powf():
+    """glibc's powf, so the host mirror matches the C++ bit-for-bit.
+
+    numpy's f32 power differs from glibc powf by 1 ulp on ~16% of inputs,
+    and even f64-pow-then-round disagrees on rare double-rounding cases
+    (measured 162/300k against the compiled reference twin)."""
+    try:
+        import ctypes
+        import ctypes.util
+
+        name = ctypes.util.find_library("m") or "libm.so.6"
+        libm = ctypes.CDLL(name)
+        libm.powf.restype = ctypes.c_float
+        libm.powf.argtypes = [ctypes.c_float, ctypes.c_float]
+        return libm.powf
+    except Exception:
+        return None
+
+
+_POWF = _load_libm_powf()
+
+
 def db_to_linear_f32(db, threshold=DB_SILENT_THRESHOLD):
     """core_math.h:84 ``db_to_linear<float>`` — float32 result.
 
     C++ computes ``std::pow(10.0f, (float)((double)x * 0.05))`` (powf) and
-    returns 0 at/below the -72 dB floor. Scalar or array.
+    returns 0 at/below the -72 dB floor. Scalar or array. Uses libm's powf
+    when available (bit-exact vs the reference); falls back to f64 pow
+    rounded to f32 (≤1 ulp off in rare double-rounding cases).
     """
     db = np.asarray(db)
     exp32 = (np.asarray(db, dtype=np.float64) * 0.05).astype(np.float32)
-    val = np.power(np.float32(10.0), exp32, dtype=np.float32)
+    if _POWF is not None:
+        flat = np.asarray(exp32).ravel()
+        val = np.array([_POWF(10.0, float(e)) for e in flat], dtype=np.float32).reshape(np.shape(exp32))
+    else:
+        val = np.power(10.0, exp32.astype(np.float64)).astype(np.float32)
     out = np.where(db <= threshold, np.float32(0.0), val)
     return out[()] if out.ndim == 0 else out
 
