@@ -29,6 +29,10 @@ class MidiNote:
     velocity: float = 1.0
 
 
+#: midi_data.h:11 — highest representable key (+1) in the reference editor.
+MAX_KEYS = 132
+
+
 class MidiNoteBuffer:
     """Sorted note sequence + min/max metadata (midi_data.h:9-39)."""
 
@@ -37,6 +41,7 @@ class MidiNoteBuffer:
         self.min_note: int = 127
         self.max_note: int = 0
         self.max_length: float = 0.0
+        self.num_selected: int = 0
         self.create_metadata()
 
     def create_metadata(self) -> None:
@@ -53,6 +58,53 @@ class MidiNoteBuffer:
     def add_note(self, note: MidiNote) -> None:
         self.notes.append(note)
         self.create_metadata()
+
+    def update_channel(self, channel: int = 0) -> list[int]:
+        """midi_data.cpp:105 MidiData::update_channel — re-sort the sequence
+        by (min_time, key, velocity), clear MODIFIED flags and return the
+        post-sort ids of the notes that carried them, and refresh the
+        min/max-note, max-length and selection-count caches."""
+        self.notes.sort(key=lambda n: (n.min_time, n.key, n.velocity))
+        modified: list[int] = []
+        new_min, new_max = MAX_KEYS, 0
+        length = 0.0
+        selected = 0
+        for i, note in enumerate(self.notes):
+            note.meta_id = i
+            length = max(length, note.max_time)
+            new_min = min(new_min, note.key)
+            new_max = max(new_max, note.key)
+            if note.flags & MidiNoteFlags.MODIFIED:
+                note.flags &= ~MidiNoteFlags.MODIFIED
+                modified.append(i)
+            if note.flags & MidiNoteFlags.SELECTED:
+                selected += 1
+        self.max_length = length
+        self.min_note = new_min
+        self.max_note = new_max
+        self.num_selected = selected
+        return modified
+
+    def find_note(self, pos: float, key: int, channel: int = 0) -> int | None:
+        """midi_data.cpp:52 — first note with min_time <= pos < max_time and
+        a key match; None when nothing is hit."""
+        for i, note in enumerate(self.notes):
+            if note.min_time <= pos < note.max_time and note.key == key:
+                return i
+        return None
+
+    def find_notes(self, min_pos: float, max_pos: float, min_key: int, max_key: int,
+                   channel: int = 0) -> list[int]:
+        """midi_data.cpp:68 — ids of notes overlapping the time/key box.
+        Early-breaks on min_time > max_pos (the sequence is time-sorted)."""
+        out: list[int] = []
+        for i, note in enumerate(self.notes):
+            if note.max_time < min_pos or note.key < min_key or note.key > max_key:
+                continue
+            if note.min_time > max_pos:
+                break
+            out.append(i)
+        return out
 
     def find_first_note(self, time_pos: float, channel: int = 0) -> int:
         """Index of the first note with max_time > time_pos (playback cursor

@@ -209,6 +209,162 @@ class DeleteRegion(Command):
         session.delete_region(session.tracks[self.track_idx], self.min_time, self.max_time)
 
 
+@dataclass
+class ClipAddFromFile(Command):
+    """command.h:46 ClipAddFromFileCmd."""
+
+    name = "add clip from file"
+    track_idx: int = 0
+    path: str = ""
+    time_pos: float = 0.0
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        session.add_clip_from_file(session.tracks[self.track_idx], self.path, self.time_pos)
+
+
+@dataclass
+class ClipRename(Command):
+    """command.h:57 ClipRenameCmd."""
+
+    name = "rename clip"
+    track_idx: int = 0
+    clip_id: int = 0
+    new_name: str = ""
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        session.tracks[self.track_idx].clips[self.clip_id].name = self.new_name
+
+
+@dataclass
+class ClipChangeColor(Command):
+    """command.h:67 ClipChangeColorCmd."""
+
+    name = "change clip color"
+    track_idx: int = 0
+    clip_id: int = 0
+    color: int = 0
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        session.tracks[self.track_idx].clips[self.clip_id].color = self.color
+
+
+@dataclass
+class ClipShift(Command):
+    """command.h:89 ClipShiftCmd — shift one clip's content."""
+
+    name = "shift clip"
+    track_idx: int = 0
+    clip_id: int = 0
+    relative_pos: float = 0.0
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        from whitebox_tpu.session.clip import shift_clip_content
+
+        clip = session.tracks[self.track_idx].clips[self.clip_id]
+        clip.start_offset = shift_clip_content(clip, self.relative_pos, session.beat_duration)
+        clip.internal_state_changed = True
+
+
+@dataclass
+class ClipDuplicate(Command):
+    """command.h:114 ClipDuplicateCmd — copy a clip to (dst track, +offset)."""
+
+    name = "duplicate clip"
+    src_track_idx: int = 0
+    dst_track_idx: int = 0
+    clip_id: int = 0
+    relative_pos: float = 0.0
+
+    def touched_tracks(self, session):
+        return sorted({self.src_track_idx, self.dst_track_idx})
+
+    def apply(self, session):
+        clip = session.tracks[self.src_track_idx].clips[self.clip_id].clone()
+        clip.min_time += self.relative_pos
+        clip.max_time += self.relative_pos
+        session._add_to_cliplist(session.tracks[self.dst_track_idx], clip)
+
+
+@dataclass
+class MidiClipParamChange(Command):
+    """command.h:223 MidiClipParamChangeCmd — transpose / rate."""
+
+    name = "change midi clip params"
+    track_idx: int = 0
+    clip_id: int = 0
+    transpose: Optional[int] = None
+    rate: Optional[int] = None
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        clip = session.tracks[self.track_idx].clips[self.clip_id]
+        if self.transpose is not None:
+            clip.midi.transpose = self.transpose
+        if self.rate is not None:
+            clip.midi.rate = self.rate
+
+
+# ---- track structural commands (command.h:30 TrackAddCmd, :38 TrackMoveCmd;
+#      delete is an extension — the reference GUI deletes tracks without an
+#      undoable command). These return None from touched_tracks: the manager
+#      snapshots the whole track list since indices shift. ----
+
+
+@dataclass
+class TrackAdd(Command):
+    name = "add track"
+    track_name: str = ""
+    volume_db: float = 0.0
+    pan: float = 0.0
+    color: int = 0
+
+    def touched_tracks(self, session):
+        return None
+
+    def apply(self, session):
+        t = session.add_track(self.track_name, volume_db=self.volume_db, pan=self.pan)
+        t.color = self.color
+
+
+@dataclass
+class TrackDelete(Command):
+    name = "delete track"
+    track_idx: int = 0
+
+    def touched_tracks(self, session):
+        return None
+
+    def apply(self, session):
+        session.delete_track(self.track_idx)
+
+
+@dataclass
+class TrackMove(Command):
+    name = "move track"
+    from_slot: int = 0
+    to_slot: int = 0
+
+    def touched_tracks(self, session):
+        return None
+
+    def apply(self, session):
+        session.move_track(self.from_slot, self.to_slot)
+
+
 # ---- track parameter commands (TrackParameterChangedCmd etc.) ----
 
 
@@ -258,9 +414,186 @@ class NoteAdd(Command):
 
 
 @dataclass
+class _NoteClipRef:
+    """Shared (track_idx, clip_id) head for note commands (MidiCmd base,
+    command.h:236)."""
+
+    track_idx: int = 0
+    clip_id: int = 0
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def _clip(self, session):
+        return session.tracks[self.track_idx].clips[self.clip_id]
+
+
+@dataclass
+class NotePaint(_NoteClipRef, Command):
+    """command.h:258 MidiPaintNotesCmd — bulk note insert."""
+
+    name = "paint notes"
+    notes: list = field(default_factory=list)
+    channel: int = 0
+
+    def apply(self, session):
+        from dataclasses import replace
+
+        t = session.tracks[self.track_idx]
+        session.add_notes(t, self._clip(session), [replace(n) for n in self.notes], self.channel)
+
+
+@dataclass
+class NoteMove(_NoteClipRef, Command):
+    """command.h:276 MidiMoveNoteCmd (single or selected)."""
+
+    name = "move note"
+    note_id: Optional[int] = None  # None = move the selection
+    relative_key_pos: int = 0
+    relative_pos: float = 0.0
+
+    def apply(self, session):
+        t = session.tracks[self.track_idx]
+        if self.note_id is None:
+            session.move_selected_note(t, self._clip(session), self.relative_key_pos, self.relative_pos)
+        else:
+            session.move_note(t, self._clip(session), self.note_id, self.relative_key_pos, self.relative_pos)
+
+
+@dataclass
+class NoteResize(_NoteClipRef, Command):
+    """command.h:286 MidiResizeNoteCmd (single or selected)."""
+
+    name = "resize note"
+    note_id: Optional[int] = None
+    relative_pos: float = 0.0
+    left_side: bool = False
+
+    def apply(self, session):
+        t = session.tracks[self.track_idx]
+        if self.note_id is None:
+            session.resize_selected_note(t, self._clip(session), self.relative_pos, self.left_side)
+        else:
+            session.resize_note(t, self._clip(session), self.note_id, self.relative_pos, self.left_side)
+
+
+@dataclass
+class NoteSlice(_NoteClipRef, Command):
+    """command.h:266 MidiSliceNoteCmd."""
+
+    name = "slice note"
+    slice_pos: float = 0.0
+    velocity: float = 1.0
+    note_key: int = 60
+    channel: int = 0
+
+    def apply(self, session):
+        t = session.tracks[self.track_idx]
+        session.slice_note(t, self._clip(session), self.slice_pos, self.velocity, self.note_key, self.channel)
+
+
+@dataclass
+class NoteMute(_NoteClipRef, Command):
+    """command.h:329 MidiMuteNoteCmd — (un)mute the selection."""
+
+    name = "mute notes"
+    should_mute: bool = True
+
+    def apply(self, session):
+        session.mute_selected_note(session.tracks[self.track_idx], self._clip(session), self.should_mute)
+
+
+@dataclass
+class NoteDelete(_NoteClipRef, Command):
+    """command.h:339 MidiDeleteNoteCmd — delete SELECTED (or DELETED-flagged)."""
+
+    name = "delete notes"
+    delete_selected: bool = True
+
+    def apply(self, session):
+        session.delete_marked_notes(session.tracks[self.track_idx], self._clip(session), self.delete_selected)
+
+
+@dataclass
+class NoteSelect(_NoteClipRef, Command):
+    """command.h:296 MidiSelectNoteCmd — box select."""
+
+    name = "select notes"
+    min_pos: float = 0.0
+    max_pos: float = 0.0
+    min_key: int = 0
+    max_key: int = 131
+
+    def apply(self, session):
+        session.select_note(session.tracks[self.track_idx], self._clip(session),
+                            self.min_pos, self.max_pos, self.min_key, self.max_key)
+
+
+@dataclass
+class NoteSelectOrDeselectAll(_NoteClipRef, Command):
+    """command.h:309 MidiSelectOrDeselectNotesCmd."""
+
+    name = "select/deselect all notes"
+    should_select: bool = True
+
+    def apply(self, session):
+        session.select_or_deselect_notes(session.tracks[self.track_idx], self._clip(session), self.should_select)
+
+
+@dataclass
+class NoteAppendSelection(_NoteClipRef, Command):
+    """command.h:319 MidiAppendNoteSelectionCmd — toggle the given ids."""
+
+    name = "append note selection"
+    should_select: bool = True
+    note_ids: list = field(default_factory=list)
+
+    def apply(self, session):
+        session.append_note_selection(session.tracks[self.track_idx], self._clip(session),
+                                      self.should_select, list(self.note_ids))
+
+
+@dataclass
+class NoteVelocity(_NoteClipRef, Command):
+    """command.h:346/:357 MidiChangeNoteVelocityCmd (single or selected)."""
+
+    name = "change note velocity"
+    note_id: Optional[int] = None
+    relative_velocity: float = 0.0
+
+    def apply(self, session):
+        t = session.tracks[self.track_idx]
+        if self.note_id is None:
+            session.change_selected_note_velocity(t, self._clip(session), self.relative_velocity)
+        else:
+            session.change_note_velocity(t, self._clip(session), self.note_id, self.relative_velocity)
+
+
+@dataclass
+class _SessionSnapshot:
+    """Whole-track-list snapshot for structural commands (add/delete/move
+    track), where per-index snapshots can't survive the index shuffle."""
+
+    tracks: list
+
+    @staticmethod
+    def _clone_track(t: Track) -> Track:
+        from dataclasses import replace
+
+        return replace(t, clips=[c.clone() for c in t.clips], effects=list(t.effects))
+
+    @staticmethod
+    def capture(session: Session) -> "_SessionSnapshot":
+        return _SessionSnapshot(tracks=[_SessionSnapshot._clone_track(t) for t in session.tracks])
+
+    def restore(self, session: Session) -> None:
+        session.tracks = [self._clone_track(t) for t in self.tracks]
+
+
+@dataclass
 class _HistoryEntry:
     command: Command
-    before: list  # _TrackSnapshot list
+    before: list  # _TrackSnapshot / _SessionSnapshot list
     after: list
 
 
@@ -276,14 +609,24 @@ class CommandManager:
 
     def execute(self, command: Command) -> None:
         tracks = command.touched_tracks(self.session)
-        # MIDI note edits mutate shared assets: snapshot their note lists too
-        before = [_TrackSnapshot.capture(self.session, i) for i in tracks]
-        note_snaps = self._capture_notes(tracks)
-        command.apply(self.session)
-        after = [_TrackSnapshot.capture(self.session, i) for i in tracks]
+        # MIDI note edits mutate shared assets: snapshot their note lists too.
+        # touched_tracks() -> None marks a structural command (track
+        # add/delete/move): snapshot the whole track list instead.
+        if tracks is None:
+            before = [_SessionSnapshot.capture(self.session)]
+            note_snaps = self._capture_notes(range(len(self.session.tracks)))
+            command.apply(self.session)
+            after = [_SessionSnapshot.capture(self.session)]
+            notes_after = self._capture_notes(range(len(self.session.tracks)))
+        else:
+            before = [_TrackSnapshot.capture(self.session, i) for i in tracks]
+            note_snaps = self._capture_notes(tracks)
+            command.apply(self.session)
+            after = [_TrackSnapshot.capture(self.session, i) for i in tracks]
+            notes_after = self._capture_notes(tracks)
         entry = _HistoryEntry(command, before, after)
         entry.notes_before = note_snaps
-        entry.notes_after = self._capture_notes(tracks)
+        entry.notes_after = notes_after
         self.undo_stack.append(entry)
         if len(self.undo_stack) > self.max_history:
             self.undo_stack.pop(0)

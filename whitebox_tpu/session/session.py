@@ -34,6 +34,26 @@ class TrackEditResult:
 
 
 @dataclass
+class MidiEditResult:
+    """engine.h MidiEditResult — post-sort ids of modified notes plus backup
+    copies of the pre-edit notes (the reference's undo payload)."""
+
+    modified_notes: list[int] = field(default_factory=list)
+    deleted_notes: list = field(default_factory=list)
+
+
+@dataclass
+class NoteSelectResult:
+    """engine.h NoteSelectResult — ids whose selection state flipped plus the
+    key span of the new selection (GUI Y-scaling in the reference)."""
+
+    selected: list[int] = field(default_factory=list)
+    deselected: list[int] = field(default_factory=list)
+    min_key: int = 0
+    max_key: int = 0
+
+
+@dataclass
 class ProjectInfo:
     author: str = ""
     title: str = ""
@@ -391,6 +411,273 @@ class Session:
             track = self.tracks[track_idx]
             self.resize_clip(track, track.clips[clip_id], relative_pos, resize_limit,
                              min_length, left_side, shift)
+
+    # ---- MIDI note editing (engine.cpp:1103-1463) ----
+
+    @staticmethod
+    def _midi_notes(clip: Clip):
+        """get_midi_clip_ null-check: the note buffer, or None for non-MIDI."""
+        if not clip.is_midi() or clip.midi is None or clip.midi.asset is None:
+            return None
+        return clip.midi.asset.notes
+
+    def add_note(self, track: Track, clip: Clip, min_time: float, max_time: float,
+                 velocity: float, key: int, channel: int = 0):
+        """engine.cpp:1103 Engine::add_note."""
+        from whitebox_tpu.midi.notes import MidiNote, MidiNoteFlags
+
+        buf = self._midi_notes(clip)
+        if buf is None:
+            return None
+        buf.notes.append(MidiNote(min_time=min_time, max_time=max_time, key=key,
+                                  flags=MidiNoteFlags.MODIFIED, velocity=velocity))
+        return MidiEditResult(modified_notes=buf.update_channel(channel))
+
+    def add_notes(self, track: Track, clip: Clip, notes: list, channel: int = 0):
+        """engine.cpp:1134 Engine::add_note (bulk; MidiPaintNotesCmd)."""
+        buf = self._midi_notes(clip)
+        if buf is None:
+            return None
+        buf.notes.extend(notes)
+        return MidiEditResult(modified_notes=buf.update_channel(channel))
+
+    def move_note(self, track: Track, clip: Clip, note_id: int,
+                  relative_key_pos: int, relative_pos: float):
+        """engine.cpp:1150 — deleted_notes carries the pre-move backup."""
+        from dataclasses import replace
+
+        from whitebox_tpu.midi.notes import MidiNoteFlags
+
+        buf = self._midi_notes(clip)
+        if buf is None:
+            return None
+        note = buf.notes[note_id]
+        backup = replace(note)
+        note.min_time += relative_pos
+        note.max_time += relative_pos
+        note.key = int(note.key) + int(relative_key_pos)
+        note.flags |= MidiNoteFlags.MODIFIED
+        return MidiEditResult(modified_notes=buf.update_channel(0), deleted_notes=[backup])
+
+    def move_selected_note(self, track: Track, clip: Clip,
+                           relative_key_pos: int, relative_pos: float):
+        """engine.cpp:1171 — move every SELECTED note."""
+        from dataclasses import replace
+
+        from whitebox_tpu.midi.notes import MidiNoteFlags
+
+        buf = self._midi_notes(clip)
+        if buf is None:
+            return None
+        backup = []
+        for note in buf.notes:
+            if note.flags & MidiNoteFlags.SELECTED:
+                backup.append(replace(note))
+                note.min_time += relative_pos
+                note.max_time += relative_pos
+                note.key = int(note.key) + int(relative_key_pos)
+                note.flags |= MidiNoteFlags.MODIFIED
+        return MidiEditResult(modified_notes=buf.update_channel(0), deleted_notes=backup)
+
+    def resize_note(self, track: Track, clip: Clip, note_id: int,
+                    relative_pos: float, left_side: bool):
+        """engine.cpp:1196 — grow/shrink one edge."""
+        from dataclasses import replace
+
+        from whitebox_tpu.midi.notes import MidiNoteFlags
+
+        buf = self._midi_notes(clip)
+        if buf is None:
+            return None
+        note = buf.notes[note_id]
+        backup = replace(note)
+        if left_side:
+            note.min_time += relative_pos
+        else:
+            note.max_time += relative_pos
+        note.flags |= MidiNoteFlags.MODIFIED
+        return MidiEditResult(modified_notes=buf.update_channel(0), deleted_notes=[backup])
+
+    def resize_selected_note(self, track: Track, clip: Clip,
+                             relative_pos: float, left_side: bool):
+        """engine.cpp:1219 — resize every SELECTED note on one side."""
+        from dataclasses import replace
+
+        from whitebox_tpu.midi.notes import MidiNoteFlags
+
+        buf = self._midi_notes(clip)
+        if buf is None:
+            return None
+        backup = []
+        for note in buf.notes:
+            if note.flags & MidiNoteFlags.SELECTED:
+                backup.append(replace(note))
+                if left_side:
+                    note.min_time += relative_pos
+                else:
+                    note.max_time += relative_pos
+                note.flags |= MidiNoteFlags.MODIFIED
+        return MidiEditResult(modified_notes=buf.update_channel(0), deleted_notes=backup)
+
+    def slice_note(self, track: Track, clip: Clip, slice_pos: float,
+                   velocity: float, note_key: int, channel: int = 0):
+        """engine.cpp:1252 — split the note under (slice_pos, key) in two.
+
+        The second half keeps the original note's velocity (the ``velocity``
+        parameter is accepted but unused, exactly as upstream)."""
+        from dataclasses import replace
+
+        from whitebox_tpu.midi.notes import MidiNote, MidiNoteFlags
+
+        buf = self._midi_notes(clip)
+        if buf is None:
+            return None
+        seq_id = buf.find_note(slice_pos, note_key, channel)
+        if seq_id is None:
+            return None
+        note = buf.notes[seq_id]
+        if not (note.min_time < slice_pos < note.max_time):
+            return None
+        backup = replace(note)
+        tmp_velocity = note.velocity
+        tmp_max_time = note.max_time
+        note.max_time = slice_pos
+        note.flags |= MidiNoteFlags.MODIFIED
+        buf.notes.append(MidiNote(min_time=slice_pos, max_time=tmp_max_time, key=note_key,
+                                  flags=MidiNoteFlags.MODIFIED, velocity=tmp_velocity))
+        return MidiEditResult(modified_notes=buf.update_channel(channel), deleted_notes=[backup])
+
+    def mute_selected_note(self, track: Track, clip: Clip, should_mute: bool) -> list[int]:
+        """engine.cpp:1300 — (un)mute SELECTED notes, returning affected ids."""
+        from whitebox_tpu.midi.notes import MidiNoteFlags
+
+        buf = self._midi_notes(clip)
+        if buf is None:
+            return []
+        note_ids = []
+        if should_mute:
+            for note_id, note in enumerate(buf.notes):
+                if not (note.flags & MidiNoteFlags.MUTED) and (note.flags & MidiNoteFlags.SELECTED):
+                    note.flags |= MidiNoteFlags.MUTED
+                    note_ids.append(note_id)
+        else:
+            for note_id, note in enumerate(buf.notes):
+                if (note.flags & MidiNoteFlags.MUTED) and (note.flags & MidiNoteFlags.SELECTED):
+                    note.flags &= ~MidiNoteFlags.MUTED
+                    note_ids.append(note_id)
+        return note_ids
+
+    def delete_marked_notes(self, track: Track, clip: Clip, delete_selected: bool):
+        """engine.cpp:1333 — drop notes flagged SELECTED (or DELETED); the
+        DELETED flag is cleared on the backup copies, as upstream."""
+        from whitebox_tpu.midi.notes import MidiNoteFlags
+
+        buf = self._midi_notes(clip)
+        if buf is None:
+            return None
+        flag = MidiNoteFlags.SELECTED if delete_selected else MidiNoteFlags.DELETED
+        backup, kept = [], []
+        for note in buf.notes:
+            if note.flags & flag:
+                if not delete_selected:
+                    note.flags &= ~flag
+                backup.append(note)
+            else:
+                kept.append(note)
+        buf.notes = kept
+        return MidiEditResult(modified_notes=buf.update_channel(0), deleted_notes=backup)
+
+    def select_note(self, track: Track, clip: Clip, min_pos: float, max_pos: float,
+                    min_key: int, max_key: int):
+        """engine.cpp:1370 — exclusive box select: previous selection is
+        dropped (ids reported in ``deselected``), notes overlapping the
+        time/key box become the new selection."""
+        from whitebox_tpu.midi.notes import MAX_KEYS, MidiNoteFlags
+
+        buf = self._midi_notes(clip)
+        if buf is None:
+            return None
+        result = NoteSelectResult(min_key=MAX_KEYS, max_key=0)
+        for note_id, note in enumerate(buf.notes):
+            if note.flags & MidiNoteFlags.SELECTED:
+                result.deselected.append(note_id)
+            flags = note.flags & ~MidiNoteFlags.SELECTED
+            if note.min_time <= max_pos and note.max_time >= min_pos and min_key <= note.key <= max_key:
+                note.flags = flags | MidiNoteFlags.SELECTED
+                result.selected.append(note_id)
+                result.min_key = min(result.min_key, note.key)
+                result.max_key = max(result.max_key, note.key)
+            else:
+                note.flags = flags
+        buf.num_selected = len(result.selected)
+        return result
+
+    def select_or_deselect_notes(self, track: Track, clip: Clip, should_select: bool = True):
+        """engine.cpp:1404 — select or clear ALL notes. Changed ids land in
+        ``deselected`` in both directions (upstream quirk, kept)."""
+        from whitebox_tpu.midi.notes import MidiNoteFlags
+
+        buf = self._midi_notes(clip)
+        if buf is None:
+            return None
+        result = NoteSelectResult()
+        if should_select:
+            for note_id, note in enumerate(buf.notes):
+                if not (note.flags & MidiNoteFlags.SELECTED):
+                    result.deselected.append(note_id)
+                    note.flags = MidiNoteFlags.SELECTED
+                    buf.num_selected += 1
+        else:
+            for note_id, note in enumerate(buf.notes):
+                if note.flags & MidiNoteFlags.SELECTED:
+                    result.deselected.append(note_id)
+                    note.flags &= ~MidiNoteFlags.SELECTED
+                    buf.num_selected -= 1
+        return result
+
+    def append_note_selection(self, track: Track, clip: Clip, should_select: bool,
+                              note_ids: list[int]) -> None:
+        """engine.cpp:1437 — toggle selection of the given ids (the
+        ``should_select`` parameter is unused upstream; kept for parity)."""
+        from whitebox_tpu.midi.notes import MidiNoteFlags
+
+        buf = self._midi_notes(clip)
+        if buf is None:
+            return
+        for note_id in note_ids:
+            note = buf.notes[note_id]
+            if note.flags & MidiNoteFlags.SELECTED:
+                note.flags &= ~MidiNoteFlags.SELECTED
+                buf.num_selected -= 1
+            else:
+                note.flags |= MidiNoteFlags.SELECTED
+                buf.num_selected += 1
+
+    def change_note_velocity(self, track: Track, clip: Clip, note_id: int,
+                             relative_velocity: float) -> float | None:
+        """command.cpp:691 MidiChangeNoteVelocityCmd — returns the old value."""
+        buf = self._midi_notes(clip)
+        if buf is None:
+            return None
+        old = buf.notes[note_id].velocity
+        buf.notes[note_id].velocity = old + relative_velocity
+        return old
+
+    def change_selected_note_velocity(self, track: Track, clip: Clip,
+                                      relative_velocity: float) -> list[tuple[int, float]]:
+        """command.cpp:713 — bump velocity of SELECTED notes; returns
+        (id, old_velocity) pairs for undo."""
+        from whitebox_tpu.midi.notes import MidiNoteFlags
+
+        buf = self._midi_notes(clip)
+        if buf is None:
+            return []
+        old = []
+        for note_id, note in enumerate(buf.notes):
+            if note.flags & MidiNoteFlags.SELECTED:
+                old.append((note_id, note.velocity))
+                note.velocity += relative_velocity
+        return old
 
     # ---- recording ingestion (Engine::stop_record flow, engine.cpp:107-140:
     #      recorded audio becomes a registered Sample + a clip at the record
