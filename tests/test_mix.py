@@ -81,3 +81,74 @@ class TestDeviceMixParity:
                                     num_blocks=oracle.shape[1] // 512)
         ours = render_timeline(table, pool, s, strict_order=False)
         np.testing.assert_allclose(ours, oracle, atol=1e-6, rtol=1e-5)
+
+
+class TestPackDeviceTablesVectorized:
+    """The packer is a vectorized scatter; verify bit-identity against a
+    straightforward per-row loop oracle, and that host prep stays fast for
+    resampled many-row tables."""
+
+    def _loop_oracle(self, table, pool, session, channels=2):
+        from whitebox_tpu.ops.dsarith import split_f64
+        from whitebox_tpu.ops.mix import _I32_SENTINEL
+
+        T = table.num_tracks
+        counts = np.bincount(table.track, minlength=T)
+        S = max(int(counts.max()) if counts.size else 1, 1)
+        ref = {
+            "dst_start": np.full((T, S), _I32_SENTINEL, np.int32),
+            "length": np.zeros((T, S), np.int32),
+            "src_base": np.zeros((T, S, channels), np.int32),
+            "gain": np.zeros((T, S), np.float32),
+            "fast": np.ones((T, S), bool),
+            "clamp": np.zeros((T, S), bool),
+        }
+        fh, fl = split_f64(table.src_frac)
+        ref["frac_hi"] = np.zeros((T, S), np.float32)
+        pos = np.zeros(T, np.int64)
+        for r in range(len(table)):
+            t = int(table.track[r])
+            i = int(pos[t]); pos[t] += 1
+            ref["dst_start"][t, i] = table.dst_start[r]
+            ref["length"][t, i] = table.length[r]
+            sid = int(table.sample_id[r])
+            ref["src_base"][t, i, :] = pool.channel_base[sid, :channels].astype(np.int64) + int(table.src_int[r])
+            ref["frac_hi"][t, i] = fh[r]
+            ref["gain"][t, i] = table.gain[r]
+            ref["fast"][t, i] = table.fast[r]
+            ref["clamp"][t, i] = table.clamp[r]
+        return ref
+
+    def test_matches_loop_oracle_resampled(self):
+        from whitebox_tpu.ops.mix import pack_device_tables
+        from whitebox_tpu.render.demo import make_demo_session
+        from whitebox_tpu.timeline.carve import carve_session
+
+        session = make_demo_session(n_tracks=12, duration_seconds=3.0, seed=3,
+                                    clip_speeds=(1.0, 0.5, 44100.0 / 48000.0))
+        table, pool = carve_session(session, 48000.0, buffer_size=256)
+        assert len(table) > 100  # resampled slots emit per-block rows
+        dev = pack_device_tables(table, pool, session)
+        ref = self._loop_oracle(table, pool, session)
+        np.testing.assert_array_equal(dev.dst_start, ref["dst_start"])
+        np.testing.assert_array_equal(dev.length, ref["length"])
+        np.testing.assert_array_equal(dev.src_base, ref["src_base"])
+        np.testing.assert_array_equal(dev.frac_hi, ref["frac_hi"])
+        np.testing.assert_array_equal(dev.gain, ref["gain"])
+        np.testing.assert_array_equal(dev.fast, ref["fast"])
+        np.testing.assert_array_equal(dev.clamp, ref["clamp"])
+
+    def test_host_prep_fast_at_scale(self):
+        import time
+
+        from whitebox_tpu.ops.mix import pack_device_tables
+        from whitebox_tpu.render.demo import make_demo_session
+        from whitebox_tpu.timeline.carve import carve_session
+
+        session = make_demo_session(n_tracks=128, duration_seconds=60.0, seed=5,
+                                    clip_speeds=(44100.0 / 48000.0,))
+        table, pool = carve_session(session, 48000.0, buffer_size=512)
+        t0 = time.perf_counter()
+        pack_device_tables(table, pool, session)
+        dt = time.perf_counter() - t0
+        assert dt < 0.3, f"pack took {dt:.3f}s for {len(table)} rows"

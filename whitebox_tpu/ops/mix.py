@@ -100,27 +100,37 @@ def pack_device_tables(
     if len(table):
         fh, fl = split_f64(table.src_frac)
         sh, sl = split_f64(table.speed)
-        pos = np.zeros(T, dtype=np.int64)
-        # table rows already sorted by (track, dst_start)
-        for r in range(len(table)):
-            t = int(table.track[r])
-            i = int(pos[t])
-            pos[t] += 1
-            dst_start[t, i] = table.dst_start[r]
-            length[t, i] = table.length[r]
-            sid = int(table.sample_id[r])
-            src_base[t, i, :] = pool.channel_base[sid, :channels].astype(np.int64) + int(table.src_int[r])
-            frac_hi[t, i] = fh[r]
-            frac_lo[t, i] = fl[r]
-            speed_hi[t, i] = sh[r]
-            speed_lo[t, i] = sl[r]
-            gain[t, i] = table.gain[r]
-            fast[t, i] = table.fast[r]
-            clamp[t, i] = table.clamp[r]
-            fin_start[t, i] = table.fin_start[r]
-            fin_inv[t, i] = table.fin_inv[r]
-            fout_end[t, i] = table.fout_end[r]
-            fout_inv[t, i] = table.fout_inv[r]
+        # Rows are emitted sorted by (track, dst_start); resampled sessions
+        # produce one row per block (~700k rows for 60s @ 128 tracks), so this
+        # must be a vectorized scatter, not a Python loop. Slot index = rank
+        # within track: row position minus the track's first-row offset.
+        trk = table.track.astype(np.int64)
+        if trk.size > 1 and np.any(np.diff(trk) < 0):
+            order = np.argsort(trk, kind="stable")  # defensive; normally a no-op
+        else:
+            order = np.arange(trk.size)
+        t_idx = trk[order]
+        row_offset = np.zeros(T + 1, dtype=np.int64)
+        np.cumsum(np.bincount(t_idx, minlength=T), out=row_offset[1:])
+        slot = np.arange(t_idx.size) - row_offset[t_idx]
+
+        dst_start[t_idx, slot] = table.dst_start[order]
+        length[t_idx, slot] = table.length[order]
+        sid = table.sample_id[order].astype(np.int64)
+        src_base[t_idx, slot, :] = (
+            pool.channel_base[sid][:, :channels].astype(np.int64) + table.src_int[order][:, None]
+        ).astype(np.int64)
+        frac_hi[t_idx, slot] = fh[order]
+        frac_lo[t_idx, slot] = fl[order]
+        speed_hi[t_idx, slot] = sh[order]
+        speed_lo[t_idx, slot] = sl[order]
+        gain[t_idx, slot] = table.gain[order]
+        fast[t_idx, slot] = table.fast[order]
+        clamp[t_idx, slot] = table.clamp[order]
+        fin_start[t_idx, slot] = table.fin_start[order]
+        fin_inv[t_idx, slot] = table.fin_inv[order]
+        fout_end[t_idx, slot] = table.fout_end[order]
+        fout_inv[t_idx, slot] = table.fout_inv[order]
 
     track_gain = np.zeros((T, channels), dtype=np.float32)
     for t, track in enumerate(session.tracks):
