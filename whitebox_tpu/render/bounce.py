@@ -142,7 +142,8 @@ def bounce(
         if plan is not None:
             renderer = PallasMixRenderer(table, pool, session, channels=channels, plan=plan)
             if has_fx:
-                (S, coeffs), (Sm, mcoeffs) = prepare_effect_tables(session, sample_rate, channels)
+                if effects_mode != "fir":  # fir mode never touches the scan tables
+                    (S, coeffs), (Sm, mcoeffs) = prepare_effect_tables(session, sample_rate, channels)
                 auto = prepare_automation_tables(session, sample_rate)
                 tg = jnp.asarray(plan.track_gain)
                 F_pad = plan.n_tiles * plan.tile
@@ -153,7 +154,10 @@ def bounce(
                 stats.carve_seconds = watch.lap()
 
                 if effects_mode == "fir":
-                    from whitebox_tpu.render.effects_fir import run_fir_finish
+                    from whitebox_tpu.render.effects_fir import prepare_fir_finish
+
+                    fir_finish = prepare_fir_finish(session, sample_rate, tg, auto, channels)
+                    stats.carve_seconds += watch.lap()  # host IR prep
 
                     def run_fx():
                         pt = renderer.render_device_per_track()
@@ -161,7 +165,7 @@ def bounce(
                         ptr = pt.reshape(T, channels, F_pad)
                         if synth_tables:
                             ptr = _add_synth(ptr, synth_tables, 0, F_pad)
-                        return run_fir_finish(ptr, session, sample_rate, tg, auto, channels)
+                        return fir_finish(ptr)
                 else:
                     def run_fx():
                         pt = renderer.render_device_per_track()
@@ -173,16 +177,22 @@ def bounce(
 
                 float(run_fx().sum())  # warm-up compile (forced execution)
                 stats.compile_seconds = watch.lap()
-                out = np.asarray(run_fx())[:, : plan.total_frames]
+                out_dev = run_fx()
+                float(out_dev.sum())  # force completion; scalar fetch only
                 stats.device_seconds = watch.lap()
+                out = np.asarray(out_dev)[:, : plan.total_frames]
+                stats.readback_seconds = watch.lap()
             else:
                 stats.carve_seconds = watch.lap()
                 # warm-up compile; the scalar fetch forces execution (plain
                 # block_until_ready is a no-op under async PJRT relays)
                 float(renderer.render_device().sum())
                 stats.compile_seconds = watch.lap()
-                out = renderer.render()
+                out_dev = renderer.render_device()
+                float(out_dev.sum())  # force completion; scalar fetch only
                 stats.device_seconds = watch.lap()
+                out = np.asarray(out_dev).reshape(channels, -1)[:, : plan.total_frames]
+                stats.readback_seconds = watch.lap()
             if trim_frames is not None:
                 out = out[:, :trim_frames]
             stats.frames = out.shape[1]
@@ -231,11 +241,16 @@ def bounce(
 
         _ = fx_chunk(0, states, mstates)  # warm-up compile
         stats.compile_seconds = watch.lap()
+        device_chunks = []
         for start in range(0, F, chunk_frames):
             chunk, states, mstates = fx_chunk(start, states, mstates)
+            device_chunks.append((start, chunk))
+        float(device_chunks[-1][1].sum())  # all dispatched; force completion
+        stats.device_seconds = watch.lap()
+        for start, chunk in device_chunks:
             n = min(chunk_frames, F - start)
             out[:, start : start + n] = np.asarray(chunk)[:, :n]
-        stats.device_seconds = watch.lap()
+        stats.readback_seconds = watch.lap()
     else:
         # warm-up compile (excluded from the device-time metric)
         render_chunk(pool_dev, jt, jnp.int32(0), frames=chunk_frames, strict_order=strict_order, sinc_bank=sinc_bank).block_until_ready()
@@ -246,10 +261,12 @@ def bounce(
             device_chunks.append(
                 (start, render_chunk(pool_dev, jt, jnp.int32(start), frames=chunk_frames, strict_order=strict_order, sinc_bank=sinc_bank))
             )
+        float(device_chunks[-1][1].sum())  # force completion; scalar fetch only
+        stats.device_seconds = watch.lap()
         for start, chunk in device_chunks:
             n = min(chunk_frames, F - start)
             out[:, start : start + n] = np.asarray(chunk)[:, :n]
-        stats.device_seconds = watch.lap()
+        stats.readback_seconds = watch.lap()
 
     if trim_frames is not None:
         out = out[:, :trim_frames]

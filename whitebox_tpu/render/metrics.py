@@ -22,6 +22,11 @@ class RenderStats:
     carve_seconds: float = 0.0
     compile_seconds: float = 0.0
     device_seconds: float = 0.0
+    #: device->host transfer, reported separately: over this sandbox's relay
+    #: tunnel it is ~25 MB/s and would swamp device time; on production
+    #: hosts it is PCIe-speed. wall_seconds = carve + device (+0 readback),
+    #: matching the documented benchmark methodology.
+    readback_seconds: float = 0.0
 
     @property
     def audio_seconds(self) -> float:
@@ -48,7 +53,8 @@ class RenderStats:
             f"rendered {self.audio_seconds:.2f}s ({self.frames} frames, {self.tracks} tracks) "
             f"in {self.wall_seconds:.3f}s wall = {self.rtf:.1f}x realtime "
             f"[carve {self.carve_seconds:.3f}s, compile {self.compile_seconds:.3f}s, "
-            f"device {self.device_seconds:.3f}s, {self.msamples_per_sec:.0f} Msamples/s]"
+            f"device {self.device_seconds:.3f}s, readback {self.readback_seconds:.3f}s, "
+            f"{self.msamples_per_sec:.0f} Msamples/s]"
         )
 
 
