@@ -1,0 +1,111 @@
+"""Compressed audio decode/encode via the native codec runtime.
+
+Parity: Sample::load_mp3_file / load_ogg_vorbis_file
+(/root/reference/src/dsp/sample.cpp:207-320) decode MP3 via dr_mp3 and Ogg
+Vorbis via stb_vorbis into f32 PCM. This framework's native runtime
+(native/wb_codec.cpp) links the system codec stack (libavformat/libavcodec)
+for the same breadth — MP3, Ogg Vorbis, and FLAC (the reference stubs FLAC,
+sample.cpp:263; here it decodes) — returning planar f32.
+
+Encode (`write_compressed`) extends the reference's export stub to
+compressed containers chosen by extension.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from whitebox_tpu.core.formats import AudioFormat
+from whitebox_tpu.io.wav import WavInfo
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB: ctypes.CDLL | None = None
+_TRIED = False
+
+
+def load() -> ctypes.CDLL | None:
+    """Build (if needed) and load libwbcodec.so; None when unavailable."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    so = _NATIVE_DIR / "libwbcodec.so"
+    if not so.is_file():
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR), "codec"], check=True,
+                           capture_output=True, timeout=120)
+        except (subprocess.SubprocessError, FileNotFoundError, OSError):
+            return None
+        if not so.is_file():
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+
+    lib.wb_codec_decode_f32.restype = ctypes.c_int32
+    lib.wb_codec_decode_f32.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.wb_codec_free.restype = None
+    lib.wb_codec_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    lib.wb_codec_encode_f32.restype = ctypes.c_int32
+    lib.wb_codec_encode_f32.argtypes = [
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.float32, flags="C"),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def read_compressed(path) -> tuple[np.ndarray, WavInfo]:
+    """Decode MP3/Ogg/FLAC/... -> (planar f32 [channels, frames], info)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError(
+            "compressed audio decode needs the native codec runtime "
+            "(make -C native codec; requires libavformat/libavcodec)"
+        )
+    out = ctypes.POINTER(ctypes.c_float)()
+    frames = ctypes.c_int64()
+    channels = ctypes.c_int32()
+    rate = ctypes.c_int32()
+    rc = lib.wb_codec_decode_f32(str(path).encode(), ctypes.byref(out),
+                                 ctypes.byref(frames), ctypes.byref(channels), ctypes.byref(rate))
+    if rc != 0:
+        raise ValueError(f"failed to decode {path!s} (native codec rc={rc})")
+    try:
+        n = frames.value * channels.value
+        flat = np.ctypeslib.as_array(out, shape=(n,)).copy()
+    finally:
+        lib.wb_codec_free(out)
+    planar = np.ascontiguousarray(flat.reshape(frames.value, channels.value).T)
+    return planar, WavInfo(channels=channels.value, sample_rate=rate.value,
+                           count=frames.value, format=AudioFormat.F32)
+
+
+def write_compressed(path, planar: np.ndarray, sample_rate: int) -> None:
+    """Encode planar f32 [C, F] to .mp3/.ogg/.flac (by extension)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("compressed audio encode needs the native codec runtime")
+    planar = np.atleast_2d(np.asarray(planar, dtype=np.float32))
+    inter = np.ascontiguousarray(planar.T).reshape(-1)
+    rc = lib.wb_codec_encode_f32(str(path).encode(), inter,
+                                 planar.shape[1], planar.shape[0], int(sample_rate))
+    if rc != 0:
+        raise ValueError(f"failed to encode {path!s} (native codec rc={rc})")
+
+
+def read_mp3(path) -> tuple[np.ndarray, WavInfo]:
+    """MP3 decode (Sample::load_mp3_file parity, sample.cpp:207-261)."""
+    return read_compressed(path)

@@ -149,18 +149,31 @@ def write_wav(path, planar: np.ndarray, sample_rate: int, fmt: AudioFormat = Aud
 
 
 def load_audio_file(path) -> tuple[np.ndarray, WavInfo]:
-    """Load an audio file, preferring native WAV decode.
+    """Load an audio file by container sniffing.
 
-    Mirrors Sample::load_file's format dispatch (sample.cpp:112): WAV is
-    decoded natively; other containers raise (MP3/OGG decode would require
-    external tooling not available in this environment; the reference's
-    FLAC path is likewise a stub, sample.cpp:263).
+    Mirrors Sample::load_file's format dispatch (sample.cpp:112): WAV and
+    AIFF/AIFC decode natively in Python; MP3 (MPEG-1 Layer III) decodes via
+    the native runtime (sample.cpp:207-261 uses dr_mp3). Ogg Vorbis and
+    FLAC remain the documented gaps (the reference's FLAC path is itself a
+    stub, sample.cpp:263).
     """
     p = str(path)
-    if p.lower().endswith((".wav", ".wave")):
-        return read_wav(p)
     with open(p, "rb") as f:
         head = f.read(12)
-    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+    low = p.lower()
+    if low.endswith((".wav", ".wave")) or (head[:4] == b"RIFF" and head[8:12] == b"WAVE"):
         return read_wav(p)
+    if low.endswith((".aif", ".aiff", ".aifc")) or (head[:4] == b"FORM" and head[8:12] in (b"AIFF", b"AIFC")):
+        from whitebox_tpu.io.aiff import read_aiff
+
+        return read_aiff(p)
+    if (
+        low.endswith((".mp3", ".ogg", ".oga", ".flac", ".m4a", ".opus"))
+        or head[:3] == b"ID3"
+        or head[:4] in (b"OggS", b"fLaC")
+        or (len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0)
+    ):
+        from whitebox_tpu.io.codec import read_compressed
+
+        return read_compressed(p)
     raise ValueError(f"unsupported audio container: {p}")

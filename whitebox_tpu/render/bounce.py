@@ -51,6 +51,20 @@ def _add_synth(per_track, synth_tables, chunk_start, frames):
     return per_track
 
 
+def _write_audio(out_path, out: np.ndarray, sample_rate: int, out_format: AudioFormat) -> None:
+    """WAV by default; .mp3/.ogg/.flac route through the native codec
+    runtime (compressed export — extends the reference's export stub)."""
+    p = str(out_path).lower()
+    if p.endswith((".mp3", ".ogg", ".oga", ".flac")):
+        from whitebox_tpu.io.codec import write_compressed
+
+        write_compressed(out_path, out, int(sample_rate))
+        return
+    from whitebox_tpu.io.wav import write_wav
+
+    write_wav(out_path, out, int(sample_rate), out_format)
+
+
 @dataclass
 class BounceResult:
     audio: np.ndarray  # [channels, frames] f32
@@ -198,9 +212,7 @@ def bounce(
             stats.frames = out.shape[1]
             stats.wall_seconds = stats.carve_seconds + stats.device_seconds
             if out_path is not None:
-                from whitebox_tpu.io.wav import write_wav
-
-                write_wav(out_path, out, int(sample_rate), out_format)
+                _write_audio(out_path, out, int(sample_rate), out_format)
             return BounceResult(audio=out, stats=stats)
 
     from whitebox_tpu.ops.automation import session_has_automation
@@ -274,8 +286,6 @@ def bounce(
     stats.wall_seconds = stats.carve_seconds + stats.device_seconds
 
     if out_path is not None:
-        from whitebox_tpu.io.wav import write_wav
-
-        write_wav(out_path, out, int(sample_rate), out_format)
+        _write_audio(out_path, out, int(sample_rate), out_format)
 
     return BounceResult(audio=out, stats=stats)
