@@ -68,3 +68,41 @@ class TestSettings:
         p = tmp_path / "bad.json"
         p.write_text("{not json")
         assert Settings.load(p).sample_rate == 48000
+
+
+class TestPreviewStreaming:
+    """The preview renders bounded device windows, not the whole timeline."""
+
+    def test_memory_bounded_by_lookahead(self):
+        s = make_session()
+        ps = PreviewStream(s, 32768.0, buffer_size=256, lookahead_blocks=4)
+        assert ps.window_frames == 0  # nothing rendered before the first pull
+        blocks = [ps.next_block() for _ in range(8)]
+        assert all(b is not None for b in blocks)
+        # the resident cache never exceeds the lookahead window
+        assert ps.window_frames == 4 * 256
+        assert ps.total_frames > 4 * 256 * 4  # session >> window
+
+    def test_lookahead_governs_refetch_and_matches_bounce(self):
+        from whitebox_tpu.render.bounce import bounce
+
+        s = make_session()
+        full = bounce(s, 32768.0, buffer_size=256).audio
+        ps = PreviewStream(s, 32768.0, buffer_size=256, lookahead_blocks=3)
+        joined = np.concatenate(list(ps), axis=1)[:, : full.shape[1]]
+        np.testing.assert_array_equal(joined, full)
+
+    def test_seek_invalidates_window(self):
+        s = make_session()
+        ps = PreviewStream(s, 32768.0, buffer_size=256, lookahead_blocks=4)
+        ps.next_block()
+        assert ps.window_frames > 0
+        ps.seek(0.5)
+        assert ps.window_frames == 0
+        b = ps.next_block()
+        assert b.shape == (2, 256)
+        # the block served after the seek equals the bounce at that offset
+        from whitebox_tpu.render.bounce import bounce
+
+        full = bounce(s, 32768.0, buffer_size=256).audio
+        np.testing.assert_array_equal(b, full[:, 16384 : 16384 + 256])

@@ -1,15 +1,19 @@
 """Streaming preview: a block-pull interface over the timeline renderer.
 
 The reference's audio_io backends pull one buffer_size block per device
-callback (audio_io_pulseaudio.cpp:396). Offline, the equivalent capability
-is a seekable block stream: the session is carved once, the device renders
-lookahead windows (amortizing dispatch latency), and ``next_block()`` serves
-engine-sized blocks from the cache — a monitor/player loop can sink these
-to any output device.
+callback (audio_io_pulseaudio.cpp:396-466). Offline, the equivalent
+capability is a seekable block stream: the session is carved and packed for
+the device ONCE, then the device renders ``lookahead_blocks``-sized windows
+on demand and ``next_block()`` serves engine-sized blocks out of the current
+window — memory stays bounded by one window regardless of session length.
+Seeking drops the window (the next pull re-renders at the new position);
+effect/IIR state carries across pulls like a live engine's filters would.
 """
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from whitebox_tpu.core.math import beat_to_samples
@@ -25,21 +29,76 @@ class PreviewStream:
         channels: int = 2,
         lookahead_blocks: int = 64,
     ) -> None:
-        from whitebox_tpu.render.bounce import bounce
+        from whitebox_tpu.ops.automation import session_has_automation
+        from whitebox_tpu.ops.mix import pack_device_tables
+        from whitebox_tpu.render.bounce import _prepare_synth_tables, _session_has_midi
+        from whitebox_tpu.render.effects_pipeline import session_has_effects
+        from whitebox_tpu.timeline.carve import carve_session
 
         self.session = session
         self.sample_rate = float(sample_rate)
         self.buffer_size = int(buffer_size)
         self.channels = channels
-        self.lookahead = int(lookahead_blocks) * self.buffer_size
-        # render the full timeline once (timeline-at-once is fast enough to
-        # be its own cache; very long sessions could window this)
-        self._audio = bounce(session, sample_rate, buffer_size=buffer_size, channels=channels).audio
+        self.lookahead = max(int(lookahead_blocks), 1) * self.buffer_size
+
+        table, pool = carve_session(session, sample_rate, buffer_size=buffer_size, out_channels=channels)
+        dev = pack_device_tables(table, pool, session, channels=channels)
+        self._tables = jax.device_put(dev.as_jax())
+        self._pool = jax.device_put(jnp.asarray(pool.data))
+        self._total = dev.total_frames
+        self._T = dev.num_tracks
+
+        self._has_midi = _session_has_midi(session)
+        self._has_fx = session_has_effects(session) or session_has_automation(session) or self._has_midi
+        if self._has_fx:
+            from whitebox_tpu.render.effects_pipeline import (
+                init_effect_states, prepare_automation_tables, prepare_effect_tables,
+            )
+
+            (self._S, self._coeffs), (self._Sm, self._mcoeffs) = prepare_effect_tables(
+                session, sample_rate, channels
+            )
+            self._auto = prepare_automation_tables(session, sample_rate)
+            self._tg = jnp.asarray(dev.track_gain)
+            self._states, self._mstates = init_effect_states(self._T, channels, self._S, self._Sm)
+            self._synth = (
+                _prepare_synth_tables(session, sample_rate, buffer_size,
+                                      max(self._total // buffer_size, 1))
+                if self._has_midi else {}
+            )
+
+        self._window: np.ndarray | None = None
+        self._win_start = 0
         self._pos = 0
+
+    # ---- device window fetch ----
+
+    def _fetch_window(self, start: int) -> None:
+        from whitebox_tpu.ops.mix import render_chunk
+
+        frames = self.lookahead
+        if self._has_fx:
+            from whitebox_tpu.ops.mix import render_chunk_per_track
+            from whitebox_tpu.render.bounce import _add_synth
+            from whitebox_tpu.render.effects_pipeline import finish_mix_chunk
+
+            pt = render_chunk_per_track(self._pool, self._tables, jnp.int32(start), frames=frames)
+            if self._synth:
+                pt = _add_synth(pt, self._synth, start, frames)
+            chunk, self._states, self._mstates = finish_mix_chunk(
+                pt, self._coeffs, self._mcoeffs, self._tg, self._states, self._mstates,
+                jnp.int32(start), self._auto, T=self._T, C=self.channels, S=self._S, Sm=self._Sm,
+            )
+        else:
+            chunk = render_chunk(self._pool, self._tables, jnp.int32(start), frames=frames, strict_order=True)
+        self._window = np.asarray(chunk)
+        self._win_start = start
+
+    # ---- transport ----
 
     @property
     def total_frames(self) -> int:
-        return self._audio.shape[1]
+        return self._total
 
     @property
     def position_frames(self) -> int:
@@ -49,18 +108,31 @@ class PreviewStream:
     def position_beats(self) -> float:
         return self._pos / self.sample_rate / self.session.beat_duration
 
+    @property
+    def window_frames(self) -> int:
+        """Resident device-rendered cache size (bounded memory contract)."""
+        return 0 if self._window is None else self._window.shape[1]
+
     def seek(self, beat: float) -> None:
         frame = int(beat_to_samples(beat, self.sample_rate, self.session.beat_duration))
-        self._pos = max(0, min(frame, self.total_frames))
+        self._pos = max(0, min(frame, self._total))
+        self._window = None  # invalidate; next pull renders at the new position
 
     def next_block(self) -> np.ndarray | None:
         """Next [channels, buffer_size] block, zero-padded at the tail;
         None when the timeline is exhausted."""
-        if self._pos >= self.total_frames:
+        if self._pos >= self._total:
             return None
-        end = min(self._pos + self.buffer_size, self.total_frames)
+        if (
+            self._window is None
+            or self._pos < self._win_start
+            or self._pos + self.buffer_size > self._win_start + self._window.shape[1]
+        ):
+            self._fetch_window(self._pos)
+        lo = self._pos - self._win_start
+        end = min(self._pos + self.buffer_size, self._total)
         block = np.zeros((self.channels, self.buffer_size), dtype=np.float32)
-        block[:, : end - self._pos] = self._audio[:, self._pos : end]
+        block[:, : end - self._pos] = self._window[:, lo : lo + (end - self._pos)]
         self._pos = end
         return block
 
