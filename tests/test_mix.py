@@ -151,4 +151,6 @@ class TestPackDeviceTablesVectorized:
         t0 = time.perf_counter()
         pack_device_tables(table, pool, session)
         dt = time.perf_counter() - t0
-        assert dt < 0.3, f"pack took {dt:.3f}s for {len(table)} rows"
+        # ~0.14s standalone; headroom for suite-load contention. A per-row
+        # Python loop regression would be 30s+ here.
+        assert dt < 1.5, f"pack took {dt:.3f}s for {len(table)} rows"

@@ -26,8 +26,11 @@ class ClipType(enum.IntEnum):
 
 
 class ClipMode(enum.IntEnum):
-    """clip.h:22 — loop modes (enum'd in the reference but never honored in
-    its playback path; whitebox_tpu implements LOOP_STRAIGHT as an extension)."""
+    """clip.h:21 — loop modes. The reference enums these but never honors
+    them in playback; whitebox_tpu implements LOOP_STRAIGHT for audio clips
+    as an extension (the carve tiles source passes; see timeline/carve.py
+    and the oracle's looped stream mirror). Reverse/bidirectional modes
+    remain declared-but-unimplemented, as upstream."""
 
     ONE_SHOT = 0
     ONE_SHOT_REVERSE = 1
@@ -45,6 +48,8 @@ class AudioClipData:
     fade_end: float = 0.0
     speed: float = 1.0
     gain: float = 1.0
+    #: extension: LOOP_STRAIGHT tiles the source over the clip span
+    mode: ClipMode = ClipMode.ONE_SHOT
 
 
 @dataclass

@@ -30,7 +30,7 @@ from pathlib import Path
 import msgpack
 
 from whitebox_tpu.midi.notes import MidiNote, MidiNoteBuffer
-from whitebox_tpu.session.clip import AudioClipData, Clip, ClipType, MidiClipData
+from whitebox_tpu.session.clip import AudioClipData, Clip, ClipMode, ClipType, MidiClipData
 from whitebox_tpu.session.session import Session
 from whitebox_tpu.session.track import Track
 
@@ -144,6 +144,8 @@ def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
                     "gain": float(clip.audio.gain),
                     "speed": float(clip.audio.speed),  # extension key (see module doc)
                 }
+                if clip.audio.mode != ClipMode.ONE_SHOT:
+                    doc["data"]["mode"] = int(clip.audio.mode)  # extension key
             elif clip.is_midi():
                 doc["data"] = {
                     "asset_id": midi_index.get(id(clip.midi.asset), 0xFFFFFFFF),
@@ -314,6 +316,7 @@ def read_project(path, search_dirs: list | None = None) -> Session:
                     fade_end=float(data.get("fend", 0.0)),
                     speed=float(data.get("speed", 1.0)),
                     gain=float(data.get("gain", 0.0)),
+                    mode=ClipMode(int(data.get("mode", 0))),
                 )
             elif ctype == ClipType.MIDI and asset_id != 0xFFFFFFFF:
                 clip.midi = MidiClipData(

@@ -175,27 +175,32 @@ def _carve_track_audio(
                 fin_start, fin_inv = -NOFADE, np.float32(1.0)
                 fout_end, fout_inv = NOFADE, np.float32(1.0)
             fade = (fin_start, fin_inv, fout_end, fout_inv)
-            if playback_speed == 1.0:
-                # merged run: integer phase, exact
-                length = min(ge - gs, int(count) - int(o0))
-                if length > 0:
-                    rows.append(
-                        (track_idx, gs, length, sid, int(o0), 0.0, 1.0, gain, True, clampf, clip.id, *fade)
-                    )
-            else:
+            # LOOP_STRAIGHT extension: tile full source passes over the clip
+            # span (each pass restarts at source frame 0 on the frame after
+            # the previous pass emits its last sample; one-shot = one pass).
+            from whitebox_tpu.session.clip import ClipMode
+
+            looping = clip.audio.mode == ClipMode.LOOP_STRAIGHT
+
+            def emit_slow_span(span_gs: int, span_ge: int, span_o0: float) -> int:
+                """Emit per-block rows for one source pass starting at
+                (span_gs, span_o0); returns the global frame where the source
+                exhausts (wrap point), or span_ge if it never does. The wrap
+                point comes from the same blockwise sequentially-rounded
+                offsets the engine would hold, not a single-step ceil."""
                 # per-block rows with exact accumulated f64 offsets
-                # stream-call boundaries: gs, next block edges, ge (vectorized)
-                first_edge = min(ge, (gs // bs + 1) * bs)
-                n_mid = max((ge - first_edge + bs - 1) // bs, 0)
+                # stream-call boundaries: span start, block edges, span end
+                first_edge = min(span_ge, (span_gs // bs + 1) * bs)
+                n_mid = max((span_ge - first_edge + bs - 1) // bs, 0)
                 edges = np.empty(n_mid + 2, dtype=np.int64)
-                edges[0] = gs
+                edges[0] = span_gs
                 edges[1] = first_edge
                 if n_mid:
-                    edges[2:] = np.minimum(first_edge + bs * np.arange(1, n_mid + 1), ge)
+                    edges[2:] = np.minimum(first_edge + bs * np.arange(1, n_mid + 1), span_ge)
                 lengths = np.diff(edges)
                 # o_{i+1} = o_i + L_i * speed, sequentially rounded (sampler.cpp:103)
                 incs = np.empty(lengths.shape[0], dtype=np.float64)
-                incs[0] = o0
+                incs[0] = span_o0
                 if lengths.shape[0] > 1:
                     incs[1:] = lengths[:-1].astype(np.float64) * playback_speed
                 offs = np.add.accumulate(incs)
@@ -223,6 +228,36 @@ def _carve_track_audio(
                         np.full(n, fade[2], np.int32),
                         np.full(n, fade[3], np.float32),
                     ))
+                exhausted = (~live) | (num_actual < lengths)
+                if not exhausted.any():
+                    return span_ge
+                idx = int(np.argmax(exhausted))
+                if live[idx]:
+                    return int(edges[:-1][idx] + num_actual[idx])
+                return int(edges[:-1][idx])
+
+            if playback_speed == 1.0:
+                pos, o = gs, int(o0)
+                while pos < ge:
+                    # merged run: integer phase, exact
+                    length = min(ge - pos, int(count) - o)
+                    if length <= 0:
+                        break
+                    rows.append(
+                        (track_idx, pos, length, sid, o, 0.0, 1.0, gain, True, clampf, clip.id, *fade)
+                    )
+                    if not looping:
+                        break
+                    pos += length
+                    o = 0
+            else:
+                pos, o = gs, float(o0)
+                while pos < ge:
+                    nxt = emit_slow_span(pos, ge, o)
+                    if not looping or nxt >= ge or nxt <= pos:
+                        break
+                    pos = nxt
+                    o = 0.0
 
         ci += 1
 

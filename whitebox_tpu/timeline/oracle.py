@@ -263,6 +263,31 @@ class OracleRenderer:
 
     # -- Track::process render loop (track.cpp:664-736) -----------------------
 
+    def _stream_clip(self, st: _TrackState, clip, event_length: int, start_sample: int, out: np.ndarray) -> None:
+        """One stream call for the current PLAY clip; LOOP_STRAIGHT clips
+        (extension — see session/clip.py ClipMode) wrap the sampler back to
+        source frame 0 whenever a pass exhausts within the event window."""
+        from whitebox_tpu.session.clip import ClipMode
+
+        gain = np.float32(clip.audio.gain)
+        sample = clip.audio.asset.sample
+        if clip.audio.mode != ClipMode.LOOP_STRAIGHT:
+            st.sampler.stream(sample, self.channels, event_length, start_sample, gain, out)
+            return
+        remaining = event_length
+        at = start_sample
+        while remaining > 0:
+            off = st.sampler.sample_offset
+            if off >= sample.count:
+                st.sampler.sample_offset = 0.0
+                off = 0.0
+            n_actual = min(remaining, int(math.ceil((float(sample.count) - off) / st.sampler.playback_speed)))
+            if n_actual <= 0:
+                break
+            st.sampler.stream(sample, self.channels, n_actual, at, gain, out)
+            remaining -= n_actual
+            at += n_actual
+
     def _render_track_block(self, track: Track, st: _TrackState, events: list[_AudioEvent], out: np.ndarray) -> None:
         n = out.shape[1]
         start_sample = 0
@@ -272,9 +297,7 @@ class OracleRenderer:
                 ev = events[ev_i]
                 event_length = ev.buffer_offset - start_sample
                 if st.current_event.type == _PLAY:
-                    clip = st.current_event.clip
-                    gain = np.float32(clip.audio.gain)
-                    st.sampler.stream(clip.audio.asset.sample, self.channels, event_length, start_sample, gain, out)
+                    self._stream_clip(st, st.current_event.clip, event_length, start_sample, out)
                 if ev.type == _PLAY:
                     sample = ev.clip.audio.asset.sample
                     st.sampler.reset_state(float(ev.sample_offset), ev.speed, float(sample.sample_rate), self.sample_rate)
@@ -284,9 +307,7 @@ class OracleRenderer:
             else:
                 event_length = n - start_sample
                 if st.current_event.type == _PLAY:
-                    clip = st.current_event.clip
-                    gain = np.float32(clip.audio.gain)
-                    st.sampler.stream(clip.audio.asset.sample, self.channels, event_length, start_sample, gain, out)
+                    self._stream_clip(st, st.current_event.clip, event_length, start_sample, out)
                 start_sample = n
 
         # volume / pan / mute (track.cpp:728-733)
