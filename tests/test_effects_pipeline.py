@@ -90,3 +90,54 @@ class TestFirMode:
         a = bounce(s, RATE, engine="pallas", effects_mode="scan").audio
         b = bounce(s, RATE, engine="pallas", effects_mode="fir").audio
         np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+class TestMeters:
+    """Level meters (vu_meter.h equivalent) — post chain+gain, pre sum."""
+
+    def test_meters_match_reference(self):
+        s = add_effects(random_session(12, rate=48000, bpm=120.0, n_tracks=3, n_clips=2))
+        res = bounce(s, RATE, engine="pallas", meters=True)
+        st = res.stats
+        assert st.track_peak is not None and st.track_peak.shape[0] == 3
+        # host reference: per-track post-chain post-gain buffers
+        table, pool = carve_session(s, RATE, buffer_size=512)
+        pt = render_segments_per_track_numpy(table, pool)
+        from whitebox_tpu.render.effects_pipeline import _chains_of
+        from whitebox_tpu.ops.biquad import biquad_sequential
+        from whitebox_tpu.effects.eq import Biquad, ParametricEQ
+        from whitebox_tpu.effects.gain import Gain
+
+        chains, _ = _chains_of(s)
+        F = res.audio.shape[1]
+        for t, track in enumerate(s.tracks):
+            buf = pt[t][:, :F].astype(np.float64)
+            if chains[t] is not None:
+                chains[t].prepare(RATE, 2)
+                for e in chains[t].effects:
+                    if isinstance(e, Biquad):
+                        buf, _ = biquad_sequential(buf, e.coeffs)
+                    elif isinstance(e, ParametricEQ):
+                        for c in e.coeffs:
+                            buf, _ = biquad_sequential(buf, c)
+                    elif isinstance(e, Gain):
+                        buf = buf * float(e.gain_linear)
+            vol = np.float32(0.0) if track.mute else track.volume_linear
+            pan = track.pan_coeffs
+            for ch in range(2):
+                y = buf[ch] * float(np.float32(vol * np.float32(pan[ch % 2])))
+                assert abs(np.abs(y).max() - st.track_peak[t, ch]) < 2e-4
+                assert abs(np.sqrt(np.mean(y**2)) - st.track_rms[t, ch]) < 2e-4
+        # output meters describe the final mix
+        np.testing.assert_allclose(st.output_peak, np.abs(res.audio).max(axis=1), atol=2e-4)
+        np.testing.assert_allclose(
+            st.output_rms, np.sqrt((res.audio.astype(np.float64) ** 2).mean(axis=1)), atol=2e-4)
+
+    def test_meters_without_effects(self):
+        s = random_session(13, rate=48000, bpm=120.0, n_tracks=2, n_clips=2)
+        res = bounce(s, RATE, meters=True)
+        st = res.stats
+        assert st.track_peak.shape == (2, 2)
+        # identity chains: output mix unchanged vs a plain bounce
+        plain = bounce(s, RATE).audio
+        np.testing.assert_array_equal(res.audio, plain)

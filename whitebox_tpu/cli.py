@@ -18,25 +18,52 @@ import numpy as np
 
 
 def _cmd_render(args) -> int:
+    import contextlib
+
     from whitebox_tpu.core.formats import AudioFormat
+    from whitebox_tpu.log import get_logger
     from whitebox_tpu.render.bounce import bounce
     from whitebox_tpu.session.project import read_project
 
+    log = get_logger("cli")
     session = read_project(args.project)
+    log.info("loaded %s: %d tracks, %d clips", args.project, len(session.tracks), session.num_clips())
     fmt = {"f32": AudioFormat.F32, "i16": AudioFormat.I16, "i24": AudioFormat.I24, "i32": AudioFormat.I32}[args.format]
-    result = bounce(
-        session,
-        sample_rate=args.rate,
-        buffer_size=args.buffer_size,
-        chunk_frames=args.chunk_frames,
-        strict_order=not args.fast_sum,
-        engine=args.engine,
-        interpolation=args.interpolation,
-        effects_mode=args.effects_mode,
-        out_path=args.out,
-        out_format=fmt,
-    )
+
+    profile_cm = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        profile_cm = jax.profiler.trace(args.profile)  # xprof trace directory
+        log.info("profiling to %s", args.profile)
+
+    with profile_cm:
+        result = bounce(
+            session,
+            sample_rate=args.rate,
+            buffer_size=args.buffer_size,
+            chunk_frames=args.chunk_frames,
+            strict_order=not args.fast_sum,
+            engine=args.engine,
+            interpolation=args.interpolation,
+            effects_mode=args.effects_mode,
+            meters=args.meters,
+            out_path=args.out,
+            out_format=fmt,
+        )
     print(result.stats.summary())
+    if args.meters and result.stats.track_peak is not None:
+        from whitebox_tpu.core.math import linear_to_db
+
+        def db(x):
+            x = float(max(x, 1e-12))
+            return round(float(linear_to_db(x)), 1)
+
+        for i, t in enumerate(session.tracks):
+            pk, rms = result.stats.track_peak[i], result.stats.track_rms[i]
+            print(f"  track {i:3d} {t.name[:24]:24s} peak {db(pk.max()):+7.1f} dB  rms {db(rms.max()):+7.1f} dB")
+        print(f"  output{'':28s} peak {db(result.stats.output_peak.max()):+7.1f} dB  "
+              f"rms {db(result.stats.output_rms.max()):+7.1f} dB")
     if args.json:
         print(json.dumps({"frames": result.frames, "rtf": result.stats.rtf,
                           "msamples_per_sec": result.stats.msamples_per_sec}))
@@ -105,6 +132,10 @@ def main(argv=None) -> int:
                    help="resampling quality: linear (engine parity) or windowed-sinc")
     p.add_argument("--effects-mode", choices=["scan", "fir"], default="scan",
                    help="effect-chain evaluation: associative scan or FFT-FIR")
+    p.add_argument("--meters", action="store_true",
+                   help="compute per-track/output level meters (vu_meter equivalent)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler (xprof) trace of the render into DIR")
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=_cmd_render)
 
@@ -118,7 +149,11 @@ def main(argv=None) -> int:
     p.add_argument("project")
     p.set_defaults(fn=_cmd_inspect)
 
+    parser.add_argument("-v", "--verbose", action="store_true", help="debug logging")
     args = parser.parse_args(argv)
+    from whitebox_tpu.log import configure
+
+    configure(verbose=args.verbose)
     try:
         return args.fn(args)
     except FileNotFoundError as e:

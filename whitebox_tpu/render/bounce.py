@@ -15,8 +15,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from whitebox_tpu.core.formats import AudioFormat
+from whitebox_tpu.log import get_logger
 from whitebox_tpu.ops.mix import pack_device_tables, render_chunk
 from whitebox_tpu.render.metrics import RenderStats, Stopwatch
+
+_log = get_logger("bounce")
 from whitebox_tpu.session.session import Session
 from whitebox_tpu.timeline.carve import carve_session
 
@@ -88,6 +91,7 @@ def bounce(
     engine: str = "auto",
     interpolation: str = "linear",
     effects_mode: str = "scan",
+    meters: bool = False,
     out_path=None,
     out_format: AudioFormat = AudioFormat.F32,
 ) -> BounceResult:
@@ -109,13 +113,21 @@ def bounce(
     ``effects_mode``: "scan" (eigenbasis associative scan, ~1e-7 accuracy)
     or "fir" (chains collapsed to impulse responses, overlap-save FFT —
     several times faster at high track counts, ~-120 dB truncation).
+
+    ``meters``: also compute per-track and output level meters
+    (vu_meter.h equivalent; see RenderStats.track_peak). Meters need the
+    post-chain per-track signal, so this forces the scan effects path.
     """
+    if meters:
+        effects_mode = "scan"  # fir's spectral sum never materializes per-track audio
     stats = RenderStats(channels=channels, sample_rate=float(sample_rate), tracks=len(session.tracks))
     watch = Stopwatch()
 
     table, pool = carve_session(
         session, sample_rate, buffer_size=buffer_size, num_blocks=num_blocks, out_channels=channels
     )
+    _log.debug("carved %d segment rows, %d frames, %d tracks",
+               len(table), table.total_frames, table.num_tracks)
 
     sinc_bank = None
     if interpolation == "sinc":
@@ -150,7 +162,7 @@ def bounce(
             from whitebox_tpu.ops.automation import session_has_automation
 
             has_midi = _session_has_midi(session)
-            has_fx = session_has_effects(session) or session_has_automation(session) or has_midi
+            has_fx = session_has_effects(session) or session_has_automation(session) or has_midi or meters
             if has_fx and len(session.tracks) * channels * plan.n_tiles * plan.tile * 4 > 6 << 30:
                 plan = None  # per-track buffers would blow HBM; chunked XLA path
         if plan is not None:
@@ -187,14 +199,25 @@ def bounce(
                         ptr = pt.reshape(T, channels, F_pad)
                         if synth_tables:
                             ptr = _add_synth(ptr, synth_tables, 0, F_pad)
-                        return finish_mix(ptr, coeffs, mcoeffs, tg, auto, T=T, C=channels, S=S, Sm=Sm)
+                        return finish_mix(ptr, coeffs, mcoeffs, tg, auto, T=T, C=channels, S=S, Sm=Sm,
+                                          with_meters=meters, valid_frames=plan.total_frames)
 
-                float(run_fx().sum())  # warm-up compile (forced execution)
+                def _force(r):
+                    float((r[0] if meters else r).sum())
+
+                _force(run_fx())  # warm-up compile (forced execution)
                 stats.compile_seconds = watch.lap()
-                out_dev = run_fx()
-                float(out_dev.sum())  # force completion; scalar fetch only
+                res = run_fx()
+                _force(res)
                 stats.device_seconds = watch.lap()
+                out_dev = res[0] if meters else res
                 out = np.asarray(out_dev)[:, : plan.total_frames]
+                if meters:
+                    tp, trms, op, orms = res[1]
+                    stats.track_peak = np.asarray(tp)[: len(session.tracks)]
+                    stats.track_rms = np.asarray(trms)[: len(session.tracks)]
+                    stats.output_peak = np.asarray(op)
+                    stats.output_rms = np.asarray(orms)
                 stats.readback_seconds = watch.lap()
             else:
                 stats.carve_seconds = watch.lap()
@@ -228,7 +251,7 @@ def bounce(
     chunk_frames = min(chunk_frames, max(F, 1))
     out = np.empty((channels, F), dtype=np.float32)
 
-    if session_has_effects(session) or session_has_automation(session) or _session_has_midi(session):
+    if session_has_effects(session) or session_has_automation(session) or _session_has_midi(session) or meters:
         from whitebox_tpu.ops.mix import render_chunk_per_track
         from whitebox_tpu.render.effects_pipeline import (
             finish_mix_chunk, init_effect_states, prepare_automation_tables, prepare_effect_tables,
@@ -249,19 +272,34 @@ def bounce(
             if synth_tables:
                 pt = _add_synth(pt, synth_tables, start, chunk_frames)
             return finish_mix_chunk(pt, coeffs, mcoeffs, tg, states, mstates, jnp.int32(start), auto,
-                                    T=T, C=channels, S=S, Sm=Sm)
+                                    T=T, C=channels, S=S, Sm=Sm, with_meters=meters)
 
         _ = fx_chunk(0, states, mstates)  # warm-up compile
         stats.compile_seconds = watch.lap()
         device_chunks = []
+        meter_chunks = []
         for start in range(0, F, chunk_frames):
-            chunk, states, mstates = fx_chunk(start, states, mstates)
+            res = fx_chunk(start, states, mstates)
+            chunk, states, mstates = res[0], res[1], res[2]
+            if meters:
+                meter_chunks.append((min(chunk_frames, F - start), res[3]))
             device_chunks.append((start, chunk))
         float(device_chunks[-1][1].sum())  # all dispatched; force completion
         stats.device_seconds = watch.lap()
         for start, chunk in device_chunks:
             n = min(chunk_frames, F - start)
             out[:, start : start + n] = np.asarray(chunk)[:, :n]
+        if meters:
+            # aggregate chunk partials; final (ragged) chunk is rendered at
+            # full chunk_frames, so weight sumsq by the rendered length and
+            # accept the tail's extra silence (zero) frames
+            Tn = len(session.tracks)
+            tp = np.max([np.asarray(m[0]) for _, m in meter_chunks], axis=0)[:Tn]
+            tsq = np.sum([np.asarray(m[1]) for _, m in meter_chunks], axis=0)[:Tn]
+            op = np.max([np.asarray(m[2]) for _, m in meter_chunks], axis=0)
+            osq = np.sum([np.asarray(m[3]) for _, m in meter_chunks], axis=0)
+            stats.track_peak, stats.track_rms = tp, np.sqrt(tsq / max(F, 1))
+            stats.output_peak, stats.output_rms = op, np.sqrt(osq / max(F, 1))
         stats.readback_seconds = watch.lap()
     else:
         # warm-up compile (excluded from the device-time metric)

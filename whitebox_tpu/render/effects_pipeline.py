@@ -82,10 +82,18 @@ def _frame_gains(auto, track_gain, g, T, C):
     return jnp.stack(chans, axis=1)  # [T, C, F]
 
 
-@functools.partial(jax.jit, static_argnames=("T", "C", "S", "Sm", "chunk"))
-def finish_mix(per_track, coeffs, mcoeffs, track_gain, auto=None, *, T, C, S, Sm, chunk=1 << 16):
-    """per_track [T, C, F] f32 -> mixed [C, F] f32 (chains+gains+sum+master+clip)."""
+@functools.partial(jax.jit, static_argnames=("T", "C", "S", "Sm", "chunk", "with_meters", "valid_frames"))
+def finish_mix(per_track, coeffs, mcoeffs, track_gain, auto=None, *, T, C, S, Sm, chunk=1 << 16,
+               with_meters=False, valid_frames=None):
+    """per_track [T, C, F] f32 -> mixed [C, F] f32 (chains+gains+sum+master+clip).
+
+    With ``with_meters``, also returns level meters computed where the
+    engine feeds its VU meters — post chain + volume/pan, pre track sum
+    (track.cpp:728-733): (track_peak [T,C], track_rms [T,C],
+    output_peak [C], output_rms [C]); output meters are post-master,
+    post-clip."""
     F = per_track.shape[-1]
+    Fv = F if valid_frames is None else int(valid_frames)  # audio frames for meter masks
     n_chunks = -(-F // chunk)
     Fp = n_chunks * chunk
     x = jnp.pad(per_track.reshape(T * C, F), ((0, 0), (0, Fp - F)))
@@ -113,6 +121,18 @@ def finish_mix(per_track, coeffs, mcoeffs, track_gain, auto=None, *, T, C, S, Sm
 
         total = jnp.where(total > 1.0, jnp.float32(1.0), total)
         total = jnp.where(total < -1.0, jnp.float32(-1.0), total)
+        if with_meters:
+            # mask the pad tail: chain ring-out past frame Fv isn't audio
+            valid = (g < Fv)[None, None, :]
+            ym = jnp.where(valid, y, 0.0)
+            tm = jnp.where(valid[0], total, 0.0)
+            meters = (
+                jnp.max(jnp.abs(ym), axis=-1),  # [T, C] chunk peak
+                jnp.sum(jnp.square(ym), axis=-1),  # [T, C] chunk sum-sq
+                jnp.max(jnp.abs(tm), axis=-1),  # [C]
+                jnp.sum(jnp.square(tm), axis=-1),  # [C]
+            )
+            return (new_states, new_mstates), (total, meters)
         return (new_states, new_mstates), total
 
     init = (
@@ -120,6 +140,17 @@ def finish_mix(per_track, coeffs, mcoeffs, track_gain, auto=None, *, T, C, S, Sm
         [jnp.zeros((C, 2), jnp.float32) for _ in range(Sm)],
     )
     _, outs = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    if with_meters:
+        outs, (pk, sq, opk, osq) = outs
+        mixed = outs.transpose(1, 0, 2).reshape(C, Fp)[:, :F]
+        denom = jnp.float32(max(Fv, 1))
+        meters = (
+            jnp.max(pk, axis=0),
+            jnp.sqrt(jnp.sum(sq, axis=0) / denom),
+            jnp.max(opk, axis=0),
+            jnp.sqrt(jnp.sum(osq, axis=0) / denom),
+        )
+        return mixed, meters
     # outs [n_chunks, C, chunk] -> [C, F]
     return outs.transpose(1, 0, 2).reshape(C, Fp)[:, :F]
 
@@ -176,10 +207,13 @@ def reference_finish_mix(per_track: np.ndarray, session: Session, sample_rate: f
     return np.clip(total, -1.0, 1.0).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "C", "S", "Sm"))
-def finish_mix_chunk(pt_chunk, coeffs, mcoeffs, track_gain, states, mstates, chunk_start=0, auto=None, *, T, C, S, Sm):
+@functools.partial(jax.jit, static_argnames=("T", "C", "S", "Sm", "with_meters"))
+def finish_mix_chunk(pt_chunk, coeffs, mcoeffs, track_gain, states, mstates, chunk_start=0, auto=None, *, T, C, S, Sm,
+                     with_meters=False):
     """Single-chunk finishing step with explicit state in/out (for drivers
-    that stream per-track buffers chunk by chunk, e.g. the XLA gather path)."""
+    that stream per-track buffers chunk by chunk, e.g. the XLA gather path).
+    ``with_meters`` appends (track_peak, track_sumsq, out_peak, out_sumsq)
+    chunk partials for host-side aggregation."""
     Fc = pt_chunk.shape[-1]
     xc = pt_chunk.reshape(T * C, Fc)
     new_states = []
@@ -200,6 +234,14 @@ def finish_mix_chunk(pt_chunk, coeffs, mcoeffs, track_gain, states, mstates, chu
         new_mstates.append(ns)
     total = jnp.where(total > 1.0, jnp.float32(1.0), total)
     total = jnp.where(total < -1.0, jnp.float32(-1.0), total)
+    if with_meters:
+        meters = (
+            jnp.max(jnp.abs(y), axis=-1),
+            jnp.sum(jnp.square(y), axis=-1),
+            jnp.max(jnp.abs(total), axis=-1),
+            jnp.sum(jnp.square(total), axis=-1),
+        )
+        return total, new_states, new_mstates, meters
     return total, new_states, new_mstates
 
 

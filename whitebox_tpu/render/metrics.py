@@ -27,6 +27,14 @@ class RenderStats:
     #: hosts it is PCIe-speed. wall_seconds = carve + device (+0 readback),
     #: matching the documented benchmark methodology.
     readback_seconds: float = 0.0
+    #: level meters (vu_meter.h:16-45 equivalent, fed where track.cpp:732
+    #: pushes: post chain + volume/pan, pre sum). Filled when bounce(...,
+    #: meters=True): track_peak/track_rms are [tracks, channels] f32,
+    #: output_peak/output_rms are [channels] f32 (post-master, post-clip).
+    track_peak: object = None
+    track_rms: object = None
+    output_peak: object = None
+    output_rms: object = None
 
     @property
     def audio_seconds(self) -> float:

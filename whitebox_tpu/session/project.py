@@ -36,6 +36,10 @@ from whitebox_tpu.session.track import Track
 
 PROJECT_VERSION = 1
 
+from whitebox_tpu.log import get_logger
+
+_log = get_logger("project")
+
 
 def find_file_recursive(root, filename: str, max_depth: int = 8):
     """core/fs find_file_recursive — locate a file by name under root."""
@@ -249,8 +253,10 @@ def read_project(path, search_dirs: list | None = None) -> Session:
                     if found is not None:
                         break
             if found is None:
+                _log.warning("missing sample %s: relocation failed", sample_path)
                 sample_assets.append(None)
                 continue
+            _log.info("relocated sample %s -> %s", sample_path.name, found)
             sample_path = found
         sample_assets.append(session.sample_table.load_from_file(sample_path))
 
