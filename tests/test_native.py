@@ -57,3 +57,50 @@ class TestPlanBuild:
         for f in ("row_al", "delta", "ms", "me", "gain", "clampf",
                   "fin_start", "fin_inv", "fout_end", "fout_inv", "track_gain"):
             np.testing.assert_array_equal(getattr(plan_native, f), getattr(plan_py, f), err_msg=f)
+
+
+class TestExportConverters:
+    """Native export converters vs the NumPy golden (bit-identical)."""
+
+    def test_f32_to_interleaved_matches_numpy(self):
+        from whitebox_tpu.core import buffers
+        from whitebox_tpu.io import native
+
+        if native.load() is None:
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(0)
+        planar = np.clip(rng.standard_normal((2, 4099)).astype(np.float32) * 0.7, -1.0, 1.0)
+        # exact boundary values too
+        planar[0, :6] = [1.0, -1.0, 0.0, -0.0, 0.5, -0.5]
+        got16 = native.f32_to_interleaved(planar, "i16")
+        ref16 = buffers.interleave(buffers.f32_to_i16(planar))
+        np.testing.assert_array_equal(got16, ref16)
+        got32 = native.f32_to_interleaved(planar, "i32")
+        ref32 = buffers.interleave(buffers.f32_to_i32(planar))
+        np.testing.assert_array_equal(got32, ref32)
+
+    def test_wav_write_uses_same_bytes_either_path(self, tmp_path):
+        import os
+
+        from whitebox_tpu.core.formats import AudioFormat
+        from whitebox_tpu.io import wav
+
+        rng = np.random.default_rng(1)
+        planar = np.clip(rng.standard_normal((2, 1000)).astype(np.float32) * 0.8, -1.0, 1.0)
+        a, b = tmp_path / "a.wav", tmp_path / "b.wav"
+        wav.write_wav(a, planar, 48000, AudioFormat.I16)
+        os.environ["WBTPU_NO_NATIVE"] = "1"
+        try:
+            import importlib
+
+            from whitebox_tpu.io import native as native_mod
+
+            native_mod._LIB = None
+            native_mod._TRIED = False
+            wav.write_wav(b, planar, 48000, AudioFormat.I16)
+        finally:
+            del os.environ["WBTPU_NO_NATIVE"]
+            native_mod._TRIED = False
+        assert a.read_bytes() == b.read_bytes()

@@ -59,6 +59,15 @@ def load() -> ctypes.CDLL | None:
         f32p, ctypes.c_int64,
     ]
     lib.wb_i24_bytes_to_codes.argtypes = [u8p, ctypes.c_int64, i32p]
+    lib.wb_f32_to_i16_interleaved.restype = None
+    lib.wb_f32_to_i16_interleaved.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int32, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int16, flags="C"),
+    ]
+    lib.wb_f32_to_i32_interleaved.restype = None
+    lib.wb_f32_to_i32_interleaved.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int32, ctypes.c_int64, i32p,
+    ]
     lib.wb_peaks_level.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32, i32p, ctypes.c_int64]
     lib.wb_build_mix_plan.restype = ctypes.c_int32
     lib.wb_build_mix_plan.argtypes = [
@@ -90,6 +99,26 @@ def normalize_planar(interleaved: np.ndarray, fmt: int, channels: int, stride: i
     if rc != 0:
         return None
     return out.reshape(channels, stride)
+
+
+def f32_to_interleaved(planar: np.ndarray, fmt: str) -> np.ndarray | None:
+    """Planar f32 [C, F] -> interleaved i16/i32 codes (export conversion,
+    audio_format_conv.cpp semantics); None when the native lib is absent."""
+    lib = load()
+    if lib is None:
+        return None
+    planar = np.ascontiguousarray(np.atleast_2d(planar), dtype=np.float32)
+    C, F = planar.shape
+    chan_ptrs = (ctypes.c_void_p * C)(*[planar[c].ctypes.data for c in range(C)])
+    if fmt == "i16":
+        out = np.empty(C * F, dtype=np.int16)
+        lib.wb_f32_to_i16_interleaved(chan_ptrs, C, F, out)
+    elif fmt == "i32":
+        out = np.empty(C * F, dtype=np.int32)
+        lib.wb_f32_to_i32_interleaved(chan_ptrs, C, F, out)
+    else:
+        return None
+    return out.reshape(F, C)
 
 
 def peaks_level(codes: np.ndarray, mip: int, out_count: int) -> np.ndarray | None:

@@ -17,6 +17,7 @@ import numpy as np
 
 from whitebox_tpu.core import buffers
 from whitebox_tpu.core.formats import AudioFormat
+from whitebox_tpu.io import native
 
 _WAVE_FORMAT_PCM = 0x0001
 _WAVE_FORMAT_IEEE_FLOAT = 0x0003
@@ -114,16 +115,26 @@ def write_wav(path, planar: np.ndarray, sample_rate: int, fmt: AudioFormat = Aud
         body = inter.astype("<f4").tobytes()
         tag, bits = _WAVE_FORMAT_IEEE_FLOAT, 32
     elif fmt == AudioFormat.I16:
-        codes = planar if planar.dtype == np.int16 else buffers.f32_to_i16(planar)
-        body = buffers.interleave(codes).astype("<i2").tobytes()
+        if planar.dtype == np.int16:
+            inter = buffers.interleave(planar)
+        else:
+            inter = native.f32_to_interleaved(planar, "i16")  # C++ converter
+            if inter is None:
+                inter = buffers.interleave(buffers.f32_to_i16(planar))
+        body = inter.astype("<i2").tobytes()
         tag, bits = _WAVE_FORMAT_PCM, 16
     elif fmt in (AudioFormat.I24, AudioFormat.I24_X8):
         codes = planar if planar.dtype == np.int32 else buffers.f32_to_i24(planar)
         body = buffers.i24_codes_to_bytes(buffers.interleave(codes))
         tag, bits = _WAVE_FORMAT_PCM, 24
     elif fmt == AudioFormat.I32:
-        codes = planar if planar.dtype == np.int32 else buffers.f32_to_i32(planar)
-        body = buffers.interleave(codes).astype("<i4").tobytes()
+        if planar.dtype == np.int32:
+            inter = buffers.interleave(planar)
+        else:
+            inter = native.f32_to_interleaved(planar, "i32")  # C++ converter
+            if inter is None:
+                inter = buffers.interleave(buffers.f32_to_i32(planar))
+        body = inter.astype("<i4").tobytes()
         tag, bits = _WAVE_FORMAT_PCM, 32
     else:
         raise ValueError(f"unsupported WAV export format {fmt!r}")
