@@ -70,6 +70,48 @@ def _cmd_render(args) -> int:
     return 0
 
 
+def _cmd_stems(args) -> int:
+    import os
+
+    from whitebox_tpu.core.formats import AudioFormat
+    from whitebox_tpu.render.bounce import _write_audio
+    from whitebox_tpu.render.stems import render_stems
+    from whitebox_tpu.session.project import read_project
+
+    session = read_project(args.project)
+    stems, names = render_stems(session, sample_rate=args.rate, buffer_size=args.buffer_size)
+    os.makedirs(args.outdir, exist_ok=True)
+    fmt = {"f32": AudioFormat.F32, "i16": AudioFormat.I16, "i24": AudioFormat.I24, "i32": AudioFormat.I32}[args.format]
+    safe = [("".join(c if c.isalnum() or c in "-_" else "_" for c in n) or "track") for n in names]
+    for i, name in enumerate(safe):
+        path = os.path.join(args.outdir, f"{i:02d}_{name}.{args.ext}")
+        _write_audio(path, stems[i], int(args.rate), fmt)
+    print(f"wrote {len(names)} stems ({stems.shape[2]} frames) -> {args.outdir}")
+    return 0
+
+
+def _cmd_convert(args) -> int:
+    from whitebox_tpu.core.formats import AudioFormat
+    from whitebox_tpu.io.wav import load_audio_file
+    from whitebox_tpu.render.bounce import _write_audio
+
+    import numpy as _np
+
+    from whitebox_tpu.core.formats import normalize_unclamped
+
+    planar, info = load_audio_file(args.src)
+    fmt = {"f32": AudioFormat.F32, "i16": AudioFormat.I16, "i24": AudioFormat.I24, "i32": AudioFormat.I32}[args.format]
+    f32 = _np.asarray(normalize_unclamped(_np.asarray(planar), info.format), dtype=_np.float32)
+    rate = int(args.rate) if args.rate else info.sample_rate
+    if rate != info.sample_rate:
+        from whitebox_tpu.ops.resample import resample_audio
+
+        f32 = resample_audio(f32, info.sample_rate, rate)  # windowed-sinc SRC on device
+    _write_audio(args.out, f32, rate, fmt)
+    print(f"{args.src} [{info.format.name} {info.channels}ch {info.sample_rate}Hz {info.count}f] -> {args.out}")
+    return 0
+
+
 def _cmd_peaks(args) -> int:
     from whitebox_tpu.ops.peaks import build_mipmaps
     from whitebox_tpu.session.sample import Sample
@@ -138,6 +180,23 @@ def main(argv=None) -> int:
                    help="capture a jax.profiler (xprof) trace of the render into DIR")
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=_cmd_render)
+
+    p = sub.add_parser("stems", help="render each track to its own post-fader file")
+    p.add_argument("project")
+    p.add_argument("outdir")
+    p.add_argument("--rate", type=float, default=48000.0)
+    p.add_argument("--buffer-size", type=int, default=512)
+    p.add_argument("--format", choices=["f32", "i16", "i24", "i32"], default="f32")
+    p.add_argument("--ext", choices=["wav", "flac", "mp3", "ogg"], default="wav")
+    p.set_defaults(fn=_cmd_stems)
+
+    p = sub.add_parser("convert", help="convert between audio containers (wav/aiff/mp3/ogg/flac)")
+    p.add_argument("src")
+    p.add_argument("out")
+    p.add_argument("--rate", type=int, default=None, help="resample to this rate (windowed-sinc)")
+    p.add_argument("--format", choices=["f32", "i16", "i24", "i32"], default="f32",
+                   help="WAV PCM format (compressed outputs pick their own)")
+    p.set_defaults(fn=_cmd_convert)
 
     p = sub.add_parser("peaks", help="build waveform min/max peak mipmaps")
     p.add_argument("audio")

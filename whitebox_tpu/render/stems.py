@@ -1,0 +1,99 @@
+"""Stems export: render every track separately, post chain + volume/pan.
+
+A standard DAW deliverable the reference's (stubbed) export dialog never
+reaches: each track's signal exactly as it would enter the master sum
+(track.cpp:728-733 processing position), so the stems sum back to the
+pre-master mix. The device applies the packed chain cascade + per-frame
+gains chunk-by-chunk with exact state carry, mirroring
+render.effects_pipeline.finish_mix minus the sum/master/clip stages.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whitebox_tpu.render.effects_pipeline import _frame_gains
+from whitebox_tpu.session.session import Session
+
+
+@functools.partial(jax.jit, static_argnames=("T", "C", "S", "chunk"))
+def stems_finish(per_track, coeffs, track_gain, auto=None, *, T, C, S, chunk=1 << 16):
+    """per_track [T, C, F] -> post-chain post-gain stems [T, C, F]."""
+    from whitebox_tpu.ops.biquad import biquad_scan_batched
+
+    F = per_track.shape[-1]
+    n_chunks = -(-F // chunk)
+    Fp = n_chunks * chunk
+    x = jnp.pad(per_track.reshape(T * C, F), ((0, 0), (0, Fp - F)))
+
+    def body(states, i):
+        xc = jax.lax.dynamic_slice_in_dim(x, i * chunk, chunk, axis=1)
+        new_states = []
+        for s in range(S):
+            xc, ns = biquad_scan_batched(xc, [coeffs[j, s] for j in range(9)], states[s])
+            new_states.append(ns)
+        g = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        gains = _frame_gains(auto, track_gain, g, T, C)
+        return new_states, xc.reshape(T, C, chunk) * gains
+
+    init = [jnp.zeros((T * C, 2), jnp.float32) for _ in range(S)]
+    _, ys = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    # ys [n_chunks, T, C, chunk] -> [T, C, F]
+    return ys.transpose(1, 2, 0, 3).reshape(T, C, Fp)[:, :, :F]
+
+
+def render_stems(
+    session: Session,
+    sample_rate: float = 48000.0,
+    *,
+    buffer_size: int = 512,
+    channels: int = 2,
+) -> tuple[np.ndarray, list[str]]:
+    """Render all tracks to stems [T, C, F] (+ track names)."""
+    from whitebox_tpu.ops.mix import pack_device_tables, render_chunk_per_track
+    from whitebox_tpu.render.bounce import _add_synth, _prepare_synth_tables, _session_has_midi
+    from whitebox_tpu.render.effects_pipeline import prepare_automation_tables, prepare_effect_tables
+    from whitebox_tpu.timeline.carve import carve_session
+
+    table, pool = carve_session(session, sample_rate, buffer_size=buffer_size, out_channels=channels)
+    T = len(session.tracks)
+
+    # per-track render: pallas plan when available, XLA gather otherwise
+    per_track = None
+    total = table.total_frames
+    try:
+        from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, build_plan
+
+        plan = build_plan(table, pool, session, channels=channels)
+        renderer = PallasMixRenderer(table, pool, session, channels=channels, plan=plan)
+        F_pad = plan.n_tiles * plan.tile
+        per_track = renderer.render_device_per_track().reshape(plan.num_tracks, channels, F_pad)
+        per_track = per_track[:T]
+    except Exception:
+        dev = pack_device_tables(table, pool, session, channels=channels)
+        jt = jax.device_put(dev.as_jax())
+        pool_dev = jax.device_put(jnp.asarray(pool.data))
+        frames = max(total, 1)
+        per_track = render_chunk_per_track(pool_dev, jt, jnp.int32(0), frames=frames)[:T]
+
+    if _session_has_midi(session):
+        synth = _prepare_synth_tables(session, sample_rate, buffer_size, max(total // buffer_size, 1))
+        if synth:
+            per_track = _add_synth(per_track, synth, 0, per_track.shape[-1])
+
+    (S, coeffs), _ = prepare_effect_tables(session, sample_rate, channels)
+    auto = prepare_automation_tables(session, sample_rate)
+    track_gain = jnp.asarray(
+        np.stack([
+            [np.float32((np.float32(0.0) if t.mute else t.volume_linear) * np.float32(t.pan_coeffs[c % 2]))
+             for c in range(channels)]
+            for t in session.tracks
+        ])
+    )
+    stems = stems_finish(per_track, coeffs, track_gain, auto, T=T, C=channels, S=S)
+    names = [t.name or f"track{i}" for i, t in enumerate(session.tracks)]
+    return np.asarray(stems)[:, :, :total], names
