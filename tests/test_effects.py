@@ -99,6 +99,7 @@ class TestScanParity:
 
 
 class TestBatched:
+    @pytest.mark.slow
     def test_batched_matches_individual(self):
         import jax.numpy as jnp
 

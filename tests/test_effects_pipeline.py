@@ -1,5 +1,6 @@
 """Effects-enabled bounce: device pipeline vs the f64 sequential reference."""
 
+import pytest
 import numpy as np
 
 from tests.test_carve import random_session
@@ -27,6 +28,7 @@ def add_effects(s, master=True):
 
 
 class TestEffectsBounce:
+    @pytest.mark.slow
     def test_xla_effects_matches_reference(self):
         s = add_effects(random_session(1, rate=48000, bpm=120.0, n_tracks=3, n_clips=2))
         res = bounce(s, RATE, engine="xla", chunk_frames=8192)
@@ -40,6 +42,7 @@ class TestEffectsBounce:
         err = rms(res.audio - ref) / scale
         assert err < 5e-5, f"relative rms err {err}"
 
+    @pytest.mark.slow
     def test_chunk_size_invariance_with_state(self):
         s = add_effects(random_session(2, rate=48000, bpm=120.0, n_tracks=2, n_clips=2))
         a = bounce(s, RATE, engine="xla", chunk_frames=4096).audio
@@ -56,6 +59,7 @@ class TestEffectsBounce:
         res = bounce(s, RATE, engine="xla")
         np.testing.assert_array_equal(res.audio[:, : oracle.shape[1]], oracle)
 
+    @pytest.mark.slow
     def test_track_chain_runs_pre_gain(self):
         # gain-only chain: chain(-6dB) then volume -> same as volume*(gain)
         from whitebox_tpu.session import Session
@@ -75,6 +79,7 @@ class TestEffectsBounce:
 
 
 class TestFirMode:
+    @pytest.mark.slow
     def test_fir_matches_reference(self):
         s = add_effects(random_session(10, rate=48000, bpm=120.0, n_tracks=3, n_clips=2))
         res = bounce(s, RATE, engine="pallas", effects_mode="fir")
@@ -85,6 +90,7 @@ class TestFirMode:
         err = rms(res.audio[:, : ref.shape[1]] - ref) / scale
         assert err < 2e-4, f"fir relative rms err {err}"
 
+    @pytest.mark.slow
     def test_fir_matches_scan(self):
         s = add_effects(random_session(11, rate=48000, bpm=120.0, n_tracks=2, n_clips=2))
         a = bounce(s, RATE, engine="pallas", effects_mode="scan").audio
@@ -95,6 +101,7 @@ class TestFirMode:
 class TestMeters:
     """Level meters (vu_meter.h equivalent) — post chain+gain, pre sum."""
 
+    @pytest.mark.slow
     def test_meters_match_reference(self):
         s = add_effects(random_session(12, rate=48000, bpm=120.0, n_tracks=3, n_clips=2))
         res = bounce(s, RATE, engine="pallas", meters=True)
@@ -133,6 +140,7 @@ class TestMeters:
         np.testing.assert_allclose(
             st.output_rms, np.sqrt((res.audio.astype(np.float64) ** 2).mean(axis=1)), atol=2e-4)
 
+    @pytest.mark.slow
     def test_meters_without_effects(self):
         s = random_session(13, rate=48000, bpm=120.0, n_tracks=2, n_clips=2)
         res = bounce(s, RATE, meters=True)

@@ -98,6 +98,7 @@ class TestFades:
 
 
 class TestAutomation:
+    @pytest.mark.slow
     def test_volume_ramp(self):
         s, tr = simple_session()
         lane = AutomationLane().add(0.0, 0.0).add(1.0, 1.0)  # 1 beat = 1s ramp
@@ -129,6 +130,7 @@ class TestAutomation:
         expected = (u - t * u) / (t - 2 * t * abs(u) + 1.0)
         assert mid == pytest.approx(expected, abs=1e-3)
 
+    @pytest.mark.slow
     def test_matches_reference_pipeline(self):
         s = random_session(7, rate=48000, bpm=120.0, n_tracks=3, n_clips=2)
         s.tracks[0].automation = TrackAutomation(
@@ -142,6 +144,7 @@ class TestAutomation:
         scale = max(rms(ref), 1e-9)
         assert rms(res.audio - ref) / scale < 1e-5
 
+    @pytest.mark.slow
     def test_non_automated_tracks_unaffected(self):
         # adding automation to one track must not change others' samples
         s = random_session(8, rate=48000, bpm=120.0, n_tracks=2, n_clips=1)

@@ -157,6 +157,7 @@ class TestSynth:
 
 
 class TestEndToEnd:
+    @pytest.mark.slow
     def test_midi_bounce_produces_tone(self):
         s, tr = midi_session([MidiNote(0.0, 2.0, key=69, velocity=1.0)], clip_span=(0.0, 4.0))
         res = bounce(s, RATE, buffer_size=256, engine="xla")
@@ -167,6 +168,7 @@ class TestEndToEnd:
         # both channels identical pre-pan (center pan: equal)
         np.testing.assert_array_equal(a[0], a[1])
 
+    @pytest.mark.slow
     def test_midi_and_audio_mix(self):
         from whitebox_tpu.core.formats import AudioFormat
         from whitebox_tpu.session.sample import Sample

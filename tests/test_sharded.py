@@ -50,6 +50,7 @@ def test_sharded_output_sharding(mesh):
     assert len(out.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_frame_sharded_biquad_matches_single(mesh):
     import functools
     from jax.sharding import PartitionSpec as P
