@@ -334,7 +334,7 @@ def build_plan(
     )
 
 
-def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_ref, ms_ref, me_ref, gain_ref, clampf_ref, fis_ref, fii_ref, foe_ref, foi_ref, slow_ref, sqhi_ref, sfh_ref, sfl_ref, ssh_ref, ssl_ref, tg_ref, pool_ref, out_ref, scratch, sems):
+def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_ref, ms_ref, me_ref, gain_ref, clampf_ref, fis_ref, fii_ref, foe_ref, foi_ref, slow_ref, sqhi_ref, sfh_ref, sfl_ref, ssh_ref, ssl_ref, tg_ref, pool_ref, out_ref, scratch, sv_ref, sems):
     t = pl.program_id(1)
     n_tracks = pl.num_programs(1)
     R = TILE // 128  # output rows; scratch windows carry 8 extra rows (1024 elts)
@@ -394,36 +394,63 @@ def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_re
                     return jnp.where(clampf_ref[0, 0, 0, k] == 1, clamped, v)
 
                 def slow_value():
-                    # resampled slot: ds phase + per-lane window gather
+                    # resampled slot: ds phase + per-lane window gather, one
+                    # GROUP of 8 output rows at a time. The source index is
+                    # monotone in the output position, so a group only
+                    # touches ~8*speed+2 consecutive window rows (dynamic
+                    # fori bounds from the group-edge phases) and each
+                    # gather is a natively-tiled [8,128] in-row shuffle —
+                    # ~8x less shuffle work than sweeping the whole window
+                    # against [R,128] per chunk.
                     from whitebox_tpu.ops.dsarith import phase_eval
 
-                    j = jnp.maximum(pos - ms_ref[0, 0, 0, k], 0)
-                    ixl, fx = phase_eval(
-                        j, sfh_ref[0, 0, 0, k], sfl_ref[0, 0, 0, k],
-                        ssh_ref[0, 0, 0, k], ssl_ref[0, 0, 0, k],
+                    G = min(16, R)  # group must fit the tile (tests use tiny tiles)
+                    ms_k = ms_ref[0, 0, 0, k]
+                    me_k = me_ref[0, 0, 0, k]
+                    fh = sfh_ref[0, 0, 0, k]
+                    fl = sfl_ref[0, 0, 0, k]
+                    sh = ssh_ref[0, 0, 0, k]
+                    sl = ssl_ref[0, 0, 0, k]
+                    pos_g = (
+                        jax.lax.broadcasted_iota(jnp.int32, (G, 128), 0) * 128
+                        + jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
                     )
-                    m = ixl + delta
-                    qg = m >> 7
-                    rg = m & 127
-                    qg1 = (m + 1) >> 7
-                    rg1 = (m + 1) & 127
 
-                    def body(wq, carry):
-                        a_acc, b_acc = carry
-                        # dynamic sublane read from the VMEM ref (Mosaic
-                        # supports pl.ds ref indexing, not value dyn-slice)
-                        wrow = jnp.broadcast_to(scratch[k, ch, pl.ds(wq, 1), :], (R, 128))
-                        ga = jnp.take_along_axis(wrow, rg, axis=1)
-                        gb = jnp.take_along_axis(wrow, rg1, axis=1)
-                        a_acc = jnp.where(qg == wq, ga, a_acc)
-                        b_acc = jnp.where(qg1 == wq, gb, b_acc)
-                        return a_acc, b_acc
+                    def group_body(gi, carry):
+                        base = gi * (G * 128)
+                        j = jnp.maximum(base + pos_g - ms_k, 0)
+                        ixl, fx = phase_eval(j, fh, fl, sh, sl)
+                        m = ixl + delta
+                        # scalar chunk bounds from the group-edge phases
+                        ix0, _ = phase_eval(jnp.maximum(base - ms_k, 0), fh, fl, sh, sl)
+                        ixe, _ = phase_eval(jnp.maximum(base + G * 128 - 1 - ms_k, 0), fh, fl, sh, sl)
+                        q0 = jnp.clip((ix0 + delta) >> 7, 0, R + 15)
+                        q1 = jnp.clip(((ixe + 1 + delta) >> 7) + 1, q0 + 1, R + 16)
+                        qg = m >> 7
+                        rg = m & 127
+                        qg1 = (m + 1) >> 7
+                        rg1 = (m + 1) & 127
 
-                    zero = jnp.zeros((R, 128), jnp.float32)
-                    q_lo = delta >> 7
-                    q_hi = jnp.minimum(q_lo + sqhi_ref[0, 0, 0, k], R + 16)
-                    a, b = jax.lax.fori_loop(q_lo, q_hi, body, (zero, zero))
-                    return a + fx * (b - a)  # sampler.cpp:55 lerp form
+                        def chunk_body(wq, ab):
+                            a_acc, b_acc = ab
+                            wrow = jnp.broadcast_to(scratch[k, ch, pl.ds(wq, 1), :], (G, 128))
+                            ga = jnp.take_along_axis(wrow, rg, axis=1)
+                            gb = jnp.take_along_axis(wrow, rg1, axis=1)
+                            return (
+                                jnp.where(qg == wq, ga, a_acc),
+                                jnp.where(qg1 == wq, gb, b_acc),
+                            )
+
+                        zero = jnp.zeros((G, 128), jnp.float32)
+                        a, b = jax.lax.fori_loop(q0, q1, chunk_body, (zero, zero))
+                        sv_ref[pl.ds(gi * G, G), :] = a + fx * (b - a)  # sampler.cpp:55
+                        return carry
+
+                    g_lo = ms_k // (G * 128)
+                    g_hi = (me_k + G * 128 - 1) // (G * 128)
+                    g_hi = jnp.where(is_slow, g_hi, g_lo)  # fast slots: no groups
+                    jax.lax.fori_loop(g_lo, g_hi, group_body, 0)
+                    return sv_ref[:]
 
                 v = jnp.where(is_slow, slow_value(), fast_value())
                 mask = (pos >= ms_ref[0, 0, 0, k]) & (pos < me_ref[0, 0, 0, k])
@@ -478,6 +505,7 @@ def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, s
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((K, C, R + 16, 128), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.float32),  # slow-slot per-row results
             pltpu.SemaphoreType.DMA((K, C)),
         ],
         interpret=interpret,
