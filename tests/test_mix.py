@@ -148,9 +148,11 @@ class TestPackDeviceTablesVectorized:
         session = make_demo_session(n_tracks=128, duration_seconds=60.0, seed=5,
                                     clip_speeds=(44100.0 / 48000.0,))
         table, pool = carve_session(session, 48000.0, buffer_size=512)
-        t0 = time.perf_counter()
-        pack_device_tables(table, pool, session)
-        dt = time.perf_counter() - t0
-        # ~0.14s standalone; headroom for suite-load contention. A per-row
-        # Python loop regression would be 30s+ here.
-        assert dt < 1.5, f"pack took {dt:.3f}s for {len(table)} rows"
+        dt = float("inf")
+        for _ in range(2):  # best-of-2 absorbs suite-load contention spikes
+            t0 = time.perf_counter()
+            pack_device_tables(table, pool, session)
+            dt = min(dt, time.perf_counter() - t0)
+        # ~0.14s standalone. A per-row Python loop regression would be 30s+
+        # here, so a loose bound still guards the regression.
+        assert dt < 5.0, f"pack took {dt:.3f}s for {len(table)} rows"
