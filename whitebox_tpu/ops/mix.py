@@ -169,12 +169,18 @@ def _bisect_right(a, v):
 
 
 def _track_contrib(pool, g, dst_start, length, src_base, frac_hi, frac_lo, speed_hi, speed_lo, gain, fast, clamp,
-                   fin_start, fin_inv, fout_end, fout_inv, sinc_bank=None):
+                   fin_start, fin_inv, fout_end, fout_inv, sinc_bank=None, interp: str = "linear"):
     """Per-track contribution for global frames ``g`` [F] -> [C, F] f32.
 
     ``sinc_bank`` (optional [phases+1, taps] f32): windowed-sinc taps for
     resampled rows instead of the engine's linear interpolation (fast rows
     are untouched either way — bit parity holds).
+
+    ``interp="catmull"`` selects 4-point Catmull-Rom for resampled rows —
+    the mode the reference *starts* (sample_catmull_rom computes all four
+    neighbors, sampler.cpp:61-86) but never finishes (the function writes
+    nothing); this completes it with the standard uniform Catmull-Rom
+    polynomial over those same four points.
     """
     idx = _bisect_right(dst_start, g) - 1
     idx_c = jnp.clip(idx, 0, dst_start.shape[0] - 1)
@@ -215,7 +221,17 @@ def _track_contrib(pool, g, dst_start, length, src_base, frac_hi, frac_lo, speed
         src = jnp.clip(src_base[idx_c, ch] + ixl, 0, limit)
         a = pool[src]
         a_eff = jnp.where(clamp_row, jnp.clip(a, jnp.float32(-1.0), jnp.float32(1.0)), a)
-        if sinc_bank is None:
+        if sinc_bank is None and interp == "catmull":
+            pm1 = pool[jnp.clip(src - 1, 0, limit)]
+            b = pool[src + 1]
+            p2 = pool[jnp.clip(src + 2, 0, limit)]
+            # uniform Catmull-Rom over (p[-1], p[0], p[1], p[2])
+            c1 = 0.5 * (b - pm1)
+            c2 = pm1 - 2.5 * a + 2.0 * b - 0.5 * p2
+            c3 = 0.5 * (p2 - pm1) + 1.5 * (a - b)
+            cr = a + fx * (c1 + fx * (c2 + fx * c3))
+            s = jnp.where(row_fast, a_eff, cr)
+        elif sinc_bank is None:
             b = pool[src + 1]
             s = jnp.where(row_fast, a_eff, a + fx * (b - a))
         else:
@@ -228,14 +244,15 @@ def _track_contrib(pool, g, dst_start, length, src_base, frac_hi, frac_lo, speed
     return jnp.stack(outs)  # [C, F]
 
 
-@functools.partial(jax.jit, static_argnames=("frames", "strict_order"))
-def render_chunk(pool, tables, chunk_start, frames: int, strict_order: bool = True, sinc_bank=None):
+@functools.partial(jax.jit, static_argnames=("frames", "strict_order", "interp"))
+def render_chunk(pool, tables, chunk_start, frames: int, strict_order: bool = True, sinc_bank=None,
+                 interp: str = "linear"):
     """Render ``frames`` output frames starting at ``chunk_start`` -> [C, F]."""
     g = chunk_start + jnp.arange(frames, dtype=jnp.int32)
 
     contribs = jax.vmap(
         lambda d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3: _track_contrib(
-            pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3, sinc_bank
+            pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3, sinc_bank, interp
         )
     )(
         tables["dst_start"], tables["length"], tables["src_base"],
@@ -260,13 +277,13 @@ def render_chunk(pool, tables, chunk_start, frames: int, strict_order: bool = Tr
     return total
 
 
-@functools.partial(jax.jit, static_argnames=("frames",))
-def render_chunk_per_track(pool, tables, chunk_start, frames: int, sinc_bank=None):
+@functools.partial(jax.jit, static_argnames=("frames", "interp"))
+def render_chunk_per_track(pool, tables, chunk_start, frames: int, sinc_bank=None, interp: str = "linear"):
     """Per-track pre-gain contributions [T, C, F] (for the effects pipeline)."""
     g = chunk_start + jnp.arange(frames, dtype=jnp.int32)
     return jax.vmap(
         lambda d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3: _track_contrib(
-            pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3, sinc_bank
+            pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3, sinc_bank, interp
         )
     )(
         tables["dst_start"], tables["length"], tables["src_base"],

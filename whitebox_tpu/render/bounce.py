@@ -106,13 +106,18 @@ def bounce(
     "auto" (pallas unless sinc interpolation or slot overflow forces xla).
     Both are bit-parity paths per the carve contract.
 
-    ``interpolation``: "linear" (reference parity, sampler.cpp:34) or
-    "sinc" (windowed-sinc for resampled clips — forces the XLA path when
-    any resampled rows exist; speed==1 rows stay bit-exact).
+    ``interpolation``: "linear" (reference parity, sampler.cpp:34),
+    "catmull" (4-point Catmull-Rom — completes the mode the reference
+    leaves unfinished at sampler.cpp:61-86), or "sinc" (windowed-sinc).
+    Non-linear modes force the XLA path when any resampled rows exist;
+    speed==1 rows stay bit-exact in every mode.
 
     ``effects_mode``: "scan" (eigenbasis associative scan, ~1e-7 accuracy)
     or "fir" (chains collapsed to impulse responses, overlap-save FFT —
     several times faster at high track counts, ~-120 dB truncation).
+    Sessions whose chains contain the wider effect family (dynamics,
+    delays, reverb, shaping) finish through the generic pipeline
+    automatically regardless of this flag.
 
     ``meters``: also compute per-track and output level meters
     (vu_meter.h equivalent; see RenderStats.track_peak). Meters need the
@@ -130,6 +135,7 @@ def bounce(
                len(table), table.total_frames, table.num_tracks)
 
     sinc_bank = None
+    interp = "linear"
     if interpolation == "sinc":
         from whitebox_tpu.ops.resample import design_sinc_bank
 
@@ -139,14 +145,23 @@ def bounce(
             sinc_bank = jnp.asarray(design_sinc_bank(max(max_ratio, 1.0)))
             if engine == "auto":
                 engine = "xla"  # sinc path lives in the XLA renderer
+    elif interpolation == "catmull":
+        # 4-point Catmull-Rom for resampled rows — completes the mode the
+        # reference stubs out (sampler.cpp:61-86 computes the neighbors but
+        # writes nothing). speed==1 rows stay bit-exact either way.
+        slow = ~table.fast if len(table) else np.array([], dtype=bool)
+        if slow.any():
+            interp = "catmull"
+            if engine == "auto":
+                engine = "xla"  # cubic path lives in the XLA renderer
     elif interpolation != "linear":
-        raise ValueError("interpolation must be 'linear' or 'sinc'")
+        raise ValueError("interpolation must be 'linear', 'catmull', or 'sinc'")
 
     if engine in ("auto", "pallas"):
         from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, SlowRowsPresent, build_plan
 
-        if sinc_bank is not None:
-            plan = None  # sinc interpolation lives in the XLA renderer
+        if sinc_bank is not None or interp != "linear":
+            plan = None  # sinc/cubic interpolation lives in the XLA renderer
         else:
             try:
                 plan = build_plan(table, pool, session, channels=channels)
@@ -166,9 +181,15 @@ def bounce(
             if has_fx and len(session.tracks) * channels * plan.n_tiles * plan.tile * 4 > 6 << 30:
                 plan = None  # per-track buffers would blow HBM; chunked XLA path
         if plan is not None:
+            from whitebox_tpu.render.effects_generic import session_fx_packable
+
             renderer = PallasMixRenderer(table, pool, session, channels=channels, plan=plan)
             if has_fx:
-                if effects_mode != "fir":  # fir mode never touches the scan tables
+                if not session_fx_packable(session):
+                    # nonlinear / long-memory chains (dynamics, delays,
+                    # reverb...) finish through the generic pipeline
+                    effects_mode = "generic"
+                if effects_mode == "scan":  # fir/generic never touch the scan tables
                     (S, coeffs), (Sm, mcoeffs) = prepare_effect_tables(session, sample_rate, channels)
                 auto = prepare_automation_tables(session, sample_rate)
                 tg = jnp.asarray(plan.track_gain)
@@ -192,6 +213,23 @@ def bounce(
                         if synth_tables:
                             ptr = _add_synth(ptr, synth_tables, 0, F_pad)
                         return fir_finish(ptr)
+                elif effects_mode == "generic":
+                    from whitebox_tpu.render.effects_generic import make_generic_finisher, prepare_generic_fx
+
+                    fx = prepare_generic_fx(session, sample_rate, channels)
+                    gen_finish = make_generic_finisher(
+                        fx, plan.num_tracks, channels,
+                        with_meters=meters, valid_frames=plan.total_frames,
+                    )
+                    stats.carve_seconds += watch.lap()
+
+                    def run_fx():
+                        pt = renderer.render_device_per_track()
+                        T = plan.num_tracks
+                        ptr = pt.reshape(T, channels, F_pad)
+                        if synth_tables:
+                            ptr = _add_synth(ptr, synth_tables, 0, F_pad)
+                        return gen_finish(ptr, tg, auto)
                 else:
                     def run_fx():
                         pt = renderer.render_device_per_track()
@@ -253,26 +291,43 @@ def bounce(
 
     if session_has_effects(session) or session_has_automation(session) or _session_has_midi(session) or meters:
         from whitebox_tpu.ops.mix import render_chunk_per_track
+        from whitebox_tpu.render.effects_generic import session_fx_packable
         from whitebox_tpu.render.effects_pipeline import (
             finish_mix_chunk, init_effect_states, prepare_automation_tables, prepare_effect_tables,
         )
 
-        (S, coeffs), (Sm, mcoeffs) = prepare_effect_tables(session, sample_rate, channels)
         auto = prepare_automation_tables(session, sample_rate)
         tg = jnp.asarray(dev.track_gain)
         T = dev.num_tracks
-        states, mstates = init_effect_states(T, channels, S, Sm)
         synth_tables = (
             _prepare_synth_tables(session, sample_rate, buffer_size, F // buffer_size)
             if _session_has_midi(session) else {}
         )
 
-        def fx_chunk(start, states, mstates):
-            pt = render_chunk_per_track(pool_dev, jt, jnp.int32(start), frames=chunk_frames, sinc_bank=sinc_bank)
-            if synth_tables:
-                pt = _add_synth(pt, synth_tables, start, chunk_frames)
-            return finish_mix_chunk(pt, coeffs, mcoeffs, tg, states, mstates, jnp.int32(start), auto,
-                                    T=T, C=channels, S=S, Sm=Sm, with_meters=meters)
+        if not session_fx_packable(session):
+            from whitebox_tpu.render.effects_generic import (
+                init_generic_states, make_generic_chunk_fn, prepare_generic_fx,
+            )
+
+            gfx = prepare_generic_fx(session, sample_rate, channels)
+            gstep = make_generic_chunk_fn(gfx, T, channels, chunk=chunk_frames, with_meters=meters)
+            states, mstates = init_generic_states(gfx, channels)
+
+            def fx_chunk(start, states, mstates):
+                pt = render_chunk_per_track(pool_dev, jt, jnp.int32(start), frames=chunk_frames, sinc_bank=sinc_bank, interp=interp)
+                if synth_tables:
+                    pt = _add_synth(pt, synth_tables, start, chunk_frames)
+                return gstep(pt, states, mstates, jnp.int32(start), tg, auto)
+        else:
+            (S, coeffs), (Sm, mcoeffs) = prepare_effect_tables(session, sample_rate, channels)
+            states, mstates = init_effect_states(T, channels, S, Sm)
+
+            def fx_chunk(start, states, mstates):
+                pt = render_chunk_per_track(pool_dev, jt, jnp.int32(start), frames=chunk_frames, sinc_bank=sinc_bank, interp=interp)
+                if synth_tables:
+                    pt = _add_synth(pt, synth_tables, start, chunk_frames)
+                return finish_mix_chunk(pt, coeffs, mcoeffs, tg, states, mstates, jnp.int32(start), auto,
+                                        T=T, C=channels, S=S, Sm=Sm, with_meters=meters)
 
         _ = fx_chunk(0, states, mstates)  # warm-up compile
         stats.compile_seconds = watch.lap()
@@ -303,13 +358,13 @@ def bounce(
         stats.readback_seconds = watch.lap()
     else:
         # warm-up compile (excluded from the device-time metric)
-        render_chunk(pool_dev, jt, jnp.int32(0), frames=chunk_frames, strict_order=strict_order, sinc_bank=sinc_bank).block_until_ready()
+        render_chunk(pool_dev, jt, jnp.int32(0), frames=chunk_frames, strict_order=strict_order, sinc_bank=sinc_bank, interp=interp).block_until_ready()
         stats.compile_seconds = watch.lap()
 
         device_chunks = []
         for start in range(0, F, chunk_frames):
             device_chunks.append(
-                (start, render_chunk(pool_dev, jt, jnp.int32(start), frames=chunk_frames, strict_order=strict_order, sinc_bank=sinc_bank))
+                (start, render_chunk(pool_dev, jt, jnp.int32(start), frames=chunk_frames, strict_order=strict_order, sinc_bank=sinc_bank, interp=interp))
             )
         float(device_chunks[-1][1].sum())  # force completion; scalar fetch only
         stats.device_seconds = watch.lap()

@@ -51,16 +51,27 @@ class PreviewStream:
         self._has_midi = _session_has_midi(session)
         self._has_fx = session_has_effects(session) or session_has_automation(session) or self._has_midi
         if self._has_fx:
+            from whitebox_tpu.render.effects_generic import session_fx_packable
             from whitebox_tpu.render.effects_pipeline import (
                 init_effect_states, prepare_automation_tables, prepare_effect_tables,
             )
 
-            (self._S, self._coeffs), (self._Sm, self._mcoeffs) = prepare_effect_tables(
-                session, sample_rate, channels
-            )
+            self._packable = session_fx_packable(session)
+            if self._packable:
+                (self._S, self._coeffs), (self._Sm, self._mcoeffs) = prepare_effect_tables(
+                    session, sample_rate, channels
+                )
+                self._states, self._mstates = init_effect_states(self._T, channels, self._S, self._Sm)
+            else:
+                from whitebox_tpu.render.effects_generic import (
+                    init_generic_states, make_generic_chunk_fn, prepare_generic_fx,
+                )
+
+                gfx = prepare_generic_fx(session, sample_rate, channels)
+                self._gstep = make_generic_chunk_fn(gfx, self._T, channels, chunk=self.lookahead)
+                self._states, self._mstates = init_generic_states(gfx, channels)
             self._auto = prepare_automation_tables(session, sample_rate)
             self._tg = jnp.asarray(dev.track_gain)
-            self._states, self._mstates = init_effect_states(self._T, channels, self._S, self._Sm)
             self._synth = (
                 _prepare_synth_tables(session, sample_rate, buffer_size,
                                       max(self._total // buffer_size, 1))
@@ -85,10 +96,15 @@ class PreviewStream:
             pt = render_chunk_per_track(self._pool, self._tables, jnp.int32(start), frames=frames)
             if self._synth:
                 pt = _add_synth(pt, self._synth, start, frames)
-            chunk, self._states, self._mstates = finish_mix_chunk(
-                pt, self._coeffs, self._mcoeffs, self._tg, self._states, self._mstates,
-                jnp.int32(start), self._auto, T=self._T, C=self.channels, S=self._S, Sm=self._Sm,
-            )
+            if self._packable:
+                chunk, self._states, self._mstates = finish_mix_chunk(
+                    pt, self._coeffs, self._mcoeffs, self._tg, self._states, self._mstates,
+                    jnp.int32(start), self._auto, T=self._T, C=self.channels, S=self._S, Sm=self._Sm,
+                )
+            else:
+                chunk, self._states, self._mstates = self._gstep(
+                    pt, self._states, self._mstates, jnp.int32(start), self._tg, self._auto
+                )
         else:
             chunk = render_chunk(self._pool, self._tables, jnp.int32(start), frames=frames, strict_order=True)
         self._window = np.asarray(chunk)

@@ -85,7 +85,6 @@ def render_stems(
         if synth:
             per_track = _add_synth(per_track, synth, 0, per_track.shape[-1])
 
-    (S, coeffs), _ = prepare_effect_tables(session, sample_rate, channels)
     auto = prepare_automation_tables(session, sample_rate)
     track_gain = jnp.asarray(
         np.stack([
@@ -94,6 +93,15 @@ def render_stems(
             for t in session.tracks
         ])
     )
-    stems = stems_finish(per_track, coeffs, track_gain, auto, T=T, C=channels, S=S)
+    from whitebox_tpu.render.effects_generic import session_fx_packable
+
+    if session_fx_packable(session):
+        (S, coeffs), _ = prepare_effect_tables(session, sample_rate, channels)
+        stems = stems_finish(per_track, coeffs, track_gain, auto, T=T, C=channels, S=S)
+    else:
+        from whitebox_tpu.render.effects_generic import make_generic_stems_finisher, prepare_generic_fx
+
+        gfx = prepare_generic_fx(session, sample_rate, channels)
+        stems = make_generic_stems_finisher(gfx, T, channels)(per_track, track_gain, auto)
     names = [t.name or f"track{i}" for i, t in enumerate(session.tracks)]
     return np.asarray(stems)[:, :, :total], names

@@ -57,8 +57,12 @@ def find_file_recursive(root, filename: str, max_depth: int = 8):
 
 
 def _effect_to_doc(e) -> dict:
+    from whitebox_tpu.effects.delay import Chorus, Delay, Flanger
+    from whitebox_tpu.effects.dynamics import Compressor, Limiter, NoiseGate
     from whitebox_tpu.effects.eq import Biquad, ParametricEQ
     from whitebox_tpu.effects.gain import Gain
+    from whitebox_tpu.effects.reverb import ConvolutionReverb
+    from whitebox_tpu.effects.shape import Saturator, StereoWidth
 
     if isinstance(e, Gain):
         return {"type": "gain", "gain_db": e.gain_db}
@@ -66,12 +70,51 @@ def _effect_to_doc(e) -> dict:
         return {"type": "biquad", "ftype": e.ftype.value, "freq": e.freq_hz, "q": e.q, "gain_db": e.gain_db}
     if isinstance(e, ParametricEQ):
         return {"type": "eq", "bands": [[t.value, f, q, g] for (t, f, q, g) in e.bands]}
+    if isinstance(e, Compressor):
+        return {"type": "compressor", "threshold_db": e.threshold_db, "ratio": e.ratio,
+                "knee_db": e.knee_db, "attack_s": e.attack_s, "release_s": e.release_s,
+                "makeup_db": e.makeup_db, "detector": e.detector, "rms_window_s": e.rms_window_s}
+    if isinstance(e, Limiter):
+        return {"type": "limiter", "ceiling_db": e.ceiling_db, "attack_s": e.attack_s,
+                "release_s": e.release_s, "lookahead_s": e.lookahead_s}
+    if isinstance(e, NoiseGate):
+        return {"type": "gate", "threshold_db": e.threshold_db, "range_db": e.range_db,
+                "attack_s": e.attack_s, "release_s": e.release_s, "hysteresis_db": e.hysteresis_db}
+    if isinstance(e, Delay):
+        return {"type": "delay", "time_s": e.time_s, "feedback": e.feedback,
+                "wet": e.wet, "dry": e.dry, "mode": e.mode}
+    if isinstance(e, Flanger):  # Flanger subclasses Chorus: check first
+        return {"type": "flanger", "rate_hz": e.rate_hz, "depth_s": e.depth_s,
+                "center_s": e.center_s, "wet": e.wet, "dry": e.dry}
+    if isinstance(e, Chorus):
+        return {"type": "chorus", "rate_hz": e.rate_hz, "depth_s": e.depth_s,
+                "center_s": e.center_s, "voices": e.voices, "wet": e.wet, "dry": e.dry}
+    if isinstance(e, ConvolutionReverb):
+        doc = {"type": "convreverb", "wet": e.wet, "dry": e.dry, "room_seconds": e.room_seconds,
+               "rt60_s": e.rt60_s, "room_seed": e.room_seed}
+        if e.ir_host is not None:
+            # custom IR embeds inline, base64 of f32 LE bytes (the document
+            # is packed with use_bin_type=False for wbpr compat, so raw
+            # binary would be mis-decoded as UTF-8 on read)
+            import base64
+
+            doc["ir_shape"] = list(e.ir_host.shape)
+            doc["ir_data"] = base64.b64encode(e.ir_host.astype("<f4").tobytes()).decode("ascii")
+        return doc
+    if isinstance(e, Saturator):
+        return {"type": "saturator", "drive_db": e.drive_db, "mix": e.mix}
+    if isinstance(e, StereoWidth):
+        return {"type": "width", "width": e.width}
     raise TypeError(f"cannot serialize effect {e!r}")
 
 
 def _effect_from_doc(d):
+    from whitebox_tpu.effects.delay import Chorus, Delay, Flanger
+    from whitebox_tpu.effects.dynamics import Compressor, Limiter, NoiseGate
     from whitebox_tpu.effects.eq import Biquad, ParametricEQ
     from whitebox_tpu.effects.gain import Gain
+    from whitebox_tpu.effects.reverb import ConvolutionReverb
+    from whitebox_tpu.effects.shape import Saturator, StereoWidth
 
     t = _as_str(d.get("type"))
     if t == "gain":
@@ -81,6 +124,48 @@ def _effect_from_doc(d):
                       float(d.get("q", 0.7071067811865476)), float(d.get("gain_db", 0.0)))
     if t == "eq":
         return ParametricEQ([(_as_str(b[0]), float(b[1]), float(b[2]), float(b[3])) for b in d.get("bands", [])])
+    if t == "compressor":
+        return Compressor(float(d.get("threshold_db", -18.0)), float(d.get("ratio", 4.0)),
+                          knee_db=float(d.get("knee_db", 6.0)), attack_s=float(d.get("attack_s", 0.005)),
+                          release_s=float(d.get("release_s", 0.1)), makeup_db=float(d.get("makeup_db", 0.0)),
+                          detector=_as_str(d.get("detector", "peak")),
+                          rms_window_s=float(d.get("rms_window_s", 0.03)))
+    if t == "limiter":
+        return Limiter(float(d.get("ceiling_db", -0.3)), attack_s=float(d.get("attack_s", 0.001)),
+                       release_s=float(d.get("release_s", 0.05)), lookahead_s=float(d.get("lookahead_s", 0.005)))
+    if t == "gate":
+        return NoiseGate(float(d.get("threshold_db", -50.0)), range_db=float(d.get("range_db", 80.0)),
+                         attack_s=float(d.get("attack_s", 0.001)), release_s=float(d.get("release_s", 0.1)),
+                         hysteresis_db=float(d.get("hysteresis_db", 0.0)))
+    if t == "delay":
+        return Delay(float(d.get("time_s", 0.25)), float(d.get("feedback", 0.35)),
+                     wet=float(d.get("wet", 0.35)), dry=float(d.get("dry", 1.0)),
+                     mode=_as_str(d.get("mode", "stereo")))
+    if t == "chorus":
+        return Chorus(rate_hz=float(d.get("rate_hz", 0.8)), depth_s=float(d.get("depth_s", 0.004)),
+                      center_s=float(d.get("center_s", 0.015)), voices=int(d.get("voices", 2)),
+                      wet=float(d.get("wet", 0.5)), dry=float(d.get("dry", 1.0)))
+    if t == "flanger":
+        return Flanger(rate_hz=float(d.get("rate_hz", 0.25)), depth_s=float(d.get("depth_s", 0.002)),
+                       center_s=float(d.get("center_s", 0.003)), wet=float(d.get("wet", 0.7)),
+                       dry=float(d.get("dry", 1.0)))
+    if t == "convreverb":
+        ir = None
+        if "ir_data" in d:
+            import base64
+
+            import numpy as _np
+
+            shape = tuple(int(s) for s in d["ir_shape"])
+            raw = base64.b64decode(_as_str(d["ir_data"]))
+            ir = _np.frombuffer(raw, dtype="<f4").reshape(shape).copy()
+        return ConvolutionReverb(ir, wet=float(d.get("wet", 0.3)), dry=float(d.get("dry", 1.0)),
+                                 room_seconds=float(d.get("room_seconds", 1.2)),
+                                 rt60_s=float(d.get("rt60_s", 0.9)), room_seed=int(d.get("room_seed", 0)))
+    if t == "saturator":
+        return Saturator(float(d.get("drive_db", 6.0)), float(d.get("mix", 1.0)))
+    if t == "width":
+        return StereoWidth(float(d.get("width", 1.0)))
     raise ValueError(f"unknown effect type {t!r}")
 
 

@@ -343,8 +343,13 @@ def carve_session(
     return table, pool
 
 
-def render_segments_per_track_numpy(table: SegmentTable, pool: SamplePool, out_channels: int = 2) -> np.ndarray:
-    """Per-track pre-gain buffers [T, C, F] f32 (exact f64 phase; host)."""
+def render_segments_per_track_numpy(table: SegmentTable, pool: SamplePool, out_channels: int = 2,
+                                    interp: str = "linear") -> np.ndarray:
+    """Per-track pre-gain buffers [T, C, F] f32 (exact f64 phase; host).
+
+    ``interp="catmull"`` mirrors the device's 4-point Catmull-Rom mode
+    (ops/mix.py) for resampled rows — the interpolation the reference
+    starts but never finishes (sampler.cpp:61-86)."""
     F = table.total_frames
     out = np.zeros((table.num_tracks, out_channels, F), dtype=np.float32)
     for r in range(len(table)):
@@ -368,14 +373,25 @@ def render_segments_per_track_numpy(table: SegmentTable, pool: SamplePool, out_c
                 x = (table.src_int[r] + table.src_frac[r]) + j * table.speed[r]
                 ix = np.trunc(x).astype(np.int64)
                 fx = (x - ix.astype(np.float64)).astype(np.float32)
-                a = pool.data[base + ix]
-                b = pool.data[base + ix + 1]
-                s = a + fx * (b - a)
+                limit = pool.data.shape[0] - 2
+                src = np.clip(base + ix, 0, limit)
+                a = pool.data[src]
+                b = pool.data[src + 1]
+                if interp == "catmull":
+                    pm1 = pool.data[np.clip(src - 1, 0, limit)]
+                    p2 = pool.data[np.clip(src + 2, 0, limit)]
+                    c1 = np.float32(0.5) * (b - pm1)
+                    c2 = pm1 - np.float32(2.5) * a + np.float32(2.0) * b - np.float32(0.5) * p2
+                    c3 = np.float32(0.5) * (p2 - pm1) + np.float32(1.5) * (a - b)
+                    s = a + fx * (c1 + fx * (c2 + fx * c3))
+                else:
+                    s = a + fx * (b - a)
                 out[t, ch, dst : dst + L] += (s * gain) * env
     return out
 
 
-def render_segments_numpy(table: SegmentTable, pool: SamplePool, session: Session, out_channels: int = 2) -> np.ndarray:
+def render_segments_numpy(table: SegmentTable, pool: SamplePool, session: Session, out_channels: int = 2,
+                          interp: str = "linear") -> np.ndarray:
     """Host-side exact segment renderer (validation reference for the carve).
 
     Applies the same f32 math as Sampler::stream over the segment rows, then
@@ -383,7 +399,7 @@ def render_segments_numpy(table: SegmentTable, pool: SamplePool, session: Sessio
     (no double-single approximation) — used to prove the carve itself is
     bit-identical to the oracle.
     """
-    per_track = render_segments_per_track_numpy(table, pool, out_channels)
+    per_track = render_segments_per_track_numpy(table, pool, out_channels, interp=interp)
     F = table.total_frames
     out = np.zeros((out_channels, F), dtype=np.float32)
     for t, track in enumerate(session.tracks):
