@@ -139,6 +139,10 @@ def build_plan(
 
     fast_mask = table.fast if len(table) else np.zeros(0, dtype=bool)
     any_slow = bool((~fast_mask).any()) if len(table) else False
+    if len(table) and bool((table.speed < 0).any()):
+        # reverse playback (clip loop-mode extensions): the slow path's
+        # window/span math assumes forward motion; ride the XLA gather path
+        raise SlowRowsPresent("reverse-playback rows are not pallas-planned")
 
     # ---- slow slots: merged runs split per tile and per span limit,
     #      expanded vectorized (runs -> tile segments -> max_len sub-slots) ----

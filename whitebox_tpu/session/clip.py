@@ -27,10 +27,13 @@ class ClipType(enum.IntEnum):
 
 class ClipMode(enum.IntEnum):
     """clip.h:21 — loop modes. The reference enums these but never honors
-    them in playback; whitebox_tpu implements LOOP_STRAIGHT for audio clips
-    as an extension (the carve tiles source passes; see timeline/carve.py
-    and the oracle's looped stream mirror). Reverse/bidirectional modes
-    remain declared-but-unimplemented, as upstream."""
+    them in playback; whitebox_tpu implements ALL FIVE for audio clips as
+    extensions (timeline/carve.py pass scheduler + the oracle's stream
+    mirror): LOOP_STRAIGHT tiles forward source passes; the REVERSE modes
+    play x = (count-1-v) - j*speed backward through the linear-interp path;
+    LOOP_BIDIRECTIONAL alternates full forward/reverse passes, each pass
+    after the first starting one `speed` step past the turn-around so the
+    endpoint frame isn't doubled at the seam."""
 
     ONE_SHOT = 0
     ONE_SHOT_REVERSE = 1

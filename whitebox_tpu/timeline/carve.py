@@ -175,12 +175,18 @@ def _carve_track_audio(
                 fin_start, fin_inv = -NOFADE, np.float32(1.0)
                 fout_end, fout_inv = NOFADE, np.float32(1.0)
             fade = (fin_start, fin_inv, fout_end, fout_inv)
-            # LOOP_STRAIGHT extension: tile full source passes over the clip
-            # span (each pass restarts at source frame 0 on the frame after
-            # the previous pass emits its last sample; one-shot = one pass).
+            # Loop-mode extensions (the reference enums clip.h:21 modes but
+            # never honors them in playback; whitebox_tpu implements all
+            # five): LOOP_STRAIGHT tiles full forward source passes over the
+            # clip span; *_REVERSE plays x = (count-1-v) - j*speed backward
+            # (v = the same virtual forward offset the sampler would hold);
+            # LOOP_BIDIRECTIONAL alternates full forward/reverse passes, each
+            # pass after the first starting one `speed` step past the
+            # turn-around so the endpoint frame isn't doubled at the seam.
+            # The oracle mirrors every rule (oracle._stream_clip).
             from whitebox_tpu.session.clip import ClipMode
 
-            looping = clip.audio.mode == ClipMode.LOOP_STRAIGHT
+            mode = clip.audio.mode
 
             def emit_slow_span(span_gs: int, span_ge: int, span_o0: float) -> int:
                 """Emit per-block rows for one source pass starting at
@@ -236,28 +242,151 @@ def _carve_track_audio(
                     return int(edges[:-1][idx] + num_actual[idx])
                 return int(edges[:-1][idx])
 
-            if playback_speed == 1.0:
-                pos, o = gs, int(o0)
-                while pos < ge:
-                    # merged run: integer phase, exact
-                    length = min(ge - pos, int(count) - o)
-                    if length <= 0:
-                        break
-                    rows.append(
-                        (track_idx, pos, length, sid, o, 0.0, 1.0, gain, True, clampf, clip.id, *fade)
+            def emit_reverse_span(span_gs: int, span_ge: int, v0: float) -> int:
+                """Reverse pass: per-block rows at x = (count-1-v) - j*speed,
+                with v accumulated per block exactly like the forward
+                sampler; returns the global frame where the source exhausts
+                (x would go below 0), or span_ge if it never does."""
+                first_edge = min(span_ge, (span_gs // bs + 1) * bs)
+                n_mid = max((span_ge - first_edge + bs - 1) // bs, 0)
+                edges = np.empty(n_mid + 2, dtype=np.int64)
+                edges[0] = span_gs
+                edges[1] = first_edge
+                if n_mid:
+                    edges[2:] = np.minimum(first_edge + bs * np.arange(1, n_mid + 1), span_ge)
+                lengths = np.diff(edges)
+                incs = np.empty(lengths.shape[0], dtype=np.float64)
+                incs[0] = v0
+                if lengths.shape[0] > 1:
+                    incs[1:] = lengths[:-1].astype(np.float64) * playback_speed
+                vs = np.add.accumulate(incs)
+                x0s = (count - 1.0) - vs
+                live = x0s >= 0.0
+                with np.errstate(invalid="ignore"):
+                    num_actual = np.minimum(
+                        lengths,
+                        np.where(live, np.floor(x0s / playback_speed), -1.0).astype(np.int64) + 1,
                     )
-                    if not looping:
-                        break
-                    pos += length
-                    o = 0
-            else:
+                keep = live & (num_actual > 0)
+                if keep.any():
+                    x_k = x0s[keep]
+                    xi = np.floor(x_k)
+                    n = int(keep.sum())
+                    slow_cols.append((
+                        np.full(n, track_idx, np.int32),
+                        edges[:-1][keep].astype(np.int32),
+                        num_actual[keep].astype(np.int32),
+                        np.full(n, sid, np.int32),
+                        xi.astype(np.int32),
+                        (x_k - xi).astype(np.float64),
+                        np.full(n, -playback_speed, np.float64),
+                        np.full(n, gain, np.float32),
+                        np.full(n, clip.id, np.int32),
+                        np.full(n, fade[0], np.int32),
+                        np.full(n, fade[1], np.float32),
+                        np.full(n, fade[2], np.int32),
+                        np.full(n, fade[3], np.float32),
+                    ))
+                exhausted = (~live) | (num_actual < lengths)
+                if not exhausted.any():
+                    return span_ge
+                idx = int(np.argmax(exhausted))
+                if live[idx]:
+                    return int(edges[:-1][idx] + num_actual[idx])
+                return int(edges[:-1][idx])
+
+            if mode in (ClipMode.ONE_SHOT, ClipMode.LOOP_STRAIGHT):
+                looping = mode == ClipMode.LOOP_STRAIGHT
+                if playback_speed == 1.0:
+                    pos, o = gs, int(o0)
+                    while pos < ge:
+                        # merged run: integer phase, exact
+                        length = min(ge - pos, int(count) - o)
+                        if length <= 0:
+                            break
+                        rows.append(
+                            (track_idx, pos, length, sid, o, 0.0, 1.0, gain, True, clampf, clip.id, *fade)
+                        )
+                        if not looping:
+                            break
+                        pos += length
+                        o = 0
+                else:
+                    pos, o = gs, float(o0)
+                    while pos < ge:
+                        nxt = emit_slow_span(pos, ge, o)
+                        if not looping or nxt >= ge or nxt <= pos:
+                            break
+                        pos = nxt
+                        o = 0.0
+            elif mode in (ClipMode.ONE_SHOT_REVERSE, ClipMode.LOOP_REVERSE):
+                looping = mode == ClipMode.LOOP_REVERSE
+                if playback_speed == 1.0:
+                    pos, v = gs, int(o0)
+                    while pos < ge:
+                        x0 = int(count) - 1 - v
+                        if x0 < 0:
+                            if not looping:
+                                break
+                            v, x0 = 0, int(count) - 1
+                        # merged reverse run: integer phase, exact
+                        length = min(ge - pos, x0 + 1)
+                        if length <= 0:
+                            break
+                        rows.append(
+                            (track_idx, pos, length, sid, x0, 0.0, -1.0, gain, False, False, clip.id, *fade)
+                        )
+                        if not looping:
+                            break
+                        pos += length
+                        v = 0
+                else:
+                    pos, v = gs, float(o0)
+                    while pos < ge:
+                        nxt = emit_reverse_span(pos, ge, v)
+                        if not looping or nxt >= ge or nxt <= pos:
+                            break
+                        pos = nxt
+                        v = 0.0
+            elif mode == ClipMode.LOOP_BIDIRECTIONAL:
+                rev = False
                 pos, o = gs, float(o0)
-                while pos < ge:
-                    nxt = emit_slow_span(pos, ge, o)
-                    if not looping or nxt >= ge or nxt <= pos:
-                        break
-                    pos = nxt
-                    o = 0.0
+                stalls = 0
+                while pos < ge and stalls <= 2:
+                    if playback_speed == 1.0:
+                        if not rev:
+                            length = min(ge - pos, int(count) - int(o))
+                            if length <= 0:
+                                rev, o = True, playback_speed
+                                stalls += 1
+                                continue
+                            rows.append(
+                                (track_idx, pos, length, sid, int(o), 0.0, 1.0, gain, True, clampf, clip.id, *fade)
+                            )
+                            pos += length
+                            rev, o, stalls = True, playback_speed, 0
+                        else:
+                            x0 = int(count) - 1 - int(o)
+                            if x0 < 0:
+                                rev, o = False, playback_speed
+                                stalls += 1
+                                continue
+                            length = min(ge - pos, x0 + 1)
+                            if length <= 0:
+                                break
+                            rows.append(
+                                (track_idx, pos, length, sid, x0, 0.0, -1.0, gain, False, False, clip.id, *fade)
+                            )
+                            pos += length
+                            rev, o, stalls = False, playback_speed, 0
+                    else:
+                        nxt = emit_slow_span(pos, ge, o) if not rev else emit_reverse_span(pos, ge, o)
+                        if nxt >= ge or nxt <= pos:
+                            break
+                        pos = nxt
+                        rev, o = not rev, playback_speed
+            else:  # pragma: no cover
+                raise ValueError(f"unknown clip mode {mode!r}")
 
         ci += 1
 

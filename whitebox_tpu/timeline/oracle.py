@@ -114,6 +114,50 @@ class _Sampler:
 
         self.sample_offset = next_sample_offset
 
+    def stream_reverse(self, sample, num_channels: int, num_samples: int, buffer_offset: int, gain: np.float32, out: np.ndarray) -> None:
+        """Reverse playback (framework extension — the reference enums
+        reverse clip modes, clip.h:21, but never implements playback for
+        them). ``sample_offset`` acts as a *virtual forward offset* v that
+        advances exactly like the forward sampler; the read position is
+        x = (count-1-v) - j*speed, interpolated with the same f32 lerp as
+        the forward linear path (no fast-copy form, no clamp)."""
+        if num_samples == 0:
+            return
+        count = float(sample.count)
+        v = self.sample_offset
+        speed = self.playback_speed
+        x0 = (count - 1.0) - v
+        if x0 < 0.0:
+            return  # finished (mirrors the frozen forward sampler)
+        num_actual = min(num_samples, int(math.floor(x0 / speed)) + 1)
+        gain = np.float32(gain)
+        fmt = sample.format
+
+        j = np.arange(num_actual, dtype=np.float64)
+        x = x0 - j * speed  # per-element f64
+        ix = np.trunc(x).astype(np.int64)
+        fx = (x - ix.astype(np.float64)).astype(np.float32)
+        for i in range(num_channels):
+            data = sample.padded(i)
+            if fmt == AudioFormat.I16:
+                a = data[ix].astype(np.float32) * I16_NORM_F32
+                b = data[ix + 1].astype(np.float32) * I16_NORM_F32
+            elif fmt in (AudioFormat.I24, AudioFormat.I24_X8):
+                a = (data[ix].astype(np.float64) * I24_NORM_F64).astype(np.float32)
+                b = (data[ix + 1].astype(np.float64) * I24_NORM_F64).astype(np.float32)
+            elif fmt == AudioFormat.I32:
+                a = (data[ix].astype(np.float64) * I32_NORM_F64).astype(np.float32)
+                b = (data[ix + 1].astype(np.float64) * I32_NORM_F64).astype(np.float32)
+            elif fmt == AudioFormat.F32:
+                a = data[ix].astype(np.float32)
+                b = data[ix + 1].astype(np.float32)
+            else:
+                raise ValueError(f"unsupported playback format {fmt!r}")
+            s = a + fx * (b - a)
+            out[i, buffer_offset : buffer_offset + num_actual] += s * gain
+
+        self.sample_offset = v + float(num_samples) * speed
+
 
 class _TrackState:
     """TrackEventState (track.h:36) + the persistent current event/sampler."""
@@ -125,6 +169,7 @@ class _TrackState:
         self.refresh_voice: bool = False
         self.current_event = _AudioEvent(type=0, buffer_offset=0, time=0.0)
         self.sampler = _Sampler()
+        self.bidir_reverse: bool = False  # LOOP_BIDIRECTIONAL pass direction
 
 
 class OracleRenderer:
@@ -271,22 +316,76 @@ class OracleRenderer:
 
         gain = np.float32(clip.audio.gain)
         sample = clip.audio.asset.sample
-        if clip.audio.mode != ClipMode.LOOP_STRAIGHT:
+        mode = clip.audio.mode
+        count = float(sample.count)
+        speed = st.sampler.playback_speed
+        if mode == ClipMode.ONE_SHOT:
             st.sampler.stream(sample, self.channels, event_length, start_sample, gain, out)
+            return
+        if mode == ClipMode.ONE_SHOT_REVERSE:
+            st.sampler.stream_reverse(sample, self.channels, event_length, start_sample, gain, out)
             return
         remaining = event_length
         at = start_sample
-        while remaining > 0:
-            off = st.sampler.sample_offset
-            if off >= sample.count:
-                st.sampler.sample_offset = 0.0
-                off = 0.0
-            n_actual = min(remaining, int(math.ceil((float(sample.count) - off) / st.sampler.playback_speed)))
-            if n_actual <= 0:
-                break
-            st.sampler.stream(sample, self.channels, n_actual, at, gain, out)
-            remaining -= n_actual
-            at += n_actual
+        if mode == ClipMode.LOOP_STRAIGHT:
+            while remaining > 0:
+                off = st.sampler.sample_offset
+                if off >= count:
+                    st.sampler.sample_offset = 0.0
+                    off = 0.0
+                n_actual = min(remaining, int(math.ceil((count - off) / speed)))
+                if n_actual <= 0:
+                    break
+                st.sampler.stream(sample, self.channels, n_actual, at, gain, out)
+                remaining -= n_actual
+                at += n_actual
+            return
+        if mode == ClipMode.LOOP_REVERSE:
+            while remaining > 0:
+                x0 = (count - 1.0) - st.sampler.sample_offset
+                if x0 < 0.0:
+                    st.sampler.sample_offset = 0.0  # restart at the source end
+                    x0 = count - 1.0
+                n_actual = min(remaining, int(math.floor(x0 / speed)) + 1)
+                if n_actual <= 0:
+                    break
+                st.sampler.stream_reverse(sample, self.channels, n_actual, at, gain, out)
+                remaining -= n_actual
+                at += n_actual
+            return
+        if mode == ClipMode.LOOP_BIDIRECTIONAL:
+            # alternate full forward / reverse passes; each pass after the
+            # first starts one `speed` step past the turn-around point so the
+            # endpoint frame isn't doubled at the seam
+            stalls = 0
+            while remaining > 0 and stalls <= 2:
+                if not st.bidir_reverse:
+                    off = st.sampler.sample_offset
+                    if off >= count:
+                        st.bidir_reverse = True
+                        st.sampler.sample_offset = speed
+                        stalls += 1
+                        continue
+                    n_actual = min(remaining, int(math.ceil((count - off) / speed)))
+                    if n_actual <= 0:
+                        break
+                    st.sampler.stream(sample, self.channels, n_actual, at, gain, out)
+                else:
+                    x0 = (count - 1.0) - st.sampler.sample_offset
+                    if x0 < 0.0:
+                        st.bidir_reverse = False
+                        st.sampler.sample_offset = speed
+                        stalls += 1
+                        continue
+                    n_actual = min(remaining, int(math.floor(x0 / speed)) + 1)
+                    if n_actual <= 0:
+                        break
+                    st.sampler.stream_reverse(sample, self.channels, n_actual, at, gain, out)
+                remaining -= n_actual
+                at += n_actual
+                stalls = 0
+            return
+        raise ValueError(f"unknown clip mode {mode!r}")
 
     def _render_track_block(self, track: Track, st: _TrackState, events: list[_AudioEvent], out: np.ndarray) -> None:
         n = out.shape[1]
@@ -301,6 +400,7 @@ class OracleRenderer:
                 if ev.type == _PLAY:
                     sample = ev.clip.audio.asset.sample
                     st.sampler.reset_state(float(ev.sample_offset), ev.speed, float(sample.sample_rate), self.sample_rate)
+                    st.bidir_reverse = False
                 st.current_event = ev
                 start_sample += event_length
                 ev_i += 1
