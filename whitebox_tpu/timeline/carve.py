@@ -219,20 +219,16 @@ def _carve_track_audio(
                     o_k = offs[keep]
                     oi = np.floor(o_k)
                     n = int(keep.sum())
+                    # per-row arrays + per-span scalars; scalars expand once
+                    # at assembly via np.repeat (a per-span np.full here was
+                    # ~30% of carve time at 128-track resampled scale)
                     slow_cols.append((
-                        np.full(n, track_idx, np.int32),
+                        n,
                         edges[:-1][keep].astype(np.int32),
                         num_actual[keep].astype(np.int32),
-                        np.full(n, sid, np.int32),
                         oi.astype(np.int32),
                         (o_k - oi).astype(np.float64),
-                        np.full(n, playback_speed, np.float64),
-                        np.full(n, gain, np.float32),
-                        np.full(n, clip.id, np.int32),
-                        np.full(n, fade[0], np.int32),
-                        np.full(n, fade[1], np.float32),
-                        np.full(n, fade[2], np.int32),
-                        np.full(n, fade[3], np.float32),
+                        (track_idx, sid, playback_speed, gain, clip.id, *fade),
                     ))
                 exhausted = (~live) | (num_actual < lengths)
                 if not exhausted.any():
@@ -273,19 +269,12 @@ def _carve_track_audio(
                     xi = np.floor(x_k)
                     n = int(keep.sum())
                     slow_cols.append((
-                        np.full(n, track_idx, np.int32),
+                        n,
                         edges[:-1][keep].astype(np.int32),
                         num_actual[keep].astype(np.int32),
-                        np.full(n, sid, np.int32),
                         xi.astype(np.int32),
                         (x_k - xi).astype(np.float64),
-                        np.full(n, -playback_speed, np.float64),
-                        np.full(n, gain, np.float32),
-                        np.full(n, clip.id, np.int32),
-                        np.full(n, fade[0], np.int32),
-                        np.full(n, fade[1], np.float32),
-                        np.full(n, fade[2], np.int32),
-                        np.full(n, fade[3], np.float32),
+                        (track_idx, sid, -playback_speed, gain, clip.id, *fade),
                     ))
                 exhausted = (~live) | (num_actual < lengths)
                 if not exhausted.any():
@@ -433,16 +422,39 @@ def carve_session(
         clamp_flags = np.asarray(c[9], bool)
 
     if slow_cols or fast_arrays is not None:
+        # expand slow spans: per-row arrays concatenate; per-span scalars
+        # expand in one np.repeat per column (not one np.full per span)
+        slow_arrays = None
+        if slow_cols:
+            counts = np.asarray([sc[0] for sc in slow_cols], np.int64)
+            scal = np.asarray([sc[5] for sc in slow_cols], np.float64)  # [S, 9]
+            rep = lambda col, dt: np.repeat(scal[:, col], counts).astype(dt)
+            slow_arrays = (
+                rep(0, np.int32),  # track
+                np.concatenate([sc[1] for sc in slow_cols]),  # dst_start
+                np.concatenate([sc[2] for sc in slow_cols]),  # length
+                rep(1, np.int32),  # sample_id
+                np.concatenate([sc[3] for sc in slow_cols]),  # src_int
+                np.concatenate([sc[4] for sc in slow_cols]),  # src_frac
+                rep(2, np.float64),  # speed
+                rep(3, np.float32),  # gain
+                rep(4, np.int32),  # clip_id
+                rep(5, np.int32),  # fin_start
+                rep(6, np.float32),  # fin_inv
+                rep(7, np.int32),  # fout_end
+                rep(8, np.float32),  # fout_inv
+            )
         parts = []
         if fast_arrays is not None:
             parts.append(fast_arrays + (fast_flags, clamp_flags))
-        for sc in slow_cols:
-            n = sc[0].shape[0]
-            parts.append(sc + (np.zeros(n, bool), np.ones(n, bool)))
-        # concatenate each of the 15 columns; clamp flag for slow rows is
-        # irrelevant (linear path never clamps) but kept consistent
+        if slow_arrays is not None:
+            n = slow_arrays[0].shape[0]
+            # clamp flag for slow rows is irrelevant (linear path never
+            # clamps) but kept consistent
+            parts.append(slow_arrays + (np.zeros(n, bool), np.ones(n, bool)))
+
         def cat(i):
-            return np.concatenate([p[i] for p in parts])
+            return np.concatenate([p[i] for p in parts]) if len(parts) > 1 else parts[0][i]
 
         trk_a, dst_a = cat(0), cat(1)
         order = np.lexsort((dst_a, trk_a))
