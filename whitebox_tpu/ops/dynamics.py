@@ -50,11 +50,9 @@ def time_coef(seconds, sample_rate: float):
 # ---------------------------------------------------------------------------
 
 
-def onepole_scan(x, a, y0):
-    """y[n] = a*y[n-1] + (1-a)*x[n] over the last axis, log-depth.
-
-    ``a`` broadcasts against ``x`` minus the frame axis ([..., 1] or scalar).
-    Returns (y, y_last) where y_last carries across chunks."""
+def onepole_scan_t(x, a, y0):
+    """onepole_scan that also returns the cumulative transition m[n] =
+    a^(n+1) (the injection weights for chunk/shard state handoff)."""
     x = jnp.asarray(x, jnp.float32)
     a = jnp.broadcast_to(jnp.asarray(a, jnp.float32), x.shape)
     b = (1.0 - a) * x
@@ -64,14 +62,21 @@ def onepole_scan(x, a, y0):
 
     m, bb = jax.lax.associative_scan(comb, (a, b), axis=-1)
     y = m * y0[..., None] + bb
-    return y, y[..., -1]
+    return y, y[..., -1], m
 
 
-def maxdecay_scan(v, rho, e0):
-    """e[n] = max(v[n], rho*e[n-1]) over the last axis, log-depth.
+def onepole_scan(x, a, y0):
+    """y[n] = a*y[n-1] + (1-a)*x[n] over the last axis, log-depth.
 
-    The classic peak detector with exponential release: instant rise,
-    exp decay. Returns (e, e_last)."""
+    ``a`` broadcasts against ``x`` minus the frame axis ([..., 1] or scalar).
+    Returns (y, y_last) where y_last carries across chunks."""
+    y, y_last, _ = onepole_scan_t(x, a, y0)
+    return y, y_last
+
+
+def maxdecay_scan_t(v, rho, e0):
+    """maxdecay_scan that also returns the cumulative decay d[n] = rho^(n+1)
+    (the injection weights for chunk/shard state handoff)."""
     v = jnp.asarray(v, jnp.float32)
     d = jnp.broadcast_to(jnp.asarray(rho, jnp.float32), v.shape)
 
@@ -80,7 +85,16 @@ def maxdecay_scan(v, rho, e0):
 
     m, dd = jax.lax.associative_scan(comb, (v, d), axis=-1)
     e = jnp.maximum(m, e0[..., None] * dd)
-    return e, e[..., -1]
+    return e, e[..., -1], dd
+
+
+def maxdecay_scan(v, rho, e0):
+    """e[n] = max(v[n], rho*e[n-1]) over the last axis, log-depth.
+
+    The classic peak detector with exponential release: instant rise,
+    exp decay. Returns (e, e_last)."""
+    e, e_last, _ = maxdecay_scan_t(v, rho, e0)
+    return e, e_last
 
 
 # ---------------------------------------------------------------------------
