@@ -84,13 +84,61 @@ class TestQuality:
 
 
 class TestDeviceParity:
-    def test_device_matches_reference(self):
+    def test_gather_device_matches_reference(self):
         rng = np.random.default_rng(0)
         x = (rng.standard_normal((2, 5000)) * 0.3).astype(np.float32)
-        got = resample_audio(x, 44100, 48000)
+        got = resample_audio(x, 44100, 48000, method="gather")
         ref = resample_reference(x, 44100, 48000)
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, atol=5e-6)
+
+    def test_matmul_device_matches_reference(self):
+        from whitebox_tpu.ops.resample import resample_matmul_reference
+
+        rng = np.random.default_rng(1)
+        x = (rng.standard_normal((2, 5000)) * 0.3).astype(np.float32)
+        got = resample_audio(x, 44100, 48000, method="matmul")
+        ref = resample_matmul_reference(x, 44100, 48000)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=5e-6)
+
+    def test_matmul_slabbing_is_seamless(self):
+        # tiny slabs vs one-shot: identical output (slab cut = row boundary)
+        import numpy as _np
+
+        import whitebox_tpu.ops.resample as rs
+
+        rng = np.random.default_rng(2)
+        x = (rng.standard_normal((1, 20000)) * 0.3).astype(np.float32)
+        one = resample_audio(x, 44100, 48000, method="matmul")
+        P, Q = rs._rationalize(44100 / 48000)
+        slabbed = _np.asarray(
+            rs._resample_matmul(x, P, Q, 32, 90.0, one.shape[1], q_slab=7))
+        np.testing.assert_array_equal(slabbed, one)
+
+    def test_matmul_tracks_gather_quality(self):
+        # same design, exact phases vs 512-phase lerp: outputs agree closely
+        rng = np.random.default_rng(3)
+        x = (rng.standard_normal((1, 8000)) * 0.3).astype(np.float32)
+        a = resample_audio(x, 44100, 48000, method="matmul")
+        b = resample_audio(x, 44100, 48000, method="gather")
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+    def test_auto_picks_matmul_for_rational(self):
+        from whitebox_tpu.ops.resample import _rationalize
+
+        assert _rationalize(44100 / 48000) == (147, 160)
+        assert _rationalize(48000 / 44100) == (160, 147)
+        assert _rationalize(96000 / 48000) == (2, 1)
+        assert _rationalize(1.000301) is None  # no exact small rational
+
+    def test_irrational_ratio_falls_back(self):
+        x = sine(440.0, 48000, 4000)[None]
+        y = resample_audio(x, 48000, 48000 * 1.0003001, method="auto")
+        assert y.shape[1] > 0  # gather path served it
+        with pytest.raises(ValueError):
+            resample_audio(x, 48000, 48000 * 1.0003001, method="matmul")
 
 
 class TestMixSincMode:

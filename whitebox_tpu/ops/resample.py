@@ -37,6 +37,25 @@ def _kaiser_beta(atten_db: float) -> float:
     return 0.0
 
 
+def _design_rows(fracs: np.ndarray, ratio: float, taps: int, atten_db: float) -> np.ndarray:
+    """Kaiser-sinc tap rows [len(fracs), taps] in f64, one per fractional
+    phase; tap k of a row weights source sample ``ix + k - taps//2 + 1``."""
+    cutoff = min(1.0, 1.0 / ratio) * 0.91  # transition margin below Nyquist
+    beta = _kaiser_beta(atten_db)
+    half = taps // 2
+    rows = np.zeros((len(fracs), taps), dtype=np.float64)
+    for p, frac in enumerate(fracs):
+        # source positions relative to interpolation point
+        n = np.arange(taps, dtype=np.float64) - (half - 1) - frac
+        h = cutoff * np.sinc(cutoff * n)
+        w = np.i0(beta * np.sqrt(np.maximum(0.0, 1.0 - (n / half) ** 2))) / np.i0(beta)
+        w[np.abs(n) > half] = 0.0
+        rows[p] = h * w
+    # normalize each phase row for exact DC gain
+    rows /= rows.sum(axis=1, keepdims=True)
+    return rows
+
+
 def design_sinc_bank(
     ratio: float = 1.0,
     taps: int = DEFAULT_TAPS,
@@ -48,23 +67,48 @@ def design_sinc_bank(
     ``ratio`` = source advance per output frame; ratios > 1 (downsampling)
     lower the cutoff for anti-aliasing. Row p holds the taps for fractional
     phase p/phases; the extra row lets the kernel lerp between rows.
-    Tap k of row p weights source sample ``ix + k - taps//2 + 1``.
     """
-    cutoff = min(1.0, 1.0 / ratio) * 0.91  # transition margin below Nyquist
-    beta = _kaiser_beta(atten_db)
-    half = taps // 2
-    bank = np.zeros((phases + 1, taps), dtype=np.float64)
-    for p in range(phases + 1):
-        frac = p / phases
-        # source positions relative to interpolation point
-        n = np.arange(taps, dtype=np.float64) - (half - 1) - frac
-        h = cutoff * np.sinc(cutoff * n)
-        w = np.i0(beta * np.sqrt(np.maximum(0.0, 1.0 - (n / half) ** 2))) / np.i0(beta)
-        w[np.abs(n) > half] = 0.0
-        bank[p] = h * w
-    # normalize each phase row for exact DC gain
-    bank /= bank.sum(axis=1, keepdims=True)
-    return bank.astype(np.float32)
+    fracs = np.arange(phases + 1, dtype=np.float64) / phases
+    return _design_rows(fracs, ratio, taps, atten_db).astype(np.float32)
+
+
+def _rationalize(ratio: float, max_den: int = 1024):
+    """(P, Q) with P/Q == ratio exactly (or None if no small-denominator
+    rational reproduces the f64 ratio bit-for-bit)."""
+    from fractions import Fraction
+
+    fr = Fraction(ratio).limit_denominator(max_den)
+    if float(fr) != ratio or fr.numerator <= 0:
+        return None
+    return fr.numerator, fr.denominator
+
+
+def design_sinc_matrix(P: int, Q: int, taps: int = DEFAULT_TAPS, atten_db: float = 90.0):
+    """The rational-resampling matmul operator.
+
+    For ratio P/Q, output n = q*Q + j has source position q*P + j*P/Q: each
+    of the Q phase classes carries an EXACT constant fractional phase
+    (j*P mod Q)/Q — no phase-grid quantization at all. Output row q reads
+    the window ``xp[q*P : q*P + W]`` (W = (m+1)*P, m = ceil(taps/P)), and
+    all Q phases of that row are one dense [W] -> [Q] map:
+
+        out2d[q, :] = M @ xp[q*P : q*P + W]
+
+    i.e. resampling = sliding-window rows @ M.T — a single MXU matmul
+    instead of taps per-frame gathers (the TPU gather anti-pattern).
+    Returns (M [Q, W] f32, M64 [Q, W] f64, m).
+    """
+    j = np.arange(Q, dtype=np.int64)
+    d = (j * P) // Q                     # integer source offset per phase
+    fracs = ((j * P) % Q).astype(np.float64) / Q
+    rows = _design_rows(fracs, P / Q, taps, atten_db)  # [Q, taps] f64
+    m = -(-taps // P)                    # extra P-rows the window spans
+    W = (m + 1) * P
+    M = np.zeros((Q, W), dtype=np.float64)
+    c = d + 1                            # +1: window starts at ix+1 in xp
+    for jj in range(Q):
+        M[jj, c[jj] : c[jj] + taps] = rows[jj]
+    return M.astype(np.float32), M, m
 
 
 @functools.partial(jax.jit, static_argnames=("out_frames", "taps", "phases"))
@@ -89,6 +133,47 @@ def _resample_kernel(x_padded, ratio_f64_hi, ratio_f64_lo, bank, out_frames: int
     return jax.vmap(per_channel)(x_padded)
 
 
+@functools.partial(jax.jit, static_argnames=("qmax", "P", "W"))
+def _resample_matmul_kernel(xp, M, qmax: int, P: int, W: int):
+    """xp [C, >= qmax*P + W - P] zero-padded -> [C, qmax*Q] via one matmul."""
+    m1 = W // P  # m + 1
+    A = xp[:, : (qmax + m1 - 1) * P].reshape(xp.shape[0], qmax + m1 - 1, P)
+    Xr = jnp.concatenate([A[:, i : i + qmax] for i in range(m1)], axis=-1)  # [C, qmax, W]
+    out2d = jnp.einsum("cqw,jw->cqj", Xr, M,
+                       preferred_element_type=jnp.float32)  # [C, qmax, Q]
+    return out2d.reshape(xp.shape[0], -1)
+
+
+# matmul overhead W/taps beyond this, the gather kernel wins on work
+_MATMUL_MAX_OVERHEAD = 24.0
+
+
+def _resample_matmul(x: np.ndarray, P: int, Q: int, taps: int, atten_db: float,
+                     out_frames: int, q_slab: int | None = None):
+    """Run the rational matmul path on [C, N] f32; returns [C, out_frames].
+
+    ``q_slab`` bounds the materialized window matrix (default ~128 MB)."""
+    C, N = x.shape
+    half = taps // 2
+    M, _, _ = design_sinc_matrix(P, Q, taps, atten_db)
+    W = M.shape[1]
+    m1 = W // P
+    qmax = -(-out_frames // Q)
+    if q_slab is None:
+        q_slab = max(1, (1 << 25) // (W * max(1, C)))
+    need = (qmax + m1 - 1) * P
+    xp = np.pad(x, ((0, 0), (half, max(0, need - N - half))))
+    Md = jnp.asarray(M)
+    xpd = jnp.asarray(xp)
+    outs = []
+    for q0 in range(0, qmax, q_slab):
+        qn = min(q_slab, qmax - q0)
+        sl = jax.lax.dynamic_slice_in_dim(xpd, q0 * P, (qn + m1 - 1) * P, axis=1)
+        outs.append(_resample_matmul_kernel(sl, Md, qmax=qn, P=P, W=W))
+    out = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+    return out[:, :out_frames]
+
+
 def resample_audio(
     x: np.ndarray,
     src_rate: float,
@@ -96,17 +181,34 @@ def resample_audio(
     taps: int = DEFAULT_TAPS,
     phases: int = DEFAULT_PHASES,
     atten_db: float = 90.0,
+    method: str = "auto",
 ) -> np.ndarray:
-    """High-quality SRC: planar [C, N] (f32) src_rate -> dst_rate."""
-    from whitebox_tpu.ops.dsarith import split_f64
+    """High-quality SRC: planar [C, N] (f32) src_rate -> dst_rate.
 
+    method: "matmul" = rational polyphase as one MXU matmul with exact
+    per-phase filters (requires a small-denominator rational ratio);
+    "gather" = per-frame tap gathers with a phase-lerped bank (any ratio);
+    "auto" picks matmul whenever the ratio is rational and the banded
+    operator stays dense enough to beat the gathers.
+    """
     x = np.atleast_2d(np.asarray(x, dtype=np.float32))
     C, N = x.shape
     ratio = float(src_rate) / float(dst_rate)
     out_frames = int(math.floor((N - 1) / ratio)) + 1
-    bank = design_sinc_bank(ratio, taps, phases, atten_db)
-
     half = taps // 2
+
+    pq = _rationalize(ratio) if method in ("auto", "matmul") else None
+    if pq is not None:
+        P, Q = pq
+        m = -(-taps // P)
+        if method == "matmul" or (m + 1) * P <= _MATMUL_MAX_OVERHEAD * taps:
+            return np.asarray(_resample_matmul(x, P, Q, taps, atten_db, out_frames))
+    if method == "matmul":
+        raise ValueError(f"ratio {ratio} has no small rational form for matmul resampling")
+
+    from whitebox_tpu.ops.dsarith import split_f64
+
+    bank = design_sinc_bank(ratio, taps, phases, atten_db)
     xp = np.pad(x, ((0, 0), (half, half + 1)))
     rh, rl = split_f64(np.float64(ratio))
     out = _resample_kernel(
@@ -114,6 +216,26 @@ def resample_audio(
         out_frames=out_frames, taps=taps, phases=phases,
     )
     return np.asarray(out)
+
+
+def resample_matmul_reference(x: np.ndarray, src_rate: float, dst_rate: float,
+                              taps=DEFAULT_TAPS, atten_db=90.0) -> np.ndarray:
+    """Host f64 mirror of the rational matmul path (test reference)."""
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    C, N = x.shape
+    ratio = float(src_rate) / float(dst_rate)
+    out_frames = int(math.floor((N - 1) / ratio)) + 1
+    P, Q = _rationalize(ratio)
+    _, M64, m = design_sinc_matrix(P, Q, taps, atten_db)
+    W = M64.shape[1]
+    half = taps // 2
+    qmax = -(-out_frames // Q)
+    need = (qmax + W // P - 1) * P
+    xp = np.pad(x, ((0, 0), (half, max(0, need - N - half))))
+    out = np.zeros((C, qmax * Q), dtype=np.float64)
+    for q in range(qmax):
+        out[:, q * Q : (q + 1) * Q] = xp[:, q * P : q * P + W] @ M64.T
+    return out[:, :out_frames].astype(np.float32)
 
 
 def resample_reference(x: np.ndarray, src_rate: float, dst_rate: float, taps=DEFAULT_TAPS,
