@@ -72,3 +72,31 @@ class TestPallasResampled:
         ref = render_segments_numpy(table, pool, s)
         out = render_timeline_pallas(table, pool, s, tile=1024, interpret=True)
         self._ulp_check(out, ref)
+
+    def test_pallas_catmull_matches_reference(self):
+        s = random_session(23, rate=48000, bpm=120.0, n_tracks=3, n_clips=2,
+                           speeds=(0.5, 1.0, 1.37), src_rates=(44100, 48000))
+        table, pool = carve_session(s, 48000.0, buffer_size=512)
+        ref = render_segments_numpy(table, pool, s, interp="catmull")
+        out = render_timeline_pallas(table, pool, s, tile=2048, interpret=True, interp="catmull")
+        self._ulp_check(out, ref)
+
+    def test_pallas_catmull_keeps_fast_rows_bit_exact(self):
+        # all-speed-1 session: catmull mode must not perturb the fast path
+        s = random_session(24, rate=48000, bpm=120.0, n_tracks=3, n_clips=2)
+        table, pool = carve_session(s, 48000.0, buffer_size=512)
+        assert table.fast.all()
+        ref = render_segments_numpy(table, pool, s)
+        out = render_timeline_pallas(table, pool, s, tile=1024, interpret=True, interp="catmull")
+        np.testing.assert_array_equal(out, ref)
+
+    def test_bounce_auto_uses_pallas_for_catmull(self):
+        # the catmull bounce rides the pallas engine now (no XLA forcing)
+        s = random_session(25, rate=48000, bpm=120.0, n_tracks=2, n_clips=2,
+                           speeds=(44100.0 / 48000.0,), src_rates=(44100,))
+        got = bounce(s, 48000.0, engine="auto", interpolation="catmull").audio
+        table, pool = carve_session(s, 48000.0, buffer_size=512)
+        ref = render_segments_numpy(table, pool, s, interp="catmull")
+        n = min(got.shape[1], ref.shape[1])
+        absd = np.abs(got[:, :n].astype(np.float64) - ref[:, :n].astype(np.float64))
+        assert absd.max() < 3e-6

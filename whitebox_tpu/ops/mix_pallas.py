@@ -134,8 +134,9 @@ def build_plan(
     T = table.num_tracks
     n_tiles = -(-table.total_frames // tile)
     R = tile // 128
-    # max in-window source index: ixl+1+delta must stay inside (R+10)*128
-    span_limit = (R + 16) * 128 - 1024 - 2
+    # max in-window source index: ixl+2+delta must stay inside (R+16)*128
+    # (delta <= 1024 after the w-1 rebase; +2 = the Catmull-Rom far tap)
+    span_limit = (R + 16) * 128 - 1024 - 6
 
     fast_mask = table.fast if len(table) else np.zeros(0, dtype=bool)
     any_slow = bool((~fast_mask).any()) if len(table) else False
@@ -323,7 +324,10 @@ def build_plan(
         fout_inv[idx] = slow["foi"]
         for ch in range(channels):
             w = pool.channel_base[slow["sid"], ch].astype(np.int64) + slow["src_i"]
-            w_al = (w // 1024) * 1024
+            # rebase the window one sample early so the Catmull-Rom m-1 tap
+            # is always in-window (delta in [1, 1024]; the pool's lead guard
+            # keeps w-1 >= 0); transparent to the linear path
+            w_al = ((w - 1) // 1024) * 1024
             row_al[ti_v, trk_v, k_v, ch] = w_al // 128
             delta[ti_v, trk_v, k_v, ch] = w - w_al
 
@@ -338,7 +342,7 @@ def build_plan(
     )
 
 
-def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_ref, ms_ref, me_ref, gain_ref, clampf_ref, fis_ref, fii_ref, foe_ref, foi_ref, slow_ref, sqhi_ref, sfh_ref, sfl_ref, ssh_ref, ssl_ref, tg_ref, pool_ref, out_ref, scratch, sv_ref, sems):
+def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, interp: str, row_al_ref, delta_ref, ms_ref, me_ref, gain_ref, clampf_ref, fis_ref, fii_ref, foe_ref, foi_ref, slow_ref, sqhi_ref, sfh_ref, sfl_ref, ssh_ref, ssl_ref, tg_ref, pool_ref, out_ref, scratch, sv_ref, sems):
     t = pl.program_id(1)
     n_tracks = pl.num_programs(1)
     R = TILE // 128  # output rows; scratch windows carry 8 extra rows (1024 elts)
@@ -420,6 +424,8 @@ def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_re
                         + jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
                     )
 
+                    cat = interp == "catmull"
+
                     def group_body(gi, carry):
                         base = gi * (G * 128)
                         j = jnp.maximum(base + pos_g - ms_k, 0)
@@ -428,26 +434,52 @@ def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_re
                         # scalar chunk bounds from the group-edge phases
                         ix0, _ = phase_eval(jnp.maximum(base - ms_k, 0), fh, fl, sh, sl)
                         ixe, _ = phase_eval(jnp.maximum(base + G * 128 - 1 - ms_k, 0), fh, fl, sh, sl)
-                        q0 = jnp.clip((ix0 + delta) >> 7, 0, R + 15)
-                        q1 = jnp.clip(((ixe + 1 + delta) >> 7) + 1, q0 + 1, R + 16)
+                        lo_tap = 1 if cat else 0
+                        hi_tap = 2 if cat else 1
+                        q0 = jnp.clip((ix0 - lo_tap + delta) >> 7, 0, R + 15)
+                        q1 = jnp.clip(((ixe + hi_tap + delta) >> 7) + 1, q0 + 1, R + 16)
                         qg = m >> 7
                         rg = m & 127
                         qg1 = (m + 1) >> 7
                         rg1 = (m + 1) & 127
+                        if cat:
+                            qm1 = (m - 1) >> 7
+                            rm1 = (m - 1) & 127
+                            qg2 = (m + 2) >> 7
+                            rg2 = (m + 2) & 127
 
-                        def chunk_body(wq, ab):
-                            a_acc, b_acc = ab
+                        def chunk_body(wq, accs):
                             wrow = jnp.broadcast_to(scratch[k, ch, pl.ds(wq, 1), :], (G, 128))
                             ga = jnp.take_along_axis(wrow, rg, axis=1)
                             gb = jnp.take_along_axis(wrow, rg1, axis=1)
+                            if cat:
+                                am1, a_acc, b_acc, p2_acc = accs
+                                gm1 = jnp.take_along_axis(wrow, rm1, axis=1)
+                                g2 = jnp.take_along_axis(wrow, rg2, axis=1)
+                                return (
+                                    jnp.where(qm1 == wq, gm1, am1),
+                                    jnp.where(qg == wq, ga, a_acc),
+                                    jnp.where(qg1 == wq, gb, b_acc),
+                                    jnp.where(qg2 == wq, g2, p2_acc),
+                                )
+                            a_acc, b_acc = accs
                             return (
                                 jnp.where(qg == wq, ga, a_acc),
                                 jnp.where(qg1 == wq, gb, b_acc),
                             )
 
                         zero = jnp.zeros((G, 128), jnp.float32)
-                        a, b = jax.lax.fori_loop(q0, q1, chunk_body, (zero, zero))
-                        sv_ref[pl.ds(gi * G, G), :] = a + fx * (b - a)  # sampler.cpp:55
+                        if cat:
+                            pm1, a, b, p2 = jax.lax.fori_loop(
+                                q0, q1, chunk_body, (zero, zero, zero, zero))
+                            # uniform Catmull-Rom, same op order as ops/mix.py
+                            c1 = 0.5 * (b - pm1)
+                            c2 = pm1 - 2.5 * a + 2.0 * b - 0.5 * p2
+                            c3 = 0.5 * (p2 - pm1) + 1.5 * (a - b)
+                            sv_ref[pl.ds(gi * G, G), :] = a + fx * (c1 + fx * (c2 + fx * c3))
+                        else:
+                            a, b = jax.lax.fori_loop(q0, q1, chunk_body, (zero, zero))
+                            sv_ref[pl.ds(gi * G, G), :] = a + fx * (b - a)  # sampler.cpp:55
                         return carry
 
                     g_lo = ms_k // (G * 128)
@@ -481,9 +513,9 @@ def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, row_al_ref, delta_re
             out_ref[:] = jnp.where(o < -1.0, jnp.float32(-1.0), o)
 
 
-@functools.partial(jax.jit, static_argnames=("n_tiles", "num_tracks", "K", "C", "TILE", "interpret", "per_track"))
-def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, slow, sqhi, sfh, sfl, ssh, ssl, tg, *, n_tiles, num_tracks, K, C, TILE, interpret=False, per_track=False):
-    kernel = functools.partial(_mix_kernel, K, C, TILE, per_track)
+@functools.partial(jax.jit, static_argnames=("n_tiles", "num_tracks", "K", "C", "TILE", "interpret", "per_track", "interp"))
+def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, slow, sqhi, sfh, sfl, ssh, ssl, tg, *, n_tiles, num_tracks, K, C, TILE, interpret=False, per_track=False, interp="linear"):
+    kernel = functools.partial(_mix_kernel, K, C, TILE, per_track, interp)
     grid = (n_tiles, num_tracks)
     R = TILE // 128
     if per_track:
@@ -521,7 +553,7 @@ class PallasMixRenderer:
 
     def __init__(self, table: SegmentTable, pool: SamplePool, session: Session,
                  channels: int = 2, tile: int = DEFAULT_TILE, interpret: bool = False,
-                 plan: PallasMixPlan | None = None) -> None:
+                 plan: PallasMixPlan | None = None, interp: str = "linear") -> None:
         # Mosaic only compiles on TPU; CPU (tests / virtual meshes) interprets
         interpret = interpret or jax.default_backend() == "cpu"
         self.plan = plan or build_plan(table, pool, session, channels=channels, tile=tile)
@@ -544,8 +576,10 @@ class PallasMixRenderer:
             p.sspeed_hi.reshape(nt, T, 1, K), p.sspeed_lo.reshape(nt, T, 1, K),
             p.track_gain.reshape(p.num_tracks, 1, p.channels),
         ))
+        if interp not in ("linear", "catmull"):
+            raise ValueError(f"pallas mix interp must be linear or catmull, got {interp!r}")
         self._kw = dict(n_tiles=p.n_tiles, num_tracks=p.num_tracks, K=K,
-                        C=p.channels, TILE=p.tile, interpret=interpret)
+                        C=p.channels, TILE=p.tile, interpret=interpret, interp=interp)
 
     def render_device(self):
         """Full render, output stays on device: [C, n_tiles*R, 128] f32."""
@@ -572,11 +606,13 @@ def render_timeline_pallas(
     tile: int = DEFAULT_TILE,
     interpret: bool = False,
     plan: PallasMixPlan | None = None,
+    interp: str = "linear",
 ) -> np.ndarray:
     """Render the full carved timeline with the Pallas kernel -> [C, F] np.f32.
 
-    Requires an all-fast (speed==1) table; raises SlowRowsPresent otherwise.
+    ``interp`` applies to resampled (slow) rows: "linear" (reference parity)
+    or "catmull" (4-point Catmull-Rom, two extra in-window taps per frame).
     """
     r = PallasMixRenderer(table, pool, session, channels=channels, tile=tile,
-                          interpret=interpret, plan=plan)
+                          interpret=interpret, plan=plan, interp=interp)
     return r.render()

@@ -108,9 +108,9 @@ def bounce(
 
     ``interpolation``: "linear" (reference parity, sampler.cpp:34),
     "catmull" (4-point Catmull-Rom — completes the mode the reference
-    leaves unfinished at sampler.cpp:61-86), or "sinc" (windowed-sinc).
-    Non-linear modes force the XLA path when any resampled rows exist;
-    speed==1 rows stay bit-exact in every mode.
+    leaves unfinished at sampler.cpp:61-86; runs natively in the Pallas
+    kernel), or "sinc" (windowed-sinc; forces the XLA path when any
+    resampled rows exist). speed==1 rows stay bit-exact in every mode.
 
     ``effects_mode``: "scan" (eigenbasis associative scan, ~1e-7 accuracy)
     or "fir" (chains collapsed to impulse responses, overlap-save FFT —
@@ -148,20 +148,19 @@ def bounce(
     elif interpolation == "catmull":
         # 4-point Catmull-Rom for resampled rows — completes the mode the
         # reference stubs out (sampler.cpp:61-86 computes the neighbors but
-        # writes nothing). speed==1 rows stay bit-exact either way.
+        # writes nothing). speed==1 rows stay bit-exact either way. Served
+        # natively by the Pallas kernel (two extra in-window taps).
         slow = ~table.fast if len(table) else np.array([], dtype=bool)
         if slow.any():
             interp = "catmull"
-            if engine == "auto":
-                engine = "xla"  # cubic path lives in the XLA renderer
     elif interpolation != "linear":
         raise ValueError("interpolation must be 'linear', 'catmull', or 'sinc'")
 
     if engine in ("auto", "pallas"):
         from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, SlowRowsPresent, build_plan
 
-        if sinc_bank is not None or interp != "linear":
-            plan = None  # sinc/cubic interpolation lives in the XLA renderer
+        if sinc_bank is not None:
+            plan = None  # sinc interpolation lives in the XLA renderer
         else:
             try:
                 plan = build_plan(table, pool, session, channels=channels)
@@ -183,7 +182,8 @@ def bounce(
         if plan is not None:
             from whitebox_tpu.render.effects_generic import session_fx_packable
 
-            renderer = PallasMixRenderer(table, pool, session, channels=channels, plan=plan)
+            renderer = PallasMixRenderer(table, pool, session, channels=channels, plan=plan,
+                                         interp=interp)
             if has_fx:
                 if not session_fx_packable(session):
                     # nonlinear / long-memory chains (dynamics, delays,
