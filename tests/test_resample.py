@@ -141,6 +141,98 @@ class TestDeviceParity:
             resample_audio(x, 48000, 48000 * 1.0003001, method="matmul")
 
 
+class TestOversampledSinc:
+    """interpolation="sinc" on the Pallas path: sinc-upsampled pool +
+    LS-optimal 6-tap reconstruction (timeline/oversample.py)."""
+
+    def _tone_session(self, freq, src_rate, amp=0.5, dur=1.0):
+        from whitebox_tpu.core.formats import AudioFormat
+        from whitebox_tpu.session import Session
+        from whitebox_tpu.session.sample import Sample
+
+        t = np.arange(int(src_rate * dur)) / src_rate
+        tone = (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+        s = Session(bpm=60.0)
+        a = s.sample_table.add_sample(
+            Sample.from_planar(tone[None], src_rate, AudioFormat.F32), key="tone")
+        tr = s.add_track("t", volume_db=0.0)
+        s.add_audio_clip(tr, "c", 0.0, 0.9, asset=a)
+        return s
+
+    @pytest.mark.slow
+    def test_matches_direct_sinc_quality(self):
+        from whitebox_tpu.render.bounce import bounce
+
+        s = self._tone_session(15000.0, 44100)
+        y = bounce(s, 48000.0, interpolation="sinc").audio[0]
+        q = snr_db(y[4000:40000], 48000, 15000.0)
+        assert q > 85.0, f"oversampled sinc SNR {q:.1f} dB"
+
+    @pytest.mark.slow
+    def test_antialiasing_on_decimation(self):
+        # 30 kHz tone in a 96k sample -> speed 2 into 48k: linear aliases at
+        # full level; the folded-cutoff upsampler must crush it
+        from whitebox_tpu.render.bounce import bounce
+
+        s = self._tone_session(30000.0, 96000)
+        y = bounce(s, 48000.0, interpolation="sinc").audio[0]
+        rms = np.sqrt(np.mean(y[4000:40000].astype(np.float64) ** 2))
+        rej = 20 * np.log10(max(rms, 1e-30) / (0.5 / np.sqrt(2)))
+        assert rej < -60, f"alias rejection only {rej:.1f} dB"
+
+    def test_fast_rows_stay_bit_exact(self):
+        from tests.test_carve import random_session
+        from whitebox_tpu.render.bounce import bounce
+        from whitebox_tpu.timeline.oracle import OracleRenderer
+
+        s = random_session(31, rate=48000, bpm=120.0, n_tracks=3)  # all speed 1
+        oracle = OracleRenderer(s, 48000.0, buffer_size=512).render()
+        res = bounce(s, 48000.0, interpolation="sinc")
+        np.testing.assert_array_equal(res.audio[:, : oracle.shape[1]], oracle)
+
+    def test_pallas_matches_host_poly_reference(self):
+        from tests.test_carve import random_session
+        from whitebox_tpu.ops.mix_pallas import render_timeline_pallas
+        from whitebox_tpu.ops.resample import design_poly_interp
+        from whitebox_tpu.timeline.carve import carve_session, render_segments_numpy
+        from whitebox_tpu.timeline.oversample import oversample_slow_rows
+
+        s = random_session(32, rate=48000, bpm=120.0, n_tracks=3, n_clips=2,
+                           speeds=(0.5, 1.0, 1.37), src_rates=(44100, 48000))
+        table, pool = carve_session(s, 48000.0, buffer_size=512)
+        t2, p2 = oversample_slow_rows(table, pool)
+        interp = ("poly", design_poly_interp(4))
+        ref = render_segments_numpy(t2, p2, s, interp=interp)
+        out = render_timeline_pallas(t2, p2, s, tile=2048, interpret=True, interp=interp)
+        absd = np.abs(out.astype(np.float64) - ref.astype(np.float64))
+        assert absd.max() < 3e-6, f"max abs {absd.max():.2e}"
+
+    def test_oversample_rewrite_mechanics(self):
+        from tests.test_carve import random_session
+        from whitebox_tpu.timeline.carve import carve_session
+        from whitebox_tpu.timeline.oversample import oversample_slow_rows
+
+        s = random_session(33, rate=48000, bpm=120.0, n_tracks=2, n_clips=2,
+                           speeds=(44100.0 / 48000.0, 1.0), src_rates=(44100, 48000))
+        table, pool = carve_session(s, 48000.0, buffer_size=512)
+        t2, p2 = oversample_slow_rows(table, pool, factor=4)
+        fast = table.fast
+        # fast rows untouched
+        np.testing.assert_array_equal(t2.sample_id[fast], table.sample_id[fast])
+        np.testing.assert_array_equal(t2.src_int[fast], table.src_int[fast])
+        # slow rows: exact 4x phase/speed scaling onto fresh sample ids
+        slow = ~fast
+        assert (t2.sample_id[slow] >= pool.num_samples).all()
+        np.testing.assert_allclose(t2.speed[slow], 4.0 * table.speed[slow], rtol=0)
+        x_old = table.src_int[slow].astype(np.float64) + table.src_frac[slow]
+        x_new = t2.src_int[slow].astype(np.float64) + t2.src_frac[slow]
+        np.testing.assert_allclose(x_new, 4.0 * x_old, rtol=0, atol=1e-9)
+        # new bases are lane-aligned and inside the grown pool
+        nb = p2.channel_base[pool.num_samples:]
+        assert (nb % 128 == 0).all()
+        assert int(nb.max()) < p2.data.shape[0]
+
+
 class TestMixSincMode:
     def test_sinc_mode_improves_clip_resampling(self):
         from whitebox_tpu.core.formats import AudioFormat

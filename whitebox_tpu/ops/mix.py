@@ -221,7 +221,19 @@ def _track_contrib(pool, g, dst_start, length, src_base, frac_hi, frac_lo, speed
         src = jnp.clip(src_base[idx_c, ch] + ixl, 0, limit)
         a = pool[src]
         a_eff = jnp.where(clamp_row, jnp.clip(a, jnp.float32(-1.0), jnp.float32(1.0)), a)
-        if sinc_bank is None and interp == "catmull":
+        if sinc_bank is None and isinstance(interp, tuple) and interp and interp[0] == "poly":
+            # LS-optimal polynomial taps over an oversampled pool
+            # (ops/resample.design_poly_interp; timeline/oversample.py)
+            coeffs = interp[1]
+            k0 = -(len(coeffs) // 2 - 1)
+            acc = jnp.zeros_like(a)
+            for ki, krow in enumerate(coeffs):
+                wk = jnp.float32(krow[-1])
+                for mm in range(len(krow) - 2, -1, -1):
+                    wk = wk * fx + jnp.float32(krow[mm])
+                acc = acc + wk * pool[jnp.clip(src + (k0 + ki), 0, limit)]
+            s = jnp.where(row_fast, a_eff, acc)
+        elif sinc_bank is None and interp == "catmull":
             pm1 = pool[jnp.clip(src - 1, 0, limit)]
             b = pool[src + 1]
             p2 = pool[jnp.clip(src + 2, 0, limit)]

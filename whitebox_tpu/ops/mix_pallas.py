@@ -134,9 +134,9 @@ def build_plan(
     T = table.num_tracks
     n_tiles = -(-table.total_frames // tile)
     R = tile // 128
-    # max in-window source index: ixl+2+delta must stay inside (R+16)*128
-    # (delta <= 1024 after the w-1 rebase; +2 = the Catmull-Rom far tap)
-    span_limit = (R + 16) * 128 - 1024 - 6
+    # max in-window source index: ixl+3+delta must stay inside (R+16)*128
+    # (delta <= 1027 after the w-4 rebase; +3 = the widest poly far tap)
+    span_limit = (R + 16) * 128 - 1024 - 10
 
     fast_mask = table.fast if len(table) else np.zeros(0, dtype=bool)
     any_slow = bool((~fast_mask).any()) if len(table) else False
@@ -324,10 +324,11 @@ def build_plan(
         fout_inv[idx] = slow["foi"]
         for ch in range(channels):
             w = pool.channel_base[slow["sid"], ch].astype(np.int64) + slow["src_i"]
-            # rebase the window one sample early so the Catmull-Rom m-1 tap
-            # is always in-window (delta in [1, 1024]; the pool's lead guard
-            # keeps w-1 >= 0); transparent to the linear path
-            w_al = ((w - 1) // 1024) * 1024
+            # rebase the window four samples early so every early
+            # interpolation tap (catmull m-1, poly m-2) is in-window
+            # (delta in [4, 1027]; the pool's lead guard keeps w-4 >= 0);
+            # transparent to the linear path
+            w_al = ((w - 4) // 1024) * 1024
             row_al[ti_v, trk_v, k_v, ch] = w_al // 128
             delta[ti_v, trk_v, k_v, ch] = w - w_al
 
@@ -424,7 +425,15 @@ def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, interp: str, row_al_
                         + jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
                     )
 
-                    cat = interp == "catmull"
+                    # interpolation mode -> tap offsets (trace-time static)
+                    if isinstance(interp, tuple) and interp and interp[0] == "poly":
+                        coeffs = interp[1]
+                        taps = [int(kk) - (len(coeffs) // 2 - 1) for kk in range(len(coeffs))]
+                    elif interp == "catmull":
+                        taps = [-1, 0, 1, 2]
+                    else:
+                        taps = [0, 1]
+                    lo_tap, hi_tap = -min(taps), max(taps)
 
                     def group_body(gi, carry):
                         base = gi * (G * 128)
@@ -434,51 +443,37 @@ def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, interp: str, row_al_
                         # scalar chunk bounds from the group-edge phases
                         ix0, _ = phase_eval(jnp.maximum(base - ms_k, 0), fh, fl, sh, sl)
                         ixe, _ = phase_eval(jnp.maximum(base + G * 128 - 1 - ms_k, 0), fh, fl, sh, sl)
-                        lo_tap = 1 if cat else 0
-                        hi_tap = 2 if cat else 1
                         q0 = jnp.clip((ix0 - lo_tap + delta) >> 7, 0, R + 15)
                         q1 = jnp.clip(((ixe + hi_tap + delta) >> 7) + 1, q0 + 1, R + 16)
-                        qg = m >> 7
-                        rg = m & 127
-                        qg1 = (m + 1) >> 7
-                        rg1 = (m + 1) & 127
-                        if cat:
-                            qm1 = (m - 1) >> 7
-                            rm1 = (m - 1) & 127
-                            qg2 = (m + 2) >> 7
-                            rg2 = (m + 2) & 127
+                        qs = [(m + kk) >> 7 for kk in taps]
+                        rs = [(m + kk) & 127 for kk in taps]
 
                         def chunk_body(wq, accs):
                             wrow = jnp.broadcast_to(scratch[k, ch, pl.ds(wq, 1), :], (G, 128))
-                            ga = jnp.take_along_axis(wrow, rg, axis=1)
-                            gb = jnp.take_along_axis(wrow, rg1, axis=1)
-                            if cat:
-                                am1, a_acc, b_acc, p2_acc = accs
-                                gm1 = jnp.take_along_axis(wrow, rm1, axis=1)
-                                g2 = jnp.take_along_axis(wrow, rg2, axis=1)
-                                return (
-                                    jnp.where(qm1 == wq, gm1, am1),
-                                    jnp.where(qg == wq, ga, a_acc),
-                                    jnp.where(qg1 == wq, gb, b_acc),
-                                    jnp.where(qg2 == wq, g2, p2_acc),
-                                )
-                            a_acc, b_acc = accs
-                            return (
-                                jnp.where(qg == wq, ga, a_acc),
-                                jnp.where(qg1 == wq, gb, b_acc),
+                            return tuple(
+                                jnp.where(q == wq, jnp.take_along_axis(wrow, rr, axis=1), acc)
+                                for q, rr, acc in zip(qs, rs, accs)
                             )
 
                         zero = jnp.zeros((G, 128), jnp.float32)
-                        if cat:
-                            pm1, a, b, p2 = jax.lax.fori_loop(
-                                q0, q1, chunk_body, (zero, zero, zero, zero))
+                        vals = jax.lax.fori_loop(q0, q1, chunk_body, (zero,) * len(taps))
+                        if isinstance(interp, tuple):
+                            res = jnp.zeros((G, 128), jnp.float32)
+                            for krow, v in zip(coeffs, vals):
+                                wk = jnp.float32(krow[-1])
+                                for mm in range(len(krow) - 2, -1, -1):
+                                    wk = wk * fx + jnp.float32(krow[mm])
+                                res = res + wk * v
+                            sv_ref[pl.ds(gi * G, G), :] = res
+                        elif interp == "catmull":
+                            pm1, a, b, p2 = vals
                             # uniform Catmull-Rom, same op order as ops/mix.py
                             c1 = 0.5 * (b - pm1)
                             c2 = pm1 - 2.5 * a + 2.0 * b - 0.5 * p2
                             c3 = 0.5 * (p2 - pm1) + 1.5 * (a - b)
                             sv_ref[pl.ds(gi * G, G), :] = a + fx * (c1 + fx * (c2 + fx * c3))
                         else:
-                            a, b = jax.lax.fori_loop(q0, q1, chunk_body, (zero, zero))
+                            a, b = vals
                             sv_ref[pl.ds(gi * G, G), :] = a + fx * (b - a)  # sampler.cpp:55
                         return carry
 
@@ -576,8 +571,10 @@ class PallasMixRenderer:
             p.sspeed_hi.reshape(nt, T, 1, K), p.sspeed_lo.reshape(nt, T, 1, K),
             p.track_gain.reshape(p.num_tracks, 1, p.channels),
         ))
-        if interp not in ("linear", "catmull"):
-            raise ValueError(f"pallas mix interp must be linear or catmull, got {interp!r}")
+        poly_ok = isinstance(interp, tuple) and len(interp) == 2 and interp[0] == "poly"
+        if interp not in ("linear", "catmull") and not poly_ok:
+            raise ValueError(
+                f"pallas mix interp must be linear, catmull, or ('poly', coeffs); got {interp!r}")
         self._kw = dict(n_tiles=p.n_tiles, num_tracks=p.num_tracks, K=K,
                         C=p.channels, TILE=p.tile, interpret=interpret, interp=interp)
 

@@ -109,8 +109,11 @@ def bounce(
     ``interpolation``: "linear" (reference parity, sampler.cpp:34),
     "catmull" (4-point Catmull-Rom — completes the mode the reference
     leaves unfinished at sampler.cpp:61-86; runs natively in the Pallas
-    kernel), or "sinc" (windowed-sinc; forces the XLA path when any
-    resampled rows exist). speed==1 rows stay bit-exact in every mode.
+    kernel), or "sinc" (anti-aliased high-quality mode: the source pool is
+    sinc-upsampled 4x with exact-phase filters and reconstructed with the
+    Pallas Catmull path — see timeline/oversample.py; ``engine="xla"``
+    selects the direct per-frame 32-tap formulation instead). speed==1
+    rows stay bit-exact in every mode.
 
     ``effects_mode``: "scan" (eigenbasis associative scan, ~1e-7 accuracy)
     or "fir" (chains collapsed to impulse responses, overlap-save FFT —
@@ -137,14 +140,24 @@ def bounce(
     sinc_bank = None
     interp = "linear"
     if interpolation == "sinc":
-        from whitebox_tpu.ops.resample import design_sinc_bank
-
         slow = ~table.fast if len(table) else np.array([], dtype=bool)
-        if slow.any():
+        if slow.any() and engine == "xla":
+            # direct 32-tap windowed sinc (per-frame gathers; the slowest
+            # but most literal definition — kept for comparison)
+            from whitebox_tpu.ops.resample import design_sinc_bank
+
             max_ratio = float(np.max(table.speed[slow]))
             sinc_bank = jnp.asarray(design_sinc_bank(max(max_ratio, 1.0)))
-            if engine == "auto":
-                engine = "xla"  # sinc path lives in the XLA renderer
+        elif slow.any():
+            # TPU-shaped sinc: exact-phase matmul upsampling of the source
+            # pool + LS-optimal 6-tap reconstruction in the Pallas kernel
+            # (timeline/oversample.py) — sinc-class quality (97-104 dB
+            # in-band) at slow-path speed instead of taps gathers per frame
+            from whitebox_tpu.ops.resample import design_poly_interp
+            from whitebox_tpu.timeline.oversample import OVERSAMPLE_FACTOR, oversample_slow_rows
+
+            table, pool = oversample_slow_rows(table, pool)
+            interp = ("poly", design_poly_interp(OVERSAMPLE_FACTOR))
     elif interpolation == "catmull":
         # 4-point Catmull-Rom for resampled rows — completes the mode the
         # reference stubs out (sampler.cpp:61-86 computes the neighbors but
@@ -160,10 +173,14 @@ def bounce(
         from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, SlowRowsPresent, build_plan
 
         if sinc_bank is not None:
-            plan = None  # sinc interpolation lives in the XLA renderer
+            plan = None  # direct-form sinc lives in the XLA renderer
         else:
             try:
-                plan = build_plan(table, pool, session, channels=channels)
+                # oversampled rows advance U-times faster -> shorter
+                # sub-slots -> more slots per (tile, track); allow more
+                max_slots = 16 if isinstance(interp, tuple) else 8
+                plan = build_plan(table, pool, session, channels=channels,
+                                  max_slots=max_slots)
             except (SlowRowsPresent, ValueError):
                 if engine == "pallas":
                     raise

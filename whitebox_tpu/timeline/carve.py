@@ -525,6 +525,17 @@ def render_segments_per_track_numpy(table: SegmentTable, pool: SamplePool, out_c
                     c2 = pm1 - np.float32(2.5) * a + np.float32(2.0) * b - np.float32(0.5) * p2
                     c3 = np.float32(0.5) * (p2 - pm1) + np.float32(1.5) * (a - b)
                     s = a + fx * (c1 + fx * (c2 + fx * c3))
+                elif isinstance(interp, tuple) and interp and interp[0] == "poly":
+                    # LS-optimal polynomial taps (ops/resample.design_poly_interp)
+                    from whitebox_tpu.ops.resample import poly_interp_offsets
+
+                    coeffs = interp[1]
+                    s = np.zeros_like(a)
+                    for krow, k in zip(coeffs, poly_interp_offsets(coeffs)):
+                        wk = np.full_like(fx, np.float32(krow[-1]))
+                        for m in range(len(krow) - 2, -1, -1):
+                            wk = wk * fx + np.float32(krow[m])
+                        s = s + wk * pool.data[np.clip(src + int(k), 0, limit)]
                 else:
                     s = a + fx * (b - a)
                 out[t, ch, dst : dst + L] += (s * gain) * env
