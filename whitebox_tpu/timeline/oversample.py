@@ -48,7 +48,7 @@ def oversample_slow_rows(
     it (slower clips of the same sample share the copy; their passband is
     narrowed by the same cutoff — documented trade for single-copy memory).
     """
-    from whitebox_tpu.ops.resample import _resample_matmul
+    from whitebox_tpu.ops.resample import design_sinc_matrix
 
     slow = ~table.fast
     if not slow.any() or factor < 2:
@@ -87,11 +87,20 @@ def oversample_slow_rows(
         for oc, base in enumerate(bases):
             key = (sid, int(base))
             if key not in new_base_of:
-                src = data[int(base) : int(base) + n][None]
+                src = data[int(base) : int(base) + n]
                 if n > 0:
-                    up = np.asarray(_resample_matmul(
-                        src.astype(np.float32), 1, U, taps, atten_db,
-                        up_count, cutoff=cutoffs[sid]))[0]
+                    # host-side strided-view matmul (one BLAS sgemm): this
+                    # is bounce prep — a device round trip per buffer would
+                    # pay relay dispatch + readback for work numpy does in
+                    # milliseconds. Same operator as the device path
+                    # (design_sinc_matrix, P=1, Q=U).
+                    M, _, _ = design_sinc_matrix(1, U, taps, atten_db,
+                                                 cutoff=cutoffs[sid])
+                    W = M.shape[1]
+                    half = taps // 2
+                    xp = np.pad(src.astype(np.float32), (half, W))
+                    win = np.lib.stride_tricks.sliding_window_view(xp, W)[:n]
+                    up = (win @ M.T).reshape(-1)[:up_count]
                 else:
                     up = np.zeros(0, np.float32)
                 stride = up_count + pad
