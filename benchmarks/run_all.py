@@ -40,13 +40,13 @@ def _rtf_pallas(session, rate, effects_mode=None, runs=3):
     def checksum(x):
         return x.sum()
 
-    t, p = carve_session(session, rate, buffer_size=512)
+    t, p = carve_session(session, rate, buffer_size=512, slow_emit="runs")
     float(checksum(PallasMixRenderer(t, p, session).render_device()))  # warm
     best = None
     frames = None
     for _ in range(runs):
         t0 = time.perf_counter()
-        t, p = carve_session(session, rate, buffer_size=512)
+        t, p = carve_session(session, rate, buffer_size=512, slow_emit="runs")
         r = PallasMixRenderer(t, p, session)
         float(checksum(r.render_device()))
         dt = time.perf_counter() - t0

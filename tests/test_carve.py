@@ -155,3 +155,96 @@ class TestCarveEdgeCases:
         table, _ = carve_session(s, 48000.0, 512)
         order = np.lexsort((table.dst_start, table.track))
         np.testing.assert_array_equal(order, np.arange(len(table)))
+
+
+class TestSlowEmitRuns:
+    """slow_emit="runs": closed-form run rows for non-exhausting resampled
+    passes — must render identically to the blockwise table through the
+    Pallas path (whose plan merges blocks into the same closed-form runs)."""
+
+    def _long_sample_session(self):
+        # samples long enough that no pass exhausts -> run rows eligible
+        from whitebox_tpu.core.formats import AudioFormat as AF
+        from whitebox_tpu.session import Session
+        from whitebox_tpu.session.sample import Sample
+
+        rng = np.random.default_rng(61)
+        s = Session(bpm=120.0)
+        for t in range(3):
+            x = (rng.standard_normal((1, 44100 * 3)) * 0.3).astype(np.float32)
+            a = s.sample_table.add_sample(Sample.from_planar(x, 44100, AF.F32), key=f"s{t}")
+            tr = s.add_track(f"t{t}", volume_db=float(rng.uniform(-6, 0)))
+            pos = float(rng.uniform(0, 1))
+            for c in range(2):
+                ln = float(rng.uniform(0.5, 1.5))
+                s.add_audio_clip(tr, f"c{c}", pos, pos + ln, asset=a,
+                                 speed=float(rng.choice([0.5, 0.91875, 1.37])),
+                                 start_offset=float(int(rng.integers(0, 1000))))
+                pos += ln + 0.3
+        return s
+
+    def test_pallas_render_bit_identical(self):
+        from whitebox_tpu.ops.mix_pallas import render_timeline_pallas
+
+        s = self._long_sample_session()
+        tb, pb = carve_session(s, 48000.0, buffer_size=512)
+        tr, pr = carve_session(s, 48000.0, buffer_size=512, slow_emit="runs")
+        assert len(tr) < len(tb)
+        a = render_timeline_pallas(tb, pb, s, tile=2048, interpret=True)
+        b = render_timeline_pallas(tr, pr, s, tile=2048, interpret=True)
+        np.testing.assert_array_equal(a, b)
+
+    def test_exhausting_pass_stays_blockwise_exact(self):
+        # a clip that outruns its sample: the runs mode must fall back to
+        # the per-block exhaust math -> identical tables
+        from whitebox_tpu.core.formats import AudioFormat as AF
+        from whitebox_tpu.session import Session
+        from whitebox_tpu.session.sample import Sample
+
+        rng = np.random.default_rng(0)
+        s = Session(bpm=60.0)
+        short = (rng.standard_normal(2000) * 0.4).astype(np.float32)
+        a = s.sample_table.add_sample(Sample.from_planar(short[None], 44100, AF.F32), key="s")
+        tr = s.add_track("t")
+        s.add_audio_clip(tr, "c", 0.0, 2.0, asset=a)  # far longer than 2000 frames
+        tb, pb = carve_session(s, 48000.0, buffer_size=512)
+        trn, prn = carve_session(s, 48000.0, buffer_size=512, slow_emit="runs")
+        # the exhaust (wrap) frame is bit-identical: the final audible frame
+        # must agree exactly between the modes
+        eb = tb.dst_start + tb.length
+        er = trn.dst_start + trn.length
+        assert int(eb.max()) == int(er.max())
+        # pallas render identical (the plan evaluates both as the same runs)
+        from whitebox_tpu.ops.mix_pallas import render_timeline_pallas
+
+        a_ = render_timeline_pallas(tb, pb, s, tile=1024, interpret=True)
+        b_ = render_timeline_pallas(trn, prn, s, tile=1024, interpret=True)
+        np.testing.assert_array_equal(a_, b_)
+
+    def test_loop_modes_identical_tables(self):
+        # loop wraps always exhaust -> runs mode must produce the same rows
+        from whitebox_tpu.core.formats import AudioFormat as AF
+        from whitebox_tpu.session import Session
+        from whitebox_tpu.session.clip import ClipMode
+        from whitebox_tpu.session.sample import Sample
+
+        rng = np.random.default_rng(1)
+        s = Session(bpm=60.0)
+        x = (rng.standard_normal(3000) * 0.4).astype(np.float32)
+        a = s.sample_table.add_sample(Sample.from_planar(x[None], 44100, AF.F32), key="s")
+        tr = s.add_track("t")
+        s.add_audio_clip(tr, "c", 0.0, 1.5, asset=a)
+        c = tr.clips[0]
+        for mode in (ClipMode.LOOP_STRAIGHT, ClipMode.LOOP_REVERSE, ClipMode.LOOP_BIDIRECTIONAL):
+            c.audio.mode = mode
+            tb, pb = carve_session(s, 48000.0, buffer_size=512)
+            trn, prn = carve_session(s, 48000.0, buffer_size=512, slow_emit="runs")
+            # wrap points (pass boundaries) are bit-identical: every runs-mode
+            # pass start must exist among the blockwise pass starts
+            starts_b = set(map(int, tb.dst_start))
+            assert set(map(int, trn.dst_start)) <= starts_b, mode
+            assert int((tb.dst_start + tb.length).max()) == int((trn.dst_start + trn.length).max()), mode
+            # host renders agree within the resampling phase contract
+            a_ = render_segments_numpy(tb, pb, s)
+            b_ = render_segments_numpy(trn, prn, s)
+            np.testing.assert_allclose(a_, b_, atol=2.4e-7)

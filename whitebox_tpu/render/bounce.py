@@ -131,8 +131,13 @@ def bounce(
     stats = RenderStats(channels=channels, sample_rate=float(sample_rate), tracks=len(session.tracks))
     watch = Stopwatch()
 
+    # Pallas-bound renders carve resampled passes as closed-form runs (the
+    # plan's run merge evaluates exactly that; ~100x fewer rows to pack at
+    # 128-track resampled scale). engine="xla" keeps the per-block rows
+    # that bit-mirror the C++ sampler's sequential f64 accumulation.
     table, pool = carve_session(
-        session, sample_rate, buffer_size=buffer_size, num_blocks=num_blocks, out_channels=channels
+        session, sample_rate, buffer_size=buffer_size, num_blocks=num_blocks, out_channels=channels,
+        slow_emit="blocks" if engine == "xla" else "runs",
     )
     _log.debug("carved %d segment rows, %d frames, %d tracks",
                len(table), table.total_frames, table.num_tracks)

@@ -91,6 +91,7 @@ def _carve_track_audio(
     rows: list,
     slow_cols: list,
     track_idx: int,
+    slow_emit: str = "blocks",
 ) -> None:
     bs = transport.buffer_size
     rate = transport.sample_rate
@@ -194,6 +195,22 @@ def _carve_track_audio(
                 exhausts (wrap point), or span_ge if it never does. The wrap
                 point comes from the same blockwise sequentially-rounded
                 offsets the engine would hold, not a single-step ceil."""
+                if slow_emit == "runs":
+                    # one run row when the pass provably never exhausts
+                    # (1e-6 source-sample margin guards rounding flips);
+                    # otherwise fall through to the exact blockwise path
+                    total = span_ge - span_gs
+                    if span_o0 + (total - 1) * playback_speed < count - 1e-6:
+                        oi = np.floor(span_o0)
+                        slow_cols.append((
+                            1,
+                            np.asarray([span_gs], np.int32),
+                            np.asarray([total], np.int32),
+                            np.asarray([oi], np.int32),
+                            np.asarray([span_o0 - oi], np.float64),
+                            (track_idx, sid, playback_speed, gain, clip.id, *fade),
+                        ))
+                        return span_ge
                 # per-block rows with exact accumulated f64 offsets
                 # stream-call boundaries: span start, block edges, span end
                 first_edge = min(span_ge, (span_gs // bs + 1) * bs)
@@ -214,26 +231,53 @@ def _carve_track_audio(
                 num_actual = np.minimum(
                     lengths, np.ceil((count - offs) / playback_speed).astype(np.int64)
                 )
-                keep = live & (num_actual > 0)
-                if keep.any():
-                    o_k = offs[keep]
-                    oi = np.floor(o_k)
-                    n = int(keep.sum())
-                    # per-row arrays + per-span scalars; scalars expand once
-                    # at assembly via np.repeat (a per-span np.full here was
-                    # ~30% of carve time at 128-track resampled scale)
-                    slow_cols.append((
-                        n,
-                        edges[:-1][keep].astype(np.int32),
-                        num_actual[keep].astype(np.int32),
-                        oi.astype(np.int32),
-                        (o_k - oi).astype(np.float64),
-                        (track_idx, sid, playback_speed, gain, clip.id, *fade),
-                    ))
                 exhausted = (~live) | (num_actual < lengths)
-                if not exhausted.any():
+                any_exh = bool(exhausted.any())
+                idx = int(np.argmax(exhausted)) if any_exh else lengths.shape[0]
+                scalars = (track_idx, sid, playback_speed, gain, clip.id, *fade)
+                if slow_emit == "runs":
+                    # prefix blocks [0, idx) are fully live: one closed-form
+                    # run row (what mix_pallas._merge_slow_runs reconstructs
+                    # from the per-block rows anyway); the exhaust block
+                    # keeps its exact sequentially-rounded offset + length
+                    if idx > 0:
+                        oi = np.floor(span_o0)
+                        slow_cols.append((
+                            1, np.asarray([edges[0]], np.int32),
+                            np.asarray([edges[idx] - edges[0]], np.int32),
+                            np.asarray([oi], np.int32),
+                            np.asarray([span_o0 - oi], np.float64),
+                            scalars,
+                        ))
+                    if any_exh and live[idx] and num_actual[idx] > 0:
+                        o_k = offs[idx]
+                        oi = np.floor(o_k)
+                        slow_cols.append((
+                            1, np.asarray([edges[idx]], np.int32),
+                            np.asarray([num_actual[idx]], np.int32),
+                            np.asarray([oi], np.int32),
+                            np.asarray([o_k - oi], np.float64),
+                            scalars,
+                        ))
+                else:
+                    keep = live & (num_actual > 0)
+                    if keep.any():
+                        o_k = offs[keep]
+                        oi = np.floor(o_k)
+                        n = int(keep.sum())
+                        # per-row arrays + per-span scalars; scalars expand
+                        # once at assembly via np.repeat (a per-span np.full
+                        # here was ~30% of carve at 128-trk resampled scale)
+                        slow_cols.append((
+                            n,
+                            edges[:-1][keep].astype(np.int32),
+                            num_actual[keep].astype(np.int32),
+                            oi.astype(np.int32),
+                            (o_k - oi).astype(np.float64),
+                            scalars,
+                        ))
+                if not any_exh:
                     return span_ge
-                idx = int(np.argmax(exhausted))
                 if live[idx]:
                     return int(edges[:-1][idx] + num_actual[idx])
                 return int(edges[:-1][idx])
@@ -243,6 +287,21 @@ def _carve_track_audio(
                 with v accumulated per block exactly like the forward
                 sampler; returns the global frame where the source exhausts
                 (x would go below 0), or span_ge if it never does."""
+                if slow_emit == "runs":
+                    total = span_ge - span_gs
+                    x0 = (count - 1.0) - v0
+                    if x0 - (total - 1) * playback_speed > 1e-6:
+                        xi = np.floor(x0)
+                        slow_cols.append((
+                            1,
+                            np.asarray([span_gs], np.int32),
+                            np.asarray([total], np.int32),
+                            np.asarray([xi], np.int32),
+                            np.asarray([x0 - xi], np.float64),
+                            (track_idx, sid, -playback_speed, gain, clip.id, *fade),
+                        ))
+                        return span_ge
+
                 first_edge = min(span_ge, (span_gs // bs + 1) * bs)
                 n_mid = max((span_ge - first_edge + bs - 1) // bs, 0)
                 edges = np.empty(n_mid + 2, dtype=np.int64)
@@ -388,8 +447,23 @@ def carve_session(
     playhead_start: float | None = None,
     pool: SamplePool | None = None,
     out_channels: int = 2,
+    slow_emit: str = "blocks",
 ) -> tuple[SegmentTable, SamplePool]:
-    """Compile a session into (SegmentTable, SamplePool) for rendering."""
+    """Compile a session into (SegmentTable, SamplePool) for rendering.
+
+    ``slow_emit``: how resampled (slow) source passes become rows.
+    "blocks" (default) emits one row per engine block with the exact
+    sequentially-rounded f64 offsets — the bit-mirror of the C++ sampler's
+    per-block accumulation (sampler.cpp:103) that the oracle-parity
+    contract rests on. "runs" emits ONE row per source pass with the
+    closed-form phase x0 + (g - dst0)*speed whenever the pass provably
+    never exhausts its sample — mathematically identical to what the
+    Pallas plan's run merge evaluates anyway (mix_pallas._merge_slow_runs
+    re-bases phase closed-form), but ~two orders of magnitude fewer rows
+    to assemble/pack at 128-track resampled scale. Passes that reach the
+    sample end (including every loop-mode wrap) keep the exact blockwise
+    path, so wrap points are bit-identical in both modes.
+    """
     start = session.playhead_start if playhead_start is None else playhead_start
     transport = BlockTransport(float(sample_rate), int(buffer_size), session.beat_duration, start)
     if num_blocks is None:
@@ -403,7 +477,8 @@ def carve_session(
     rows: list = []
     slow_cols: list = []
     for t, track in enumerate(session.tracks):
-        _carve_track_audio(track, transport, P, S, num_blocks, pool, rows, slow_cols, t)
+        _carve_track_audio(track, transport, P, S, num_blocks, pool, rows, slow_cols, t,
+                           slow_emit=slow_emit)
 
     # combine scalar fast rows + vectorized slow-row blocks, sort by (track, dst)
     fast_arrays = None
