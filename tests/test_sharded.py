@@ -50,6 +50,31 @@ def test_sharded_output_sharding(mesh):
     assert len(out.sharding.device_set) == 8
 
 
+def test_bounce_sharded_end_to_end(mesh):
+    # the session-level multi-chip pipeline: carve -> shard -> mix+psum ->
+    # sharded master chain; matches the single-chip XLA bounce
+    from whitebox_tpu.effects import Compressor, NoiseGate
+    from whitebox_tpu.parallel.render_sharded import bounce_sharded
+    from whitebox_tpu.render.bounce import bounce
+
+    s = random_session(6, rate=48000, bpm=120.0, n_tracks=8, n_clips=2)
+    single = bounce(s, 48000.0, engine="xla").audio
+    multi = bounce_sharded(s, 48000.0, mesh)
+    n = min(single.shape[1], multi.shape[1])
+    np.testing.assert_allclose(multi[:, :n], single[:, :n], atol=2e-6, rtol=1e-5)
+
+    # with a master chain: reference = single-chip chain over the mix
+    chain = [NoiseGate(-50.0), Compressor(-18.0, 4.0)]
+    multi_fx = bounce_sharded(s, 48000.0, mesh, master_effects=chain)
+    ref = jnp.asarray(np.pad(single, ((0, 0), (0, multi_fx.shape[1] - single.shape[1]))))
+    for e in [NoiseGate(-50.0), Compressor(-18.0, 4.0)]:
+        e.prepare(48000.0, 2)
+        ref, _ = e.process(ref, e.init_state(2))
+    scale = max(float(np.max(np.abs(np.asarray(ref)))), 1e-6)
+    err = np.max(np.abs(multi_fx - np.asarray(ref))) / scale
+    assert err < 5e-5, f"sharded master chain rel err {err:.2e}"
+
+
 @pytest.mark.slow
 def test_frame_sharded_biquad_matches_single(mesh):
     import functools

@@ -16,3 +16,4 @@ with SPMD over a ``jax.sharding.Mesh`` with two axes:
 """
 
 from whitebox_tpu.parallel.mesh import make_render_mesh  # noqa: F401
+from whitebox_tpu.parallel.render_sharded import bounce_sharded  # noqa: F401

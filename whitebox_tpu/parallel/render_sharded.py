@@ -98,3 +98,50 @@ def render_chunk_sharded(pool, tables, chunk_start, frames: int, mesh: Mesh):
         out_specs=P(None, "frames"),
     )
     return fn(pool, tables, chunk_start)
+
+
+def bounce_sharded(
+    session,
+    sample_rate: float,
+    mesh: Mesh,
+    *,
+    buffer_size: int = 512,
+    channels: int = 2,
+    master_effects=None,
+):
+    """Render a whole session over a ('tracks','frames') device mesh.
+
+    The multi-chip composition of the full offline pipeline: carve (host,
+    closed-form run rows), pack, shard the segment tables over the tracks
+    axis, one sharded mix dispatch over the frames axis (psum over ICI for
+    the track sum), then an optional master-bus effect chain applied with
+    exact cross-shard state handoff (effects_sharded.apply_chain_sharded).
+
+    Returns [channels, frames] np.float32. Sum association is
+    shard-deterministic but differs from the single-chip flat order (see
+    module docstring); use the single-chip strict path for bit-parity work.
+    """
+    import numpy as np
+
+    from whitebox_tpu.ops.mix import pack_device_tables
+    from whitebox_tpu.timeline.carve import carve_session
+
+    tp = mesh.shape["tracks"]
+    fp = mesh.shape["frames"]
+    table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
+                                out_channels=channels, slow_emit="runs")
+    T = max(table.num_tracks, 1)
+    dev = pack_device_tables(table, pool, session, channels=channels,
+                             pad_tracks_to=-(-T // tp) * tp)
+    tables = shard_tables(dev.as_jax(), mesh)
+    pool_dev = jax.device_put(jnp.asarray(pool.data), NamedSharding(mesh, P()))
+
+    frames = -(-max(table.total_frames, 1) // (fp * 128)) * (fp * 128)
+    out = render_chunk_sharded(pool_dev, tables, jnp.int32(0), frames=frames, mesh=mesh)
+
+    if master_effects:
+        from whitebox_tpu.parallel.effects_sharded import apply_chain_sharded
+
+        out = apply_chain_sharded(master_effects, out, mesh, float(sample_rate),
+                                  channels=channels)
+    return np.asarray(out)[:, : table.total_frames]
