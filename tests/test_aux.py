@@ -106,3 +106,20 @@ class TestPreviewStreaming:
 
         full = bounce(s, 32768.0, buffer_size=256).audio
         np.testing.assert_array_equal(b, full[:, 16384 : 16384 + 256])
+
+    def test_quality_interpolation_modes(self):
+        # preview carries the same catmull / oversampled-sinc modes as bounce
+        from tests.test_carve import random_session
+        from whitebox_tpu.render.bounce import bounce
+
+        s = random_session(71, rate=48000, bpm=120.0, n_tracks=2, n_clips=2,
+                           speeds=(44100.0 / 48000.0,), src_rates=(44100,))
+        for mode in ("catmull", "sinc"):
+            # engine auto = the same oversampled-sinc / pallas-catmull forms
+            # the preview uses (engine="xla" sinc is the direct 32-tap mode)
+            full = bounce(s, 48000.0, buffer_size=512, interpolation=mode).audio
+            ps = PreviewStream(s, 48000.0, buffer_size=512, lookahead_blocks=8,
+                               interpolation=mode)
+            joined = np.concatenate(list(ps), axis=1)[:, : full.shape[1]]
+            absd = np.abs(joined.astype(np.float64) - full.astype(np.float64))
+            assert absd.max() < 3e-6, f"{mode}: {absd.max():.2e}"

@@ -28,6 +28,7 @@ class PreviewStream:
         buffer_size: int = 512,
         channels: int = 2,
         lookahead_blocks: int = 64,
+        interpolation: str = "linear",
     ) -> None:
         from whitebox_tpu.ops.automation import session_has_automation
         from whitebox_tpu.ops.mix import pack_device_tables
@@ -42,6 +43,19 @@ class PreviewStream:
         self.lookahead = max(int(lookahead_blocks), 1) * self.buffer_size
 
         table, pool = carve_session(session, sample_rate, buffer_size=buffer_size, out_channels=channels)
+        self._interp = "linear"
+        if interpolation == "catmull":
+            self._interp = "catmull"
+        elif interpolation == "sinc":
+            # same TPU-shaped sinc as bounce: oversampled pool + LS-optimal taps
+            from whitebox_tpu.ops.resample import design_poly_interp
+            from whitebox_tpu.timeline.oversample import OVERSAMPLE_FACTOR, oversample_slow_rows
+
+            if not table.fast.all():
+                table, pool = oversample_slow_rows(table, pool)
+                self._interp = ("poly", design_poly_interp(OVERSAMPLE_FACTOR))
+        elif interpolation != "linear":
+            raise ValueError("interpolation must be 'linear', 'catmull', or 'sinc'")
         dev = pack_device_tables(table, pool, session, channels=channels)
         self._tables = jax.device_put(dev.as_jax())
         self._pool = jax.device_put(jnp.asarray(pool.data))
@@ -93,7 +107,8 @@ class PreviewStream:
             from whitebox_tpu.render.bounce import _add_synth
             from whitebox_tpu.render.effects_pipeline import finish_mix_chunk
 
-            pt = render_chunk_per_track(self._pool, self._tables, jnp.int32(start), frames=frames)
+            pt = render_chunk_per_track(self._pool, self._tables, jnp.int32(start), frames=frames,
+                                        interp=self._interp)
             if self._synth:
                 pt = _add_synth(pt, self._synth, start, frames)
             if self._packable:
@@ -106,7 +121,8 @@ class PreviewStream:
                     pt, self._states, self._mstates, jnp.int32(start), self._tg, self._auto
                 )
         else:
-            chunk = render_chunk(self._pool, self._tables, jnp.int32(start), frames=frames, strict_order=True)
+            chunk = render_chunk(self._pool, self._tables, jnp.int32(start), frames=frames, strict_order=True,
+                                 interp=self._interp)
         self._window = np.asarray(chunk)
         self._win_start = start
 
