@@ -110,6 +110,7 @@ def test_chorus_sharded_is_exact(fmesh):
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.slow
 def test_apply_chain_sharded_wrapper(fmesh):
     # the user-facing [C, F] master-bus entry point (also run by the driver's
     # multichip dryrun) matches the single-chip chain

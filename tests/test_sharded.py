@@ -50,6 +50,7 @@ def test_sharded_output_sharding(mesh):
     assert len(out.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_bounce_sharded_end_to_end(mesh):
     # the session-level multi-chip pipeline: carve -> shard -> mix+psum ->
     # sharded master chain; matches the single-chip XLA bounce
