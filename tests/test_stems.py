@@ -37,3 +37,18 @@ class TestStems:
             n = min(stems.shape[2], solo[t].shape[1])
             np.testing.assert_allclose(stems[t][:, :n],
                                        np.clip(solo[t][:, :n], -1.0, 1.0), atol=5e-5)
+
+
+class TestStemsInterpolation:
+    def test_stems_quality_modes(self):
+        # stems carry the bounce interpolation modes; speed-1 rows bit-match
+        from tests.test_carve import random_session
+        from whitebox_tpu.render.stems import render_stems
+
+        s = random_session(81, rate=48000, bpm=120.0, n_tracks=2, n_clips=2,
+                           speeds=(44100.0 / 48000.0,), src_rates=(44100,))
+        lin, names = render_stems(s, 48000.0)
+        for mode in ("catmull", "sinc"):
+            q, names2 = render_stems(s, 48000.0, interpolation=mode)
+            assert names2 == names and q.shape == lin.shape
+            assert np.abs(q - lin).max() > 0  # resampled rows differ

@@ -79,7 +79,8 @@ def _cmd_stems(args) -> int:
     from whitebox_tpu.session.project import read_project
 
     session = read_project(args.project)
-    stems, names = render_stems(session, sample_rate=args.rate, buffer_size=args.buffer_size)
+    stems, names = render_stems(session, sample_rate=args.rate, buffer_size=args.buffer_size,
+                                interpolation=args.interpolation)
     os.makedirs(args.outdir, exist_ok=True)
     fmt = {"f32": AudioFormat.F32, "i16": AudioFormat.I16, "i24": AudioFormat.I24, "i32": AudioFormat.I32}[args.format]
     safe = [("".join(c if c.isalnum() or c in "-_" else "_" for c in n) or "track") for n in names]
@@ -170,8 +171,9 @@ def main(argv=None) -> int:
     p.add_argument("--format", choices=["f32", "i16", "i24", "i32"], default="f32")
     p.add_argument("--fast-sum", action="store_true", help="relax track-sum ordering (faster, not bit-parity)")
     p.add_argument("--engine", choices=["auto", "pallas", "xla"], default="auto")
-    p.add_argument("--interpolation", choices=["linear", "sinc"], default="linear",
-                   help="resampling quality: linear (engine parity) or windowed-sinc")
+    p.add_argument("--interpolation", choices=["linear", "catmull", "sinc"], default="linear",
+                   help="resampling quality: linear (engine parity), catmull "
+                        "(cubic, in-kernel), or sinc (oversampled, anti-aliased)")
     p.add_argument("--effects-mode", choices=["scan", "fir"], default="scan",
                    help="effect-chain evaluation: associative scan or FFT-FIR")
     p.add_argument("--meters", action="store_true",
@@ -188,6 +190,7 @@ def main(argv=None) -> int:
     p.add_argument("--buffer-size", type=int, default=512)
     p.add_argument("--format", choices=["f32", "i16", "i24", "i32"], default="f32")
     p.add_argument("--ext", choices=["wav", "flac", "mp3", "ogg"], default="wav")
+    p.add_argument("--interpolation", choices=["linear", "catmull", "sinc"], default="linear")
     p.set_defaults(fn=_cmd_stems)
 
     p = sub.add_parser("convert", help="convert between audio containers (wav/aiff/mp3/ogg/flac)")

@@ -52,14 +52,31 @@ def render_stems(
     *,
     buffer_size: int = 512,
     channels: int = 2,
+    interpolation: str = "linear",
 ) -> tuple[np.ndarray, list[str]]:
-    """Render all tracks to stems [T, C, F] (+ track names)."""
+    """Render all tracks to stems [T, C, F] (+ track names).
+
+    ``interpolation`` matches bounce: "linear" | "catmull" | "sinc" (the
+    oversampled-pool form)."""
     from whitebox_tpu.ops.mix import pack_device_tables, render_chunk_per_track
     from whitebox_tpu.render.bounce import _add_synth, _prepare_synth_tables, _session_has_midi
     from whitebox_tpu.render.effects_pipeline import prepare_automation_tables, prepare_effect_tables
     from whitebox_tpu.timeline.carve import carve_session
 
-    table, pool = carve_session(session, sample_rate, buffer_size=buffer_size, out_channels=channels)
+    table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
+                                out_channels=channels, slow_emit="runs")
+    interp = "linear"
+    if interpolation == "catmull":
+        interp = "catmull"
+    elif interpolation == "sinc":
+        from whitebox_tpu.ops.resample import design_poly_interp
+        from whitebox_tpu.timeline.oversample import OVERSAMPLE_FACTOR, oversample_slow_rows
+
+        if not table.fast.all():
+            table, pool = oversample_slow_rows(table, pool)
+            interp = ("poly", design_poly_interp(OVERSAMPLE_FACTOR))
+    elif interpolation != "linear":
+        raise ValueError("interpolation must be 'linear', 'catmull', or 'sinc'")
     T = len(session.tracks)
 
     # per-track render: pallas plan when available, XLA gather otherwise
@@ -68,8 +85,10 @@ def render_stems(
     try:
         from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, build_plan
 
-        plan = build_plan(table, pool, session, channels=channels)
-        renderer = PallasMixRenderer(table, pool, session, channels=channels, plan=plan)
+        plan = build_plan(table, pool, session, channels=channels,
+                          max_slots=16 if isinstance(interp, tuple) else 8)
+        renderer = PallasMixRenderer(table, pool, session, channels=channels, plan=plan,
+                                     interp=interp)
         F_pad = plan.n_tiles * plan.tile
         per_track = renderer.render_device_per_track().reshape(plan.num_tracks, channels, F_pad)
         per_track = per_track[:T]
@@ -78,7 +97,8 @@ def render_stems(
         jt = jax.device_put(dev.as_jax())
         pool_dev = jax.device_put(jnp.asarray(pool.data))
         frames = max(total, 1)
-        per_track = render_chunk_per_track(pool_dev, jt, jnp.int32(0), frames=frames)[:T]
+        per_track = render_chunk_per_track(pool_dev, jt, jnp.int32(0), frames=frames,
+                                           interp=interp)[:T]
 
     if _session_has_midi(session):
         synth = _prepare_synth_tables(session, sample_rate, buffer_size, max(total // buffer_size, 1))
