@@ -4,6 +4,7 @@ both engines must agree, and the tiled audio must match a hand-built
 expectation at speed==1."""
 
 import numpy as np
+import pytest
 
 from whitebox_tpu.core.formats import AudioFormat
 from whitebox_tpu.session import Session
@@ -212,3 +213,31 @@ class TestReverseModes:
         p = tmp_path / "rev.wb"
         write_project(s, p)
         assert read_project(p).tracks[0].clips[0].audio.mode == ClipMode.LOOP_BIDIRECTIONAL
+
+
+class TestLoopModesQualityInterp:
+    @pytest.mark.slow
+    def test_all_modes_render_under_all_interps(self):
+        # reverse/loop rows ride the XLA fallback for quality modes; every
+        # combination must render (no crash, finite audio, sane level)
+        from whitebox_tpu.core.formats import AudioFormat
+        from whitebox_tpu.render.bounce import bounce
+        from whitebox_tpu.session import Session
+        from whitebox_tpu.session.clip import ClipMode
+        from whitebox_tpu.session.sample import Sample
+
+        rng = np.random.default_rng(5)
+        x = (rng.standard_normal((1, 44100)) * 0.4).astype(np.float32)
+        s = Session(bpm=120.0)
+        a = s.sample_table.add_sample(Sample.from_planar(x, 44100, AudioFormat.F32), key="s")
+        tr = s.add_track("t")
+        s.add_audio_clip(tr, "c", 0.0, 2.0, asset=a, speed=0.93)
+        c = tr.clips[0]
+        for mode in (ClipMode.ONE_SHOT_REVERSE, ClipMode.LOOP_REVERSE,
+                     ClipMode.LOOP_BIDIRECTIONAL, ClipMode.LOOP_STRAIGHT):
+            c.audio.mode = mode
+            for interp in ("catmull", "sinc"):
+                r = bounce(s, 48000.0, interpolation=interp)
+                assert np.isfinite(r.audio).all(), (mode, interp)
+                rms = float(np.sqrt(np.mean(r.audio.astype(np.float64) ** 2)))
+                assert 0.05 < rms < 1.0, (mode, interp, rms)
