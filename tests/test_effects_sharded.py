@@ -93,7 +93,9 @@ CASES = [
 @pytest.mark.slow
 @pytest.mark.parametrize("name,effs", CASES, ids=[c[0] for c in CASES])
 def test_sharded_matches_single_chip(name, effs, fmesh):
-    x = _noise(seed=hash(name) % 1000)
+    import zlib
+
+    x = _noise(seed=zlib.crc32(name.encode()) % 1000)  # stable across runs
     ref = _single(effs, x)
     got = _sharded(effs, x, fmesh)
     scale = max(float(np.max(np.abs(ref))), 1e-6)

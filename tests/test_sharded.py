@@ -77,6 +77,56 @@ def test_bounce_sharded_end_to_end(mesh):
 
 
 @pytest.mark.slow
+def test_bounce_sharded_with_track_chains(mesh):
+    # per-track chains frame-shard on a frames-only mesh; must match the
+    # single-chip generic pipeline
+    from whitebox_tpu.effects import Biquad, Compressor, EffectChain, Gain
+    from whitebox_tpu.parallel.render_sharded import bounce_sharded
+    from whitebox_tpu.timeline.carve import carve_session, render_segments_per_track_numpy
+
+    s = random_session(8, rate=48000, bpm=120.0, n_tracks=4, n_clips=2)
+    s.tracks[0].effects = EffectChain([Gain(-2.0), Biquad("lowpass", 5000.0)])
+    s.tracks[1].effects = EffectChain([Compressor(-20.0, 3.0)])
+    s.tracks[2].effects = EffectChain([Gain(-2.0), Biquad("lowpass", 6500.0)])  # groups w/ track 0
+    s.master_effects = EffectChain([Biquad("highpass", 30.0)])
+
+    fmesh = make_render_mesh(tracks_parallel=1, frames_parallel=8)
+    multi = bounce_sharded(s, 48000.0, fmesh)
+
+    # single-chip reference built directly from the pipeline order
+    # (chains -> gains -> ordered sum -> master -> clip) with one-shot
+    # Effect.process — sidesteps the generic scan's huge XLA-CPU compile
+    table, pool = carve_session(s, 48000.0, buffer_size=512, slow_emit="runs")
+    pt = render_segments_per_track_numpy(table, pool, 2)  # [T, C, F]
+    F = pt.shape[-1]
+    pad = multi.shape[1] - F
+    ref = np.zeros((2, multi.shape[1]), dtype=np.float32)
+    for t, track in enumerate(s.tracks):
+        y = jnp.asarray(np.pad(pt[t], ((0, 0), (0, pad))))
+        if track.effects:
+            for e in track.effects.effects:
+                e.prepare(48000.0, 2)
+                y, _ = e.process(y, e.init_state(2))
+        vol = np.float32(0.0) if track.mute else track.volume_linear
+        pan = track.pan_coeffs
+        g = np.asarray([vol * np.float32(pan[c % 2]) for c in range(2)], np.float32)
+        ref = ref + np.asarray(y) * g[:, None]
+    m = jnp.asarray(ref)
+    for e in s.master_effects.effects:
+        e.prepare(48000.0, 2)
+        m, _ = e.process(m, e.init_state(2))
+    ref = np.clip(np.asarray(m), -1.0, 1.0)
+
+    scale = max(float(np.max(np.abs(ref))), 1e-6)
+    err = np.max(np.abs(multi - ref)) / scale
+    assert err < 5e-5, f"sharded effectful bounce rel err {err:.2e}"
+
+    # 2-D mesh with per-track chains must be rejected loudly
+    with pytest.raises(NotImplementedError):
+        bounce_sharded(s, 48000.0, mesh)
+
+
+@pytest.mark.slow
 def test_frame_sharded_biquad_matches_single(mesh):
     import functools
     from jax.sharding import PartitionSpec as P

@@ -53,6 +53,22 @@ def shard_tables(tables: dict, mesh: Mesh) -> dict:
     }
 
 
+def _tile_contribs(pool, tables, chunk_start, f_local: int):
+    """Per-track contributions [T_local, C, f_local] for this frame shard."""
+    fidx = jax.lax.axis_index("frames")
+    g = chunk_start + fidx * f_local + jnp.arange(f_local, dtype=jnp.int32)
+    return jax.vmap(
+        lambda d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3: _track_contrib(
+            pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3
+        )
+    )(
+        tables["dst_start"], tables["length"], tables["src_base"],
+        tables["frac_hi"], tables["frac_lo"], tables["speed_hi"], tables["speed_lo"],
+        tables["gain"], tables["fast"], tables["clamp"],
+        tables["fin_start"], tables["fin_inv"], tables["fout_end"], tables["fout_inv"],
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("frames", "mesh"))
 def render_chunk_sharded(pool, tables, chunk_start, frames: int, mesh: Mesh):
     """Render ``frames`` output frames starting at ``chunk_start``.
@@ -66,19 +82,7 @@ def render_chunk_sharded(pool, tables, chunk_start, frames: int, mesh: Mesh):
     f_local = frames // fp
 
     def tile(pool, tables, chunk_start):
-        fidx = jax.lax.axis_index("frames")
-        g = chunk_start + fidx * f_local + jnp.arange(f_local, dtype=jnp.int32)
-
-        contribs = jax.vmap(
-            lambda d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3: _track_contrib(
-                pool, g, d, l, sb, fh, fl, sh, sl, gn, fs, cl, f0, f1, f2, f3
-            )
-        )(
-            tables["dst_start"], tables["length"], tables["src_base"],
-            tables["frac_hi"], tables["frac_lo"], tables["speed_hi"], tables["speed_lo"],
-            tables["gain"], tables["fast"], tables["clamp"],
-            tables["fin_start"], tables["fin_inv"], tables["fout_end"], tables["fout_inv"],
-        )  # [T_local, C, f_local]
+        contribs = _tile_contribs(pool, tables, chunk_start, f_local)
         scaled = contribs * tables["track_gain"][:, :, None]
 
         def body(carry, x):
@@ -120,11 +124,42 @@ def bounce_sharded(
     Returns [channels, frames] np.float32. Sum association is
     shard-deterministic but differs from the single-chip flat order (see
     module docstring); use the single-chip strict path for bit-parity work.
+
+    ``master_effects`` defaults to the session's own master chain.
+    Per-track effect chains run frame-sharded too (grouped by chain
+    signature, exact cross-shard state handoff via
+    effects_sharded.chain_shard) — they require a frames-only mesh
+    (``tracks_parallel == 1``), since each device must hold every track of
+    its frame shard to apply per-track chains before the sum. Sessions with
+    automation lanes or MIDI clips are rejected (single-chip pipelines
+    serve those).
     """
     import numpy as np
 
+    from whitebox_tpu.ops.automation import session_has_automation
     from whitebox_tpu.ops.mix import pack_device_tables
+    from whitebox_tpu.render.bounce import _session_has_midi
     from whitebox_tpu.timeline.carve import carve_session
+
+    if session_has_automation(session) or _session_has_midi(session):
+        raise NotImplementedError(
+            "bounce_sharded renders the timeline mix + effect chains; "
+            "automation / MIDI are served by the single-chip bounce() pipelines"
+        )
+    has_track_fx = any(t.effects for t in session.tracks)
+    if has_track_fx and mesh.shape["tracks"] != 1:
+        raise NotImplementedError(
+            "per-track chains need a frames-only mesh (tracks_parallel=1): "
+            "chains apply per track before the sum, so each device must "
+            "hold all tracks of its frame shard"
+        )
+    if has_track_fx:
+        return _bounce_sharded_fx(session, sample_rate, mesh,
+                                  buffer_size=buffer_size, channels=channels,
+                                  master_effects=master_effects)
+    if master_effects is None and session.master_effects:
+        ch = session.master_effects
+        master_effects = list(ch.effects) if hasattr(ch, "effects") else list(ch)
 
     tp = mesh.shape["tracks"]
     fp = mesh.shape["frames"]
@@ -144,4 +179,79 @@ def bounce_sharded(
 
         out = apply_chain_sharded(master_effects, out, mesh, float(sample_rate),
                                   channels=channels)
+    return np.asarray(out)[:, : table.total_frames]
+
+
+def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
+                       buffer_size: int, channels: int, master_effects=None):
+    """Effectful sharded bounce on a frames-only mesh: per-track chains
+    (grouped by signature) run frame-sharded between the per-track mix and
+    the ordered sum, mirroring the single-chip pipeline order
+    (chains -> gains -> ordered sum -> master -> clip,
+    render/effects_generic._chunk_step)."""
+    import numpy as np
+
+    from whitebox_tpu.ops.mix import pack_device_tables
+    from whitebox_tpu.parallel.effects_sharded import chain_shard
+    from whitebox_tpu.render.effects_generic import device_params, prepare_generic_fx
+    from whitebox_tpu.timeline.carve import carve_session
+
+    fp = mesh.shape["frames"]
+    rate = float(sample_rate)
+    fx = prepare_generic_fx(session, sample_rate, channels)
+    if master_effects is not None:
+        # explicit master list overrides the session's chain
+        from whitebox_tpu.render.effects_generic import _stage_kind, _stage_params
+        from whitebox_tpu.render.effects_generic import _Group
+
+        for e in master_effects:
+            e.prepare(rate, channels)
+        stages = []
+        for e in master_effects:
+            kind, static = _stage_kind(e)
+            stages.append((kind, static, {k: np.stack([v]) for k, v in _stage_params(e, kind).items()}))
+        fx.master = _Group(np.asarray([0], np.int64), stages) if stages else None
+    gparams, mparams = device_params(fx)
+
+    table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
+                                out_channels=channels, slow_emit="runs")
+    dev = pack_device_tables(table, pool, session)
+    tables = shard_tables(dev.as_jax(), mesh)
+    pool_dev = jax.device_put(jnp.asarray(pool.data), NamedSharding(mesh, P()))
+    frames = -(-max(table.total_frames, 1) // (fp * 128)) * (fp * 128)
+    f_local = frames // fp
+
+    group_stages = [tuple((k, s) for (k, s, _) in g.stages) for g in fx.groups]
+    group_tracks = [jnp.asarray(g.track_idx) for g in fx.groups]
+    master_stages = tuple((k, s) for (k, s, _) in fx.master.stages) if fx.master else ()
+
+    def tile(pool, tables, gpar, mpar):
+        contribs = _tile_contribs(pool, tables, jnp.int32(0), f_local)
+        for tracks, stages, pl in zip(group_tracks, group_stages, gpar):
+            xg = contribs[tracks]
+            yg = chain_shard(list(stages), pl, xg, "frames", fp, rate)
+            contribs = contribs.at[tracks].set(yg)
+        y = contribs * tables["track_gain"][:, :, None]
+
+        def add(acc, row):
+            return acc + row, None
+
+        total, _ = jax.lax.scan(add, jnp.zeros_like(y[0]), y)
+        # tracks axis is size 1 here (asserted by the caller); the psum is a
+        # numeric no-op that marks the output replicated over 'tracks'
+        total = jax.lax.psum(total, "tracks")
+        if master_stages:
+            total = chain_shard(list(master_stages), mpar, total[None], "frames", fp, rate)[0]
+        total = jnp.where(total > 1.0, jnp.float32(1.0), total)
+        total = jnp.where(total < -1.0, jnp.float32(-1.0), total)
+        return total
+
+    fn = shard_map(
+        tile, mesh=mesh,
+        in_specs=(P(), _TABLE_SPECS,
+                  [[{k: P() for k in d} for d in g] for g in gparams],
+                  [{k: P() for k in d} for d in mparams]),
+        out_specs=P(None, "frames"),
+    )
+    out = jax.jit(fn)(pool_dev, tables, gparams, mparams)
     return np.asarray(out)[:, : table.total_frames]

@@ -144,35 +144,26 @@ def bounce(
 
     sinc_bank = None
     interp = "linear"
-    if interpolation == "sinc":
-        slow = ~table.fast if len(table) else np.array([], dtype=bool)
-        if slow.any() and engine == "xla":
-            # direct 32-tap windowed sinc (per-frame gathers; the slowest
-            # but most literal definition — kept for comparison)
-            from whitebox_tpu.ops.resample import design_sinc_bank
+    if interpolation == "sinc" and engine == "xla" and len(table) and not table.fast.all():
+        # direct 32-tap windowed sinc (per-frame gathers; the slowest but
+        # most literal definition — kept for comparison). abs: reverse rows
+        # advance at -|speed| but alias just the same — the anti-alias
+        # cutoff follows the fastest |speed|
+        from whitebox_tpu.ops.resample import design_sinc_bank
 
-            max_ratio = float(np.max(table.speed[slow]))
-            sinc_bank = jnp.asarray(design_sinc_bank(max(max_ratio, 1.0)))
-        elif slow.any():
-            # TPU-shaped sinc: exact-phase matmul upsampling of the source
-            # pool + LS-optimal 6-tap reconstruction in the Pallas kernel
-            # (timeline/oversample.py) — sinc-class quality (97-104 dB
-            # in-band) at slow-path speed instead of taps gathers per frame
-            from whitebox_tpu.ops.resample import design_poly_interp
-            from whitebox_tpu.timeline.oversample import OVERSAMPLE_FACTOR, oversample_slow_rows
+        slow = ~table.fast
+        max_ratio = float(np.max(np.abs(table.speed[slow])))
+        sinc_bank = jnp.asarray(design_sinc_bank(max(max_ratio, 1.0)))
+    else:
+        # shared dispatch: "catmull" runs natively in the Pallas kernel
+        # (completing the mode sampler.cpp:61-86 abandons); "sinc" becomes
+        # exact-phase matmul upsampling of the source pool + LS-optimal
+        # 6-tap reconstruction (timeline/oversample.py) — sinc-class
+        # quality at slow-path speed instead of taps gathers per frame.
+        # speed==1 rows stay bit-exact in every mode.
+        from whitebox_tpu.timeline.oversample import resolve_interpolation
 
-            table, pool = oversample_slow_rows(table, pool)
-            interp = ("poly", design_poly_interp(OVERSAMPLE_FACTOR))
-    elif interpolation == "catmull":
-        # 4-point Catmull-Rom for resampled rows — completes the mode the
-        # reference stubs out (sampler.cpp:61-86 computes the neighbors but
-        # writes nothing). speed==1 rows stay bit-exact either way. Served
-        # natively by the Pallas kernel (two extra in-window taps).
-        slow = ~table.fast if len(table) else np.array([], dtype=bool)
-        if slow.any():
-            interp = "catmull"
-    elif interpolation != "linear":
-        raise ValueError("interpolation must be 'linear', 'catmull', or 'sinc'")
+        table, pool, interp = resolve_interpolation(table, pool, interpolation)
 
     if engine in ("auto", "pallas"):
         from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, SlowRowsPresent, build_plan

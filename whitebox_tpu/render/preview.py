@@ -42,20 +42,11 @@ class PreviewStream:
         self.channels = channels
         self.lookahead = max(int(lookahead_blocks), 1) * self.buffer_size
 
-        table, pool = carve_session(session, sample_rate, buffer_size=buffer_size, out_channels=channels)
-        self._interp = "linear"
-        if interpolation == "catmull":
-            self._interp = "catmull"
-        elif interpolation == "sinc":
-            # same TPU-shaped sinc as bounce: oversampled pool + LS-optimal taps
-            from whitebox_tpu.ops.resample import design_poly_interp
-            from whitebox_tpu.timeline.oversample import OVERSAMPLE_FACTOR, oversample_slow_rows
+        from whitebox_tpu.timeline.oversample import resolve_interpolation
 
-            if not table.fast.all():
-                table, pool = oversample_slow_rows(table, pool)
-                self._interp = ("poly", design_poly_interp(OVERSAMPLE_FACTOR))
-        elif interpolation != "linear":
-            raise ValueError("interpolation must be 'linear', 'catmull', or 'sinc'")
+        table, pool = carve_session(session, sample_rate, buffer_size=buffer_size, out_channels=channels)
+        # same TPU-shaped sinc as bounce: oversampled pool + LS-optimal taps
+        table, pool, self._interp = resolve_interpolation(table, pool, interpolation)
         dev = pack_device_tables(table, pool, session, channels=channels)
         self._tables = jax.device_put(dev.as_jax())
         self._pool = jax.device_put(jnp.asarray(pool.data))

@@ -63,20 +63,11 @@ def render_stems(
     from whitebox_tpu.render.effects_pipeline import prepare_automation_tables, prepare_effect_tables
     from whitebox_tpu.timeline.carve import carve_session
 
+    from whitebox_tpu.timeline.oversample import resolve_interpolation
+
     table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
                                 out_channels=channels, slow_emit="runs")
-    interp = "linear"
-    if interpolation == "catmull":
-        interp = "catmull"
-    elif interpolation == "sinc":
-        from whitebox_tpu.ops.resample import design_poly_interp
-        from whitebox_tpu.timeline.oversample import OVERSAMPLE_FACTOR, oversample_slow_rows
-
-        if not table.fast.all():
-            table, pool = oversample_slow_rows(table, pool)
-            interp = ("poly", design_poly_interp(OVERSAMPLE_FACTOR))
-    elif interpolation != "linear":
-        raise ValueError("interpolation must be 'linear', 'catmull', or 'sinc'")
+    table, pool, interp = resolve_interpolation(table, pool, interpolation)
     T = len(session.tracks)
 
     # per-track render: pallas plan when available, XLA gather otherwise

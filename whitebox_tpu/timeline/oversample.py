@@ -32,6 +32,26 @@ from whitebox_tpu.timeline.pool import _GUARD, SamplePool
 OVERSAMPLE_FACTOR = 4
 
 
+def resolve_interpolation(table, pool, interpolation: str):
+    """Shared dispatch for the render front ends (bounce/stems/preview):
+    map a user-facing interpolation mode onto (table, pool, kernel-interp).
+
+    "linear" and "catmull" pass through; "sinc" rewrites the table/pool via
+    :func:`oversample_slow_rows` and selects the LS-optimal poly taps."""
+    if interpolation == "linear":
+        return table, pool, "linear"
+    if interpolation == "catmull":
+        return table, pool, "catmull" if not table.fast.all() else "linear"
+    if interpolation == "sinc":
+        if table.fast.all():
+            return table, pool, "linear"
+        from whitebox_tpu.ops.resample import design_poly_interp
+
+        table, pool = oversample_slow_rows(table, pool)
+        return table, pool, ("poly", design_poly_interp(OVERSAMPLE_FACTOR))
+    raise ValueError("interpolation must be 'linear', 'catmull', or 'sinc'")
+
+
 def oversample_slow_rows(
     table: SegmentTable,
     pool: SamplePool,
