@@ -127,6 +127,37 @@ def test_bounce_sharded_with_track_chains(mesh):
 
 
 @pytest.mark.slow
+def test_bounce_sharded_automation_and_midi(mesh):
+    # automation + synth are pure functions of the global frame index:
+    # the frames-only sharded render must match the single-chip bounce
+    from whitebox_tpu.ops.automation import AutomationLane, TrackAutomation
+    from whitebox_tpu.parallel.render_sharded import bounce_sharded
+    from whitebox_tpu.render.bounce import bounce
+
+    s = random_session(9, rate=48000, bpm=120.0, n_tracks=3, n_clips=1)
+    s.tracks[0].automation = TrackAutomation(
+        volume=AutomationLane().add(0.0, 0.2).add(4.0, 1.0),
+        pan=AutomationLane().add(0.0, -1.0).add(4.0, 1.0),
+    )
+    from whitebox_tpu.midi.notes import MidiNote, MidiNoteBuffer
+
+    asset = s.midi_table.create_midi(MidiNoteBuffer([
+        MidiNote(min_time=0.0, max_time=1.0, key=60, velocity=0.9),
+        MidiNote(min_time=1.0, max_time=2.0, key=64, velocity=0.7),
+    ]))
+    tr = s.add_track("keys")
+    s.add_midi_clip(tr, "m", 0.0, 2.0, asset=asset)
+
+    fmesh = make_render_mesh(tracks_parallel=1, frames_parallel=8)
+    single = bounce(s, 48000.0, engine="xla", chunk_frames=1 << 14).audio
+    multi = bounce_sharded(s, 48000.0, fmesh)
+    n = min(single.shape[1], multi.shape[1])
+    scale = max(float(np.max(np.abs(single))), 1e-6)
+    err = np.max(np.abs(multi[:, :n] - single[:, :n])) / scale
+    assert err < 5e-5, f"sharded automation+midi rel err {err:.2e}"
+
+
+@pytest.mark.slow
 def test_frame_sharded_biquad_matches_single(mesh):
     import functools
     from jax.sharding import PartitionSpec as P

@@ -140,7 +140,9 @@ def render_synth_chunk(tables, chunk_start, frames: int):
     def add(acc, row):
         return acc + row, None
 
-    total, _ = jax.lax.scan(add, jnp.zeros(frames, dtype=jnp.float32), contribs)
+    # zeros_like keeps shard_map's varying-axes annotation on the carry
+    # (frame-sharded renders call this inside a mesh tile)
+    total, _ = jax.lax.scan(add, jnp.zeros_like(contribs[0]), contribs)
     return total
 
 

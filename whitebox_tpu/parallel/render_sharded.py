@@ -126,13 +126,13 @@ def bounce_sharded(
     module docstring); use the single-chip strict path for bit-parity work.
 
     ``master_effects`` defaults to the session's own master chain.
-    Per-track effect chains run frame-sharded too (grouped by chain
-    signature, exact cross-shard state handoff via
-    effects_sharded.chain_shard) — they require a frames-only mesh
-    (``tracks_parallel == 1``), since each device must hold every track of
-    its frame shard to apply per-track chains before the sum. Sessions with
-    automation lanes or MIDI clips are rejected (single-chip pipelines
-    serve those).
+    Per-track effect chains, automation lanes, and MIDI synth all render
+    sharded too (chains frame-shard with exact cross-shard state handoff
+    via effects_sharded.chain_shard; automation and synth are pure
+    functions of the global frame index) — those sessions require a
+    frames-only mesh (``tracks_parallel == 1``), since each device must
+    hold every track of its frame shard to apply per-track processing
+    before the sum. Plain mixes run on full 2-D meshes.
     """
     import numpy as np
 
@@ -141,19 +141,15 @@ def bounce_sharded(
     from whitebox_tpu.render.bounce import _session_has_midi
     from whitebox_tpu.timeline.carve import carve_session
 
-    if session_has_automation(session) or _session_has_midi(session):
+    needs_per_track = (any(t.effects for t in session.tracks)
+                       or session_has_automation(session) or _session_has_midi(session))
+    if needs_per_track and mesh.shape["tracks"] != 1:
         raise NotImplementedError(
-            "bounce_sharded renders the timeline mix + effect chains; "
-            "automation / MIDI are served by the single-chip bounce() pipelines"
+            "per-track chains / automation / MIDI need a frames-only mesh "
+            "(tracks_parallel=1): they apply per track before the sum, so "
+            "each device must hold all tracks of its frame shard"
         )
-    has_track_fx = any(t.effects for t in session.tracks)
-    if has_track_fx and mesh.shape["tracks"] != 1:
-        raise NotImplementedError(
-            "per-track chains need a frames-only mesh (tracks_parallel=1): "
-            "chains apply per track before the sum, so each device must "
-            "hold all tracks of its frame shard"
-        )
-    if has_track_fx:
+    if needs_per_track:
         return _bounce_sharded_fx(session, sample_rate, mesh,
                                   buffer_size=buffer_size, channels=channels,
                                   master_effects=master_effects)
@@ -184,16 +180,21 @@ def bounce_sharded(
 
 def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
                        buffer_size: int, channels: int, master_effects=None):
-    """Effectful sharded bounce on a frames-only mesh: per-track chains
-    (grouped by signature) run frame-sharded between the per-track mix and
-    the ordered sum, mirroring the single-chip pipeline order
-    (chains -> gains -> ordered sum -> master -> clip,
-    render/effects_generic._chunk_step)."""
+    """Effectful sharded bounce on a frames-only mesh, mirroring the
+    single-chip pipeline order (render/effects_generic._chunk_step):
+    per-track mix (+ synth voices) -> per-track chains (grouped by
+    signature, frame-sharded with exact cross-shard state handoff) ->
+    per-frame automation/fader gains -> ordered track sum -> master chain
+    -> hard clip. Automation and synth are pure functions of the global
+    frame index, so they shard trivially; only the chains need the
+    sequence-parallel handoff."""
     import numpy as np
 
     from whitebox_tpu.ops.mix import pack_device_tables
     from whitebox_tpu.parallel.effects_sharded import chain_shard
+    from whitebox_tpu.render.bounce import _prepare_synth_tables, _session_has_midi
     from whitebox_tpu.render.effects_generic import device_params, prepare_generic_fx
+    from whitebox_tpu.render.effects_pipeline import _frame_gains, prepare_automation_tables
     from whitebox_tpu.timeline.carve import carve_session
 
     fp = mesh.shape["frames"]
@@ -220,18 +221,33 @@ def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
     pool_dev = jax.device_put(jnp.asarray(pool.data), NamedSharding(mesh, P()))
     frames = -(-max(table.total_frames, 1) // (fp * 128)) * (fp * 128)
     f_local = frames // fp
+    T = max(table.num_tracks, 1)
+
+    auto = prepare_automation_tables(session, sample_rate)
+    synth_tables = (
+        _prepare_synth_tables(session, sample_rate, buffer_size,
+                              max(table.total_frames // buffer_size, 1))
+        if _session_has_midi(session) else {}
+    )
 
     group_stages = [tuple((k, s) for (k, s, _) in g.stages) for g in fx.groups]
     group_tracks = [jnp.asarray(g.track_idx) for g in fx.groups]
     master_stages = tuple((k, s) for (k, s, _) in fx.master.stages) if fx.master else ()
 
-    def tile(pool, tables, gpar, mpar):
+    def tile(pool, tables, gpar, mpar, auto_t, synth_t):
+        from whitebox_tpu.midi.synth import render_synth_chunk
+
+        base = jax.lax.axis_index("frames") * f_local
         contribs = _tile_contribs(pool, tables, jnp.int32(0), f_local)
+        for t in sorted(synth_t.keys()):
+            sy = render_synth_chunk(synth_t[t], base, frames=f_local)
+            contribs = contribs.at[t].add(sy[None, :])
         for tracks, stages, pl in zip(group_tracks, group_stages, gpar):
             xg = contribs[tracks]
             yg = chain_shard(list(stages), pl, xg, "frames", fp, rate)
             contribs = contribs.at[tracks].set(yg)
-        y = contribs * tables["track_gain"][:, :, None]
+        gidx = base + jnp.arange(f_local, dtype=jnp.int32)
+        y = contribs * _frame_gains(auto_t, tables["track_gain"], gidx, T, channels)
 
         def add(acc, row):
             return acc + row, None
@@ -246,12 +262,11 @@ def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
         total = jnp.where(total < -1.0, jnp.float32(-1.0), total)
         return total
 
+    rep = lambda tree: jax.tree.map(lambda _: P(), tree)
     fn = shard_map(
         tile, mesh=mesh,
-        in_specs=(P(), _TABLE_SPECS,
-                  [[{k: P() for k in d} for d in g] for g in gparams],
-                  [{k: P() for k in d} for d in mparams]),
+        in_specs=(P(), _TABLE_SPECS, rep(gparams), rep(mparams), rep(auto), rep(synth_tables)),
         out_specs=P(None, "frames"),
     )
-    out = jax.jit(fn)(pool_dev, tables, gparams, mparams)
+    out = jax.jit(fn)(pool_dev, tables, gparams, mparams, auto, synth_tables)
     return np.asarray(out)[:, : table.total_frames]
