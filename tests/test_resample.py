@@ -262,3 +262,43 @@ class TestMixSincMode:
         oracle = OracleRenderer(s, 48000.0, buffer_size=512).render()
         res = bounce(s, 48000.0, engine="xla", interpolation="sinc")
         np.testing.assert_array_equal(res.audio[:, : oracle.shape[1]], oracle)
+
+
+class TestPolyInterpDesign:
+    def test_dc_exactness(self):
+        from whitebox_tpu.ops.resample import design_poly_interp, poly_interp_offsets
+
+        C = np.asarray(design_poly_interp(4), np.float64)
+        for t in (0.0, 0.25, 0.5, 0.9):
+            w = sum(np.polyval(row[::-1], t) for row in C)
+            assert abs(w - 1.0) < 1e-5, f"sum of tap weights at t={t}: {w}"
+        assert list(poly_interp_offsets(tuple(map(tuple, C)))) == [-2, -1, 0, 1, 2, 3]
+
+    def test_inband_snr_beats_catmull(self):
+        # reconstruct a 0.34-of-source-Nyquist tone on a 4x grid at random
+        # fractional positions: the LS design must beat Catmull-Rom by >30 dB
+        from whitebox_tpu.ops.resample import design_poly_interp, poly_interp_offsets
+
+        U, fnorm = 4, 0.34
+        C = np.asarray(design_poly_interp(U), np.float64)
+        ks = poly_interp_offsets(tuple(map(tuple, C)))
+        Ccat = np.asarray([[0, -0.5, 1, -0.5], [1, 0, -2.5, 1.5],
+                           [0, 0.5, 2, -1.5], [0, 0, -0.5, 0.5]], np.float64)
+
+        rng = np.random.default_rng(0)
+        pos = np.sort(rng.uniform(10, 30000, 20000))
+        n0 = np.floor(pos).astype(int)
+        fr = pos - n0
+        x = lambda n: np.sin(2 * np.pi * fnorm * n / U)
+        ref = np.sin(2 * np.pi * fnorm * pos / U)
+
+        def snr(Cm, kset):
+            out = np.zeros_like(pos)
+            for row, k in zip(Cm, kset):
+                out += np.polyval(row[::-1], fr) * x(n0 + k)
+            return 10 * np.log10(np.mean(ref**2) / np.mean((out - ref) ** 2))
+
+        q_opt = snr(C, ks)
+        q_cat = snr(Ccat, [-1, 0, 1, 2])
+        assert q_opt > 85.0, f"optimal 6-tap SNR {q_opt:.1f} dB"
+        assert q_opt > q_cat + 30.0, f"{q_opt:.1f} vs catmull {q_cat:.1f} dB"
