@@ -128,21 +128,45 @@ def config5(duration):
 
 def extra_sinc(duration):
     """config 3's session under interpolation="sinc" (oversampled pool +
-    LS-optimal 6-tap Pallas path) — the quality-mode extension metric."""
+    LS-optimal 6-tap Pallas path) — the quality-mode extension metric.
+    Same protocol as the other configs: carve + oversample + plan + device
+    render per iteration, sample pool device-resident across renders."""
     import jax
+    import jax.numpy as jnp
 
-    from whitebox_tpu.render.bounce import bounce
+    from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, build_plan
     from whitebox_tpu.render.demo import make_demo_session
+    from whitebox_tpu.timeline.carve import carve_session
+    from whitebox_tpu.timeline.oversample import resolve_interpolation
 
     s = make_demo_session(n_tracks=128, duration_seconds=duration, sample_rate=44100,
                           seed=7, clip_speeds=(1.0, 1.088435374149660, 0.5))
-    r = bounce(s, 48000.0, interpolation="sinc")  # warm compile
+
+    @jax.jit
+    def checksum(x):
+        return x.sum()
+
+    def prep():
+        t, p = carve_session(s, 48000.0, buffer_size=512, slow_emit="runs")
+        t, p, interp = resolve_interpolation(t, p, "sinc")
+        plan = build_plan(t, p, s, channels=2, max_slots=16)
+        return t, p, interp, plan
+
+    t, p, interp, plan = prep()
+    r0 = PallasMixRenderer(t, p, s, plan=plan, interp=interp)
+    float(checksum(r0.render_device()))  # warm compile
+    pool_dev = r0.pool_device
     best = None
+    frames = None
     for _ in range(3):
-        r = bounce(s, 48000.0, interpolation="sinc")
-        w = r.stats.carve_seconds + r.stats.device_seconds
-        best = w if best is None else min(best, w)
-    return r.stats.audio_seconds / best
+        t0 = time.perf_counter()
+        t, p, interp, plan = prep()
+        r = PallasMixRenderer(t, p, s, plan=plan, interp=interp, pool_device=pool_dev)
+        float(checksum(r.render_device()))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        frames = r.plan.total_frames
+    return frames / 48000.0 / best
 
 
 def headline(duration):
