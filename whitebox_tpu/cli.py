@@ -217,6 +217,14 @@ def main(argv=None) -> int:
 
     configure(verbose=args.verbose)
     try:
+        # reuse jitted programs across CLI invocations (the generic effect
+        # pipeline's compiles are the expensive part of cold renders)
+        from whitebox_tpu.config import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:  # cache is an optimization, never a failure mode
+        pass
+    try:
         return args.fn(args)
     except FileNotFoundError as e:
         print(f"error: file not found: {e.filename or e}", file=sys.stderr)

@@ -20,6 +20,26 @@ def default_settings_path() -> Path:
     return Path(base) / "whitebox_tpu" / "settings.json"
 
 
+def enable_compilation_cache(cache_dir=None) -> Path:
+    """Persist XLA compilations across CLI invocations.
+
+    The reference's plugin contract is init-once/process-many
+    (plugin_interface.h:142); an offline CLI re-jits from scratch every
+    run unless the JAX persistent compilation cache is on. Safe to call
+    repeatedly; returns the cache directory."""
+    import jax
+
+    base = cache_dir or os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    p = Path(base) / "whitebox_tpu" / "xla_cache"
+    p.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(p))
+    # cache every compilation the moment it takes noticeable time
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return p
+
+
 @dataclass
 class Settings:
     # audio.* (config.cpp keys, device ids dropped — no realtime devices)

@@ -111,6 +111,7 @@ class Chorus(Effect):
     def param_arrays(self) -> dict:
         return {
             "rate_hz": self.rate_hz,
+            "rate_splits": dl.lfo_rate_splits(self.rate_hz, self.sample_rate or 48000.0),
             "depth": self.depth_s * (self.sample_rate or 48000.0),
             "center": self.center_s * (self.sample_rate or 48000.0),
             "wet": self.wet,
@@ -142,6 +143,7 @@ class Chorus(Effect):
                 state["n0"], F, rate_hz=self.rate_hz,
                 depth_frames=self.depth_s * fs, center_frames=self.center_s * fs,
                 sample_rate=fs, phase=phases,
+                rate_splits=dl.lfo_rate_splits(self.rate_hz, fs),
             )  # [C, F]
             tap, new_tail = dl.modulated_tap(x, d, xtail, max_delay=self.max_delay)
             acc = acc + tap

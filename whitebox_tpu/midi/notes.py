@@ -29,15 +29,48 @@ class MidiNote:
     velocity: float = 1.0
 
 
+@dataclass
+class MidiCCEvent:
+    """Control-change event (event.h:48-52 MidiEvent::control_change).
+
+    ``value`` is normalized to [0, 1] (data / 127)."""
+
+    time: float = 0.0  # beats
+    controller: int = 0  # 0-127
+    value: float = 0.0
+    channel: int = 0
+
+
+@dataclass
+class MidiPolyPressureEvent:
+    """Polyphonic key pressure (event.h:53-57 MidiEvent::poly_pressure).
+
+    ``pressure`` is normalized to [0, 1]."""
+
+    time: float = 0.0  # beats
+    key: int = 60
+    pressure: float = 0.0
+    channel: int = 0
+
+
 #: midi_data.h:11 — highest representable key (+1) in the reference editor.
 MAX_KEYS = 132
 
 
 class MidiNoteBuffer:
-    """Sorted note sequence + min/max metadata (midi_data.h:9-39)."""
+    """Sorted note sequence + min/max metadata (midi_data.h:9-39).
 
-    def __init__(self, notes: list[MidiNote] | None = None) -> None:
+    Also carries the non-note channel events the reference's MidiEvent
+    union models (event.h:41-62): control changes (``cc``) and polyphonic
+    pressure (``poly_pressure``), both time-sorted in beat units."""
+
+    def __init__(self, notes: list[MidiNote] | None = None,
+                 cc: list[MidiCCEvent] | None = None,
+                 poly_pressure: list[MidiPolyPressureEvent] | None = None) -> None:
         self.notes: list[MidiNote] = list(notes or [])
+        self.cc: list[MidiCCEvent] = sorted(cc or [], key=lambda e: e.time)
+        self.poly_pressure: list[MidiPolyPressureEvent] = sorted(
+            poly_pressure or [], key=lambda e: e.time)
         self.min_note: int = 127
         self.max_note: int = 0
         self.max_length: float = 0.0

@@ -10,7 +10,9 @@ from __future__ import annotations
 
 import struct
 
-from whitebox_tpu.midi.notes import MidiNote, MidiNoteBuffer
+from whitebox_tpu.midi.notes import (
+    MidiCCEvent, MidiNote, MidiNoteBuffer, MidiPolyPressureEvent,
+)
 
 
 def _read_varlen(data: bytes, pos: int) -> tuple[int, int]:
@@ -34,6 +36,8 @@ def parse_smf(data: bytes) -> MidiNoteBuffer:
         raise ValueError("invalid division")
 
     notes: list[MidiNote] = []
+    cc: list[MidiCCEvent] = []
+    pp: list[MidiPolyPressureEvent] = []
     pos = 8 + hlen
     for _ in range(ntrks):
         if data[pos : pos + 4] != b"MTrk":
@@ -72,7 +76,15 @@ def parse_smf(data: bytes) -> MidiNoteBuffer:
                 startv = active.pop((ch, key), None)
                 if startv is not None:
                     notes.append(MidiNote(startv[0] / division, tick / division, key=key, velocity=startv[1]))
-            elif ev in (0xA0, 0xB0, 0xE0):
+            elif ev == 0xB0:  # control change (event.h:48)
+                ctrl, val = body[p], body[p + 1]
+                p += 2
+                cc.append(MidiCCEvent(tick / division, ctrl, val / 127.0, ch))
+            elif ev == 0xA0:  # polyphonic key pressure (event.h:53)
+                key, val = body[p], body[p + 1]
+                p += 2
+                pp.append(MidiPolyPressureEvent(tick / division, key, val / 127.0, ch))
+            elif ev == 0xE0:  # pitch bend: no engine target (event.h has none)
                 p += 2
             elif ev in (0xC0, 0xD0):
                 p += 1
@@ -89,7 +101,7 @@ def parse_smf(data: bytes) -> MidiNoteBuffer:
         for (ch, key), (t0, vel) in active.items():
             notes.append(MidiNote(t0 / division, tick / division, key=key, velocity=vel))
 
-    return MidiNoteBuffer(notes)
+    return MidiNoteBuffer(notes, cc=cc, poly_pressure=pp)
 
 
 def load_notes_from_file(path) -> MidiNoteBuffer:
@@ -99,11 +111,18 @@ def load_notes_from_file(path) -> MidiNoteBuffer:
 
 
 def write_smf(notes: MidiNoteBuffer, path, division: int = 480) -> None:
-    """Minimal SMF format-0 writer (round-trip/testing)."""
+    """Minimal SMF format-0 writer (round-trip/testing) — notes plus the
+    CC / poly-pressure events the buffer carries."""
     events = []
     for n in notes:
         events.append((int(round(n.min_time * division)), 0x90, n.key, max(1, int(round(n.velocity * 127)))))
         events.append((int(round(n.max_time * division)), 0x80, n.key, 64))
+    for e in getattr(notes, "cc", []):
+        events.append((int(round(e.time * division)), 0xB0 | (e.channel & 0x0F),
+                       e.controller, int(round(e.value * 127))))
+    for e in getattr(notes, "poly_pressure", []):
+        events.append((int(round(e.time * division)), 0xA0 | (e.channel & 0x0F),
+                       e.key, int(round(e.pressure * 127))))
     events.sort(key=lambda e: (e[0], e[1]))
 
     body = bytearray()

@@ -79,6 +79,17 @@ class AutomationLane:
 class TrackAutomation:
     volume: AutomationLane | None = None  # linear gain
     pan: AutomationLane | None = None  # [-1, 1]
+    #: timed *effect*-parameter lanes — the native-effects analogue of the
+    #: reference's VST3 sample-ranged param queues (param_changes.h:56-115
+    #: feeding PluginProcessInfo.param_changes, plugin_interface.h:77-90).
+    #: Keys are ``(slot_index, param_name)`` into the track's effect chain,
+    #: e.g. ``(0, "freq_hz")`` for a Biquad cutoff sweep. Values evaluate
+    #: per frame (elementwise params) or per 512-frame param block
+    #: (biquad/EQ coefficients — the reference's block-rate granularity).
+    effects: dict = field(default_factory=dict)
+
+    def has_track_lanes(self) -> bool:
+        return self.volume is not None or self.pan is not None
 
 
 def lane_frame_table(lane: AutomationLane | None, sample_rate: float, beat_duration: float,
@@ -166,6 +177,39 @@ def _apply_curve(u, curve, t, mod):
     return out.astype(mod.float32) if hasattr(out, "astype") else out
 
 
+def eval_lanes_device(tables: dict, g):
+    """Batched lane evaluation: tables {xs,ys,cv,tn} of shape [..., P],
+    ``g`` frame indices [F] -> values [..., F] f32 (jnp).
+
+    Same static unrolled sweep as eval_lane_device, broadcast over leading
+    batch dims — one pass of VPU selects per breakpoint."""
+    xs, ys, cv, tn = tables["xs"], tables["ys"], tables["cv"], tables["tn"]
+    P = xs.shape[-1]
+    val = jnp.broadcast_to(ys[..., 0:1], ys.shape[:-1] + g.shape).astype(jnp.float32)
+    for i in range(P - 1):
+        x0 = xs[..., i : i + 1]
+        x1 = xs[..., i + 1 : i + 2]
+        span = jnp.maximum(x1 - x0, 1)
+        u = jnp.clip((g - x0).astype(jnp.float32) / span.astype(jnp.float32), 0.0, 1.0)
+        u = jnp.where(x1 == _SENTINEL, jnp.float32(0.0), u)  # hold after last point
+        u = _apply_curve(u, cv[..., i : i + 1], tn[..., i : i + 1], jnp)
+        seg = ys[..., i : i + 1] + u * (ys[..., i + 1 : i + 2] - ys[..., i : i + 1])
+        val = jnp.where(g >= x0, seg, val)
+    return val
+
+
+def pack_lane_tables(lanes: list, defaults, sample_rate: float, beat_duration: float) -> dict:
+    """Stack per-row lanes (None -> constant ``defaults[i]``) into
+    {xs,ys,cv,tn} arrays [B, P] for eval_lanes_device."""
+    P = max([len(l.points) for l in lanes if l is not None] + [1])
+    cols = {k: [] for k in ("xs", "ys", "cv", "tn")}
+    for lane, dflt in zip(lanes, defaults):
+        xs, ys, cv, tn = lane_frame_table(lane, sample_rate, beat_duration, P, float(dflt))
+        for k, v in zip(("xs", "ys", "cv", "tn"), (xs, ys, cv, tn)):
+            cols[k].append(v)
+    return {k: np.stack(v) for k, v in cols.items()}
+
+
 def eval_lane_numpy(xs, ys, cv, tn, g):
     """Host f32 mirror of eval_lane_device (the extension's test reference)."""
     P = xs.shape[0]
@@ -192,6 +236,13 @@ def pan_coef_f32(p, channel: int):
 
 def session_has_automation(session) -> bool:
     return any(t.automation is not None for t in session.tracks)
+
+
+def session_has_effect_automation(session) -> bool:
+    """True if any track (or the master chain) has timed effect-param lanes."""
+    if getattr(session, "master_automation", None):
+        return True
+    return any(t.automation is not None and t.automation.effects for t in session.tracks)
 
 
 def pack_session_automation(session, sample_rate: float, channels: int = 2):

@@ -292,6 +292,324 @@ def biquad_scan_batched(x, coeff_arrays, state):
     return _biquad_scan_eig(x.astype(jnp.float32), list(coeff_arrays), state)
 
 
+# ---------------------------------------------------------------------------
+# time-varying sections (timed coefficient automation)
+# ---------------------------------------------------------------------------
+
+#: param-block length for coefficient automation — the reference's default
+#: audio buffer (config.cpp:146): effect params change at block rate there
+#: (param_changes.h sample-ranged queues are delivered per process() call),
+#: so coefficients step every PARAM_BLOCK frames here.
+PARAM_BLOCK = 512
+
+
+def design_biquad_device(ftype: BiquadType | str, freq_hz, q, gain_db, sample_rate: float):
+    """RBJ design, elementwise on device (f32 jnp arrays in, dict out).
+
+    Uses half-angle forms (1-cos w = 2 sin^2(w/2)) so low-frequency designs
+    keep precision in f32, and returns the pole's (re, imsq) computed from
+    the *analytic* factorization — ``imsq = k * sw^2 (1 - 1/(4q^2)) / a0^2``
+    — rather than the catastrophically-cancelling ``a2 - a1^2/4``.
+    Returns dict(b0,b1,b2,a1,a2,re,imsq) of broadcast-compatible arrays.
+    """
+    ftype = BiquadType(ftype)
+    w0 = jnp.float32(2.0 * math.pi / sample_rate) * freq_hz
+    s2 = jnp.sin(0.5 * w0)
+    s2sq = jnp.square(s2)
+    cw = 1.0 - 2.0 * s2sq
+    sw = 2.0 * s2 * jnp.sqrt(jnp.maximum(1.0 - s2sq, 0.0))
+    alpha = sw / (2.0 * q)
+    A = jnp.exp2(jnp.float32(math.log2(10.0) / 40.0) * gain_db)
+
+    # U1/U2 are the cancellation-free forms of b1*a0 - a1*b0 and
+    # b2*a0 - a2*b0: the naive f32 differences cancel catastrophically at
+    # low frequencies (e.g. a 30 Hz highpass loses ~6e-5 relative on bv,
+    # which the recursion amplifies to ~3e-4 output error); these algebraic
+    # reductions keep every term same-signed.
+    shelf = ftype in (BiquadType.LOWSHELF, BiquadType.HIGHSHELF)
+    swsq = jnp.square(sw)
+    if ftype == BiquadType.LOWPASS:
+        b0, b1, b2 = s2sq, 2.0 * s2sq, s2sq
+        a0, a1, a2 = 1.0 + alpha, -2.0 * cw, 1.0 - alpha
+        U1 = 2.0 * s2sq * (2.0 - 2.0 * s2sq + alpha)
+        U2 = 2.0 * s2sq * alpha
+    elif ftype == BiquadType.HIGHPASS:
+        h = 1.0 - s2sq
+        b0, b1, b2 = h, -2.0 * h, h
+        a0, a1, a2 = 1.0 + alpha, -2.0 * cw, 1.0 - alpha
+        U1 = -2.0 * h * (2.0 * s2sq + alpha)
+        U2 = 2.0 * h * alpha
+    elif ftype == BiquadType.BANDPASS:
+        b0, b1, b2 = alpha, jnp.zeros_like(alpha), -alpha
+        a0, a1, a2 = 1.0 + alpha, -2.0 * cw, 1.0 - alpha
+        U1 = 2.0 * cw * alpha
+        U2 = -2.0 * alpha
+    elif ftype == BiquadType.NOTCH:
+        b0, b1, b2 = jnp.ones_like(alpha), -2.0 * cw, jnp.ones_like(alpha)
+        a0, a1, a2 = 1.0 + alpha, -2.0 * cw, 1.0 - alpha
+        U1 = -2.0 * cw * alpha
+        U2 = 2.0 * alpha
+    elif ftype == BiquadType.ALLPASS:
+        b0, b1, b2 = 1.0 - alpha, -2.0 * cw, 1.0 + alpha
+        a0, a1, a2 = 1.0 + alpha, -2.0 * cw, 1.0 - alpha
+        U1 = -4.0 * cw * alpha
+        U2 = 4.0 * alpha
+    elif ftype == BiquadType.PEAK:
+        b0, b1, b2 = 1.0 + alpha * A, -2.0 * cw, 1.0 - alpha * A
+        a0, a1, a2 = 1.0 + alpha / A, -2.0 * cw, 1.0 - alpha / A
+        dA = A - 1.0 / A
+        U1 = 2.0 * cw * alpha * dA
+        U2 = -2.0 * alpha * dA
+    elif ftype == BiquadType.LOWSHELF:
+        sq = 2.0 * jnp.sqrt(A) * alpha
+        b0 = A * ((A + 1.0) - (A - 1.0) * cw + sq)
+        b1 = 2.0 * A * ((A - 1.0) - (A + 1.0) * cw)
+        b2 = A * ((A + 1.0) - (A - 1.0) * cw - sq)
+        a0 = (A + 1.0) + (A - 1.0) * cw + sq
+        a1 = -2.0 * ((A - 1.0) + (A + 1.0) * cw)
+        a2 = (A + 1.0) + (A - 1.0) * cw - sq
+        U1 = 4.0 * A * (A - 1.0) * ((A + 1.0) * swsq + sq)
+        U2 = -4.0 * A * (A - 1.0) * cw * sq
+    elif ftype == BiquadType.HIGHSHELF:
+        sq = 2.0 * jnp.sqrt(A) * alpha
+        b0 = A * ((A + 1.0) + (A - 1.0) * cw + sq)
+        b1 = -2.0 * A * ((A - 1.0) + (A + 1.0) * cw)
+        b2 = A * ((A + 1.0) + (A - 1.0) * cw - sq)
+        a0 = (A + 1.0) - (A - 1.0) * cw + sq
+        a1 = 2.0 * ((A - 1.0) - (A + 1.0) * cw)
+        a2 = (A + 1.0) - (A - 1.0) * cw - sq
+        U1 = -4.0 * A * (A - 1.0) * ((A + 1.0) * swsq + sq)
+        U2 = 4.0 * A * (A - 1.0) * cw * sq
+    else:  # pragma: no cover
+        raise ValueError(ftype)
+
+    inv_a0 = 1.0 / a0
+    # pole: re = -a1/(2 a0); imsq (signed; < 0 -> real poles) from the
+    # analytic a0*a2 - a1^2/4 per family (no f32 cancellation):
+    #   standard denominator: sw^2 - alpha^2
+    #   peak (denominator alpha/A): sw^2 - (alpha/A)^2
+    #   shelves: 4A (sw^2 - alpha^2)
+    if ftype == BiquadType.PEAK:
+        disc = jnp.square(sw) - jnp.square(alpha / A)
+    elif shelf:
+        disc = 4.0 * A * (jnp.square(sw) - jnp.square(alpha))
+    else:
+        disc = jnp.square(sw) - jnp.square(alpha)
+    inv_a0sq = jnp.square(inv_a0)
+    out = {
+        "b0": (b0 * inv_a0).astype(jnp.float32),
+        "b1": (b1 * inv_a0).astype(jnp.float32),
+        "b2": (b2 * inv_a0).astype(jnp.float32),
+        "a1": (a1 * inv_a0).astype(jnp.float32),
+        "a2": (a2 * inv_a0).astype(jnp.float32),
+        "bv1": (U1 * inv_a0sq).astype(jnp.float32),
+        "bv2": (U2 * inv_a0sq).astype(jnp.float32),
+        "re": (-0.5 * a1 * inv_a0).astype(jnp.float32),
+        "imsq": (disc * inv_a0sq).astype(jnp.float32),
+    }
+    return out
+
+
+_TV_EPS = 1e-8  # |imsq| below this -> (near-)defective: companion basis
+
+
+def tv_section_params(d: dict):
+    """Eigenbasis section params from a device design, elementwise.
+
+    Mirrors eig_section_params (host, f64) with closed-form eigenvectors of
+    the companion matrix (v = (1, lambda + a1)), selected per element among
+    complex-pair / real-diagonal / companion bases. Returns
+    (params9, P [..., 2, 2], Pinv [..., 2, 2]) where params9 is the 9-tuple
+    (m11,m12,m21,m22,bv1,bv2,p11,p12,b0) and P maps eigen -> z (TDF2)
+    coordinates."""
+    b0, b1, b2, a1, a2 = d["b0"], d["b1"], d["b2"], d["a1"], d["a2"]
+    re, imsq = d["re"], d["imsq"]
+    # the stable forms from design_biquad_device when available; the naive
+    # difference cancels in f32 for low-frequency designs
+    bv1 = d.get("bv1", b1 - a1 * b0)
+    bv2 = d.get("bv2", b2 - a2 * b0)
+
+    is_c = imsq > _TV_EPS
+    is_r = imsq < -_TV_EPS
+    one = jnp.ones_like(re)
+    zero = jnp.zeros_like(re)
+
+    im = jnp.sqrt(jnp.where(is_c, imsq, 1.0))
+    s = jnp.sqrt(jnp.where(is_r, -imsq, 1.0))
+    lp = re + s
+    lm = re - s
+
+    def sel(c, r, k):
+        return jnp.where(is_c, c, jnp.where(is_r, r, k)).astype(jnp.float32)
+
+    m11 = sel(re, lp, -a1)
+    m12 = sel(im, zero, one)
+    m21 = sel(-im, zero, -a2)
+    m22 = sel(re, lm, zero)
+    # P columns are Re v / Im v (complex) or the two eigenvectors (real)
+    p_11 = sel(one, one, one)
+    p_12 = sel(zero, one, zero)
+    p_21 = sel(-re, -lm, zero)
+    p_22 = sel(im, -lp, one)
+    inv_im = 1.0 / im
+    inv_2s = 1.0 / (2.0 * s)
+    q_11 = sel(one, lp * inv_2s, one)
+    q_12 = sel(zero, inv_2s, zero)
+    q_21 = sel(re * inv_im, -lm * inv_2s, zero)
+    q_22 = sel(inv_im, -inv_2s, one)
+
+    bp1 = q_11 * bv1 + q_12 * bv2
+    bp2 = q_21 * bv1 + q_22 * bv2
+    params9 = (m11, m12, m21, m22, bp1, bp2, p_11, p_12, b0.astype(jnp.float32))
+    P = jnp.stack([jnp.stack([p_11, p_12], axis=-1), jnp.stack([p_21, p_22], axis=-1)], axis=-2)
+    Pinv = jnp.stack([jnp.stack([q_11, q_12], axis=-1), jnp.stack([q_21, q_22], axis=-1)], axis=-2)
+    aux = {"is_c": is_c, "re": re.astype(jnp.float32), "im": jnp.where(is_c, im, 0.0).astype(jnp.float32)}
+    return params9, P, Pinv, aux
+
+
+def biquad_scan_blocked_tv(x, params9, P, Pinv, z_in, PB: int = PARAM_BLOCK, aux=None,
+                           return_injection: bool = False):
+    """Time-varying biquad: per-param-block coefficients, blocked scans.
+
+    x [R, F] f32 with F a multiple of PB; params9: 9 arrays [R, K]
+    (K = F // PB) from tv_section_params; P / Pinv [R, K, 2, 2]; z_in
+    [R, 2] entry state in z (TDF2 s1/s2) coordinates — the coordinates the
+    f64 host reference carries across coefficient changes.
+
+    Within each block: the eigenbasis associative scan (well-conditioned).
+    Across blocks: a sequential scan (K = frames/512 steps of [R]-batched
+    2x2 matvecs — negligible serialization) carrying the state in the
+    *current block's eigen coordinates*; adjacent blocks convert via
+    J_k = Pinv_{k+1} P_k. For complex-pole pairs J has the cancellation-
+    free closed form [[1,0],[(re_k - re_{k+1})/im_{k+1}, im_k/im_{k+1}]],
+    which is exactly the identity when coefficients repeat — so constant
+    stretches suffer zero conversion noise (ill-conditioned P round-trips
+    per block would otherwise cost ~1e-4 on resonant filters). ``aux``
+    (from tv_section_params) enables that form. Returns (y, z_out)."""
+    R, F = x.shape
+    K = F // PB
+    assert K * PB == F, "frame count must be a multiple of the param block"
+    xb = x.reshape(R, K, PB).reshape(R * K, PB)
+    pf = [p.reshape(R * K, 1) for p in params9]
+    y0, v_eig, acum, A_eig = biquad_scan_with_transition(
+        xb, pf, jnp.zeros((R * K, 2), jnp.float32)
+    )
+    A_eig = A_eig.reshape(R, K, 2, 2)
+    v_eig = v_eig.reshape(R, K, 2)
+
+    # adjacent-basis transitions J_k: block-k eigen coords -> block-(k+1)
+    Jg = jnp.einsum("rkij,rkjl->rkil", Pinv[:, 1:], P[:, :-1])  # generic
+    if aux is not None:
+        is_c, re, im = aux["is_c"], aux["re"], aux["im"]
+        both_c = is_c[:, 1:] & is_c[:, :-1]
+        im1 = jnp.where(both_c, im[:, 1:], 1.0)
+        j21 = (re[:, 1:] - re[:, :-1]) / im1
+        j22 = im[:, :-1] / im1
+        ones = jnp.ones_like(j21)
+        zeros = jnp.zeros_like(j21)
+        Jc = jnp.stack([
+            jnp.stack([ones, zeros], axis=-1),
+            jnp.stack([j21, j22], axis=-1),
+        ], axis=-2)
+        Jg = jnp.where(both_c[..., None, None], Jc, Jg)
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (R, 1, 2, 2))
+    J = jnp.concatenate([Jg, eye], axis=1)  # [R, K, 2, 2] (last unused -> I)
+
+    e0 = jnp.einsum("rij,rj->ri", Pinv[:, 0], z_in)
+
+    if not return_injection:
+        def step(e, blk):
+            A_k, v_k, J_k = blk
+            exit_k = jnp.einsum("rij,rj->ri", A_k, e) + v_k
+            return jnp.einsum("rij,rj->ri", J_k, exit_k), (e, exit_k)
+
+        e_last, (e_entry, e_exit) = jax.lax.scan(
+            step, e0,
+            (A_eig.transpose(1, 0, 2, 3), v_eig.transpose(1, 0, 2), J.transpose(1, 0, 2, 3)),
+        )
+        e_entry = e_entry.transpose(1, 0, 2)  # [R, K, 2] (per-block eigen coords)
+        z_out = jnp.einsum("rij,rj->ri", P[:, -1], e_exit[-1])
+
+        ze = e_entry.reshape(R * K, 2)
+        a11, a12, a21, a22 = acum  # [R*K, PB], shifted cumulative transitions
+        p11, p12 = pf[6], pf[7]
+        corr = p11 * (a11 * ze[:, 0:1] + a12 * ze[:, 1:2]) + p12 * (
+            a21 * ze[:, 0:1] + a22 * ze[:, 1:2]
+        )
+        y = (y0 + corr).reshape(R, K, PB).reshape(R, F)
+        return y.astype(jnp.float32), z_out
+
+    # injection mode (frame-sharded handoff): also track the *linear* map
+    # from an unknown span-entry z to each block's eigen entry state
+    # (T [R, K, 2, 2]) and to the span-exit z (Tz [R, 2, 2]), so a shard
+    # can run from zero, learn its true z_in from gathered summaries, and
+    # correct with tv_inject — the TV analogue of biquad_shard_framewise.
+    # tie the carry init to shard-varying values (v_eig/A_eig derive from
+    # the shard's audio): shard_map's scan requires carry-in and carry-out
+    # to agree on varying-axes metadata, and e0/M0 alone are replicated
+    e0 = e0 + 0.0 * v_eig[:, 0]
+    M0 = jnp.broadcast_to(Pinv[:, 0], (R, 2, 2)) + 0.0 * A_eig[:, 0]
+
+    def step(carry, blk):
+        e, M = carry
+        A_k, v_k, J_k = blk
+        exit_k = jnp.einsum("rij,rj->ri", A_k, e) + v_k
+        M_exit = jnp.einsum("rij,rjk->rik", A_k, M)
+        return (
+            jnp.einsum("rij,rj->ri", J_k, exit_k),
+            jnp.einsum("rij,rjk->rik", J_k, M_exit),
+        ), (e, M, exit_k, M_exit)
+
+    (_, _), (e_entry, T, e_exit, M_exit) = jax.lax.scan(
+        step, (e0, M0),
+        (A_eig.transpose(1, 0, 2, 3), v_eig.transpose(1, 0, 2), J.transpose(1, 0, 2, 3)),
+    )
+    e_entry = e_entry.transpose(1, 0, 2)  # [R, K, 2]
+    T = T.transpose(1, 0, 2, 3)  # [R, K, 2, 2]
+    z_out = jnp.einsum("rij,rj->ri", P[:, -1], e_exit[-1])
+    Tz = jnp.einsum("rij,rjk->rik", P[:, -1], M_exit[-1])  # [R, 2, 2]
+
+    ze = e_entry.reshape(R * K, 2)
+    a11, a12, a21, a22 = acum
+    p11, p12 = pf[6], pf[7]
+    corr = p11 * (a11 * ze[:, 0:1] + a12 * ze[:, 1:2]) + p12 * (
+        a21 * ze[:, 0:1] + a22 * ze[:, 1:2]
+    )
+    y = (y0 + corr).reshape(R, K, PB).reshape(R, F).astype(jnp.float32)
+    inj = {"T": T, "acum": acum, "p11": p11, "p12": p12, "K": K, "PB": PB}
+    return y, z_out, Tz, inj
+
+
+def tv_inject(y, z_in, inj):
+    """Add the response to a span-entry state ``z_in`` [R, 2] to a
+    ``return_injection`` result (y [R, F]): the sharded handoff correction."""
+    R, F = y.shape
+    K, PB = inj["K"], inj["PB"]
+    ze = jnp.einsum("rkij,rj->rki", inj["T"], z_in).reshape(R * K, 2)
+    a11, a12, a21, a22 = inj["acum"]
+    corr = inj["p11"] * (a11 * ze[:, 0:1] + a12 * ze[:, 1:2]) + inj["p12"] * (
+        a21 * ze[:, 0:1] + a22 * ze[:, 1:2]
+    )
+    return y + corr.reshape(R, K, PB).reshape(R, F)
+
+
+def biquad_sequential_tv(x: np.ndarray, ftype, freq, q, gain_db, sample_rate: float,
+                         PB: int = PARAM_BLOCK, state: np.ndarray | None = None):
+    """Host f64 reference for coefficient automation: coefficients
+    redesigned every PB frames (values indexed per block), TDF2 state
+    carried across the change. x [C, F]; freq/q/gain_db arrays [K]."""
+    x = np.atleast_2d(np.asarray(x, np.float64))
+    C, F = x.shape
+    K = -(-F // PB)
+    st = np.zeros((C, 2), np.float64) if state is None else state.astype(np.float64).copy()
+    y = np.empty_like(x)
+    for k in range(K):
+        c = design_biquad(ftype, float(freq[k]), sample_rate, float(q[k]), float(gain_db[k]))
+        sl = slice(k * PB, min((k + 1) * PB, F))
+        y[:, sl], st = biquad_sequential(x[:, sl], c, st)
+    return y, st
+
+
 def pack_chain_sections(chains: list, channels: int, max_sections: int | None = None):
     """Flatten per-track effect chains into batched cascade coefficients.
 

@@ -142,13 +142,53 @@ def modulated_tap(x, delay_frames, xtail, *, max_delay: int):
     return tap, ext[..., -max_delay:]
 
 
-def lfo_delay_frames(start_frame, F: int, *, rate_hz, depth_frames, center_frames,
-                     sample_rate, phase=0.0):
+def lfo_rate_splits(rate_hz, sample_rate) -> np.ndarray:
+    """HOST: split an LFO rate into exact-product phase constants [..., 6].
+
+    The LFO phase is ``2*pi * frac(n * r)`` with r = rate/fs cycles per
+    frame. A plain f32 ``w*n`` loses the phase entirely past n ~ 2^24
+    (~6 min @ 48 kHz) because n itself stops being representable. Instead
+    n is split into exact 13-bit digits (n = n2*2^26 + n1*2^13 + n0) and
+    each digit multiplies a per-digit cycle increment C_k = frac(2^(13k)*r),
+    itself split into an 8-bit coarse part (digit*coarse is exact in f32,
+    so its mod-1 is exact) plus an f32 residue. Total phase error stays
+    ~2e-5 cycles out to n = 2^31 (~12 h @ 48 kHz).
+    """
+    r = np.asarray(rate_hz, np.float64) / float(sample_rate)
+    parts = []
+    for shift in (26, 13, 0):
+        c = np.mod(np.ldexp(r, shift), 1.0)
+        a = np.floor(c * 256.0) / 256.0
+        parts.append(a.astype(np.float32))
+        parts.append((c - a).astype(np.float32))
+    return np.stack(parts, axis=-1)  # [..., 6]
+
+
+def lfo_delay_frames(start_frame, F: int, *, rate_hz=None, depth_frames, center_frames,
+                     sample_rate=None, phase=0.0, rate_splits=None):
     """Sine-LFO swept delay, phase-exact from the absolute frame index (so
-    chunked processing stays identical)."""
-    n = start_frame + jnp.arange(F, dtype=jnp.float32)
-    w = 2.0 * np.pi * rate_hz / sample_rate
-    return center_frames + depth_frames * jnp.sin(w * n + phase)
+    chunked processing stays identical).
+
+    ``rate_splits``: precomputed ``lfo_rate_splits`` constants (required
+    when the rate is a traced array — split on host where the f64 rate is
+    known); otherwise ``rate_hz``/``sample_rate`` must be host values."""
+    if rate_splits is None:
+        rate_splits = lfo_rate_splits(rate_hz, sample_rate)
+    s = jnp.asarray(rate_splits, jnp.float32)
+    n = jnp.asarray(start_frame, jnp.int32) + jnp.arange(F, dtype=jnp.int32)
+    n2 = (n >> 26).astype(jnp.float32)
+    n1 = ((n >> 13) & 0x1FFF).astype(jnp.float32)
+    n0 = (n & 0x1FFF).astype(jnp.float32)
+
+    def frac(x):
+        return x - jnp.floor(x)
+
+    cyc = (frac(n2 * s[..., 0]) + n2 * s[..., 1]
+           + frac(n1 * s[..., 2]) + n1 * s[..., 3]
+           + frac(n0 * s[..., 4]) + n0 * s[..., 5])
+    cyc = cyc - jnp.round(cyc)  # [-0.5, 0.5] cycles
+    arg = jnp.float32(2.0 * np.pi) * cyc + phase
+    return center_frames + depth_frames * jnp.sin(arg)
 
 
 # ---------------------------------------------------------------------------

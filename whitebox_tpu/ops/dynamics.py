@@ -241,13 +241,23 @@ def _level_db_np(v):
     return 20.0 * np.log10(np.maximum(v, _EPS))
 
 
+def _per_frame(v, F: int) -> np.ndarray:
+    """Broadcast a scalar or per-frame param array to [F] f64 (the refs
+    accept timed-automation arrays as well as constants)."""
+    return np.broadcast_to(np.asarray(v, np.float64), (F,))
+
+
 def compressor_ref(x: np.ndarray, *, threshold_db, ratio, knee_db, attack, release,
                    makeup_db=0.0, detector="peak", det_avg=0.0) -> np.ndarray:
-    """Sequential f64 reference of compressor_process (one batch row [C, F])."""
+    """Sequential f64 reference of compressor_process (one batch row [C, F]).
+
+    Every level/ratio/ballistics param may be a scalar or a per-frame [F]
+    array (timed effect-param automation)."""
     x = np.asarray(x, np.float64)
     C, F = x.shape
-    slope = 1.0 - 1.0 / ratio
-    w = max(knee_db, 1e-6)
+    thr, rat, knee = _per_frame(threshold_db, F), _per_frame(ratio, F), _per_frame(knee_db, F)
+    atk, rel, mk = _per_frame(attack, F), _per_frame(release, F), _per_frame(makeup_db, F)
+    davg = _per_frame(det_avg, F)
     red = 0.0
     att = 0.0
     avg = 0.0
@@ -256,26 +266,29 @@ def compressor_ref(x: np.ndarray, *, threshold_db, ratio, knee_db, attack, relea
         if detector == "peak":
             lvl = np.max(np.abs(x[:, n]))
         else:
-            avg = det_avg * avg + (1.0 - det_avg) * np.mean(x[:, n] ** 2)
+            avg = davg[n] * avg + (1.0 - davg[n]) * np.mean(x[:, n] ** 2)
             lvl = math.sqrt(max(avg, 0.0))
-        over = _level_db_np(lvl) - threshold_db
+        slope = 1.0 - 1.0 / rat[n]
+        w = max(knee[n], 1e-6)
+        over = _level_db_np(lvl) - thr[n]
         if over <= -0.5 * w:
             r = 0.0
         elif over >= 0.5 * w:
             r = slope * over
         else:
             r = slope * (over + 0.5 * w) ** 2 / (2.0 * w)
-        red = max(r, release * red)
-        att = attack * att + (1.0 - attack) * red
-        y[:, n] = x[:, n] * 10.0 ** ((makeup_db - att) / 20.0)
+        red = max(r, rel[n] * red)
+        att = atk[n] * att + (1.0 - atk[n]) * red
+        y[:, n] = x[:, n] * 10.0 ** ((mk[n] - att) / 20.0)
     return y
 
 
 def limiter_ref(x: np.ndarray, *, ceiling_db, attack, release, lookahead=0) -> np.ndarray:
     x = np.asarray(x, np.float64)
     C, F = x.shape
+    ceil_, atk, rel = _per_frame(ceiling_db, F), _per_frame(attack, F), _per_frame(release, F)
     lvl = np.max(np.abs(x), axis=0)
-    r = np.maximum(_level_db_np(lvl) - ceiling_db, 0.0)
+    r = np.maximum(_level_db_np(lvl) - ceil_, 0.0)
     if lookahead > 0:
         padded = np.concatenate([np.zeros(lookahead), r])  # past carry = silence
         r = np.array([np.max(padded[n : n + lookahead + 1]) for n in range(F)])
@@ -285,8 +298,8 @@ def limiter_ref(x: np.ndarray, *, ceiling_db, attack, release, lookahead=0) -> n
     red = att = 0.0
     y = np.empty_like(x)
     for n in range(F):
-        red = max(r[n], release * red)
-        att = attack * att + (1.0 - attack) * red
+        red = max(r[n], rel[n] * red)
+        att = atk[n] * att + (1.0 - atk[n]) * red
         y[:, n] = xd[:, n] * 10.0 ** (-att / 20.0)
     return y
 
@@ -294,14 +307,16 @@ def limiter_ref(x: np.ndarray, *, ceiling_db, attack, release, lookahead=0) -> n
 def gate_ref(x: np.ndarray, *, threshold_db, range_db, attack, release) -> np.ndarray:
     x = np.asarray(x, np.float64)
     C, F = x.shape
-    floor = 10.0 ** (-abs(range_db) / 20.0)
+    thr, rng = _per_frame(threshold_db, F), _per_frame(range_db, F)
+    atk, rel = _per_frame(attack, F), _per_frame(release, F)
     opn = att = 0.0
     y = np.empty_like(x)
     for n in range(F):
+        floor = 10.0 ** (-abs(rng[n]) / 20.0)
         lvl = np.max(np.abs(x[:, n]))
-        tgt = 1.0 if _level_db_np(lvl) >= threshold_db else floor
-        opn = max(tgt, release * opn)
+        tgt = 1.0 if _level_db_np(lvl) >= thr[n] else floor
+        opn = max(tgt, rel[n] * opn)
         o = max(opn, floor)
-        att = attack * att + (1.0 - attack) * o
+        att = atk[n] * att + (1.0 - atk[n]) * o
         y[:, n] = x[:, n] * att
     return y

@@ -204,10 +204,11 @@ def chorus_shard(x, params, axis_name: str, fp: int, voices: int, max_delay: int
             [two_pi * v / voices + c * (0.5 * np.pi) for c in range(C)], jnp.float32
         )[:, None]
         d = lfo_delay_frames(
-            n0, F_local, rate_hz=params["rate_hz"][:, None, None],
+            n0, F_local,
             depth_frames=params["depth"][:, None, None],
             center_frames=params["center"][:, None, None],
-            sample_rate=sample_rate, phase=phases,
+            phase=phases,
+            rate_splits=params["rate_splits"][:, None, None, :],
         )
         tap, _ = modulated_tap(x, d, xtail, max_delay=max_delay)
         acc = acc + tap
@@ -248,48 +249,163 @@ def _biquad_rows_shard(x, pa_rows, axis_name: str, fp: int):
     return biquad_shard_framewise(x, arrs, axis_name=axis_name, num_shards=fp)
 
 
+def _tv_biquad_rows_shard(ftype, freq, q, gain_db, x_rows, axis_name: str, fp: int,
+                          sample_rate: float, C: int):
+    """Frame-sharded time-varying biquad (timed coefficient automation):
+    each shard runs the blocked TV scan from zero, shards exchange their
+    z-coordinate transitions (Tz [R,2,2], v [R,2]), and the true incoming
+    state injects via tv_inject — biquad_shard_framewise generalized to
+    per-param-block coefficients. freq/q/gain_db: [B, K_local]."""
+    from whitebox_tpu.ops.biquad import (
+        BiquadType, biquad_scan_blocked_tv, design_biquad_device, tv_inject,
+        tv_section_params,
+    )
+
+    d = design_biquad_device(BiquadType(ftype), freq, q, gain_db, sample_rate)
+    p9, P, Pinv, aux = tv_section_params(d)
+    rep = lambda a: jnp.repeat(a, C, axis=0)
+    R = x_rows.shape[0]
+    y0, v_total, Tz, inj = biquad_scan_blocked_tv(
+        x_rows, [rep(p) for p in p9], rep(P), rep(Pinv),
+        jnp.zeros((R, 2), jnp.float32), aux={k: rep(v) for k, v in aux.items()},
+        return_injection=True,
+    )
+    Tz_all = jax.lax.all_gather(Tz, axis_name)
+    v_all = jax.lax.all_gather(v_total, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    def fold(j, z):
+        zn = jnp.einsum("rij,rj->ri", Tz_all[j], z) + v_all[j]
+        return jnp.where(j < idx, zn, z)
+
+    z_in = jax.lax.fori_loop(0, fp, fold, jnp.zeros_like(v_total))
+    return tv_inject(y0, z_in, inj)
+
+
+def _eval_shard_lanes(kind: str, params, n0, F_local: int):
+    """Evaluate a stage's lane tables on this shard's global frame range
+    (mirrors effects_generic._eval_stage_lanes; n0 = shard start frame)."""
+    from whitebox_tpu.ops.automation import eval_lanes_device
+    from whitebox_tpu.ops.biquad import PARAM_BLOCK
+
+    auto_tab = params.get("auto")
+    if not auto_tab:
+        return {}
+    if kind in ("biquad", "eq"):
+        g = n0 + jnp.arange(max(F_local // PARAM_BLOCK, 1), dtype=jnp.int32) * PARAM_BLOCK
+    else:
+        g = n0 + jnp.arange(F_local, dtype=jnp.int32)
+    return {name: eval_lanes_device(tab, g) for name, tab in auto_tab.items()}
+
+
 def stage_shard(kind: str, static: tuple, params, x, axis_name: str, fp: int,
                 sample_rate: float, chunk_start=0):
-    """Apply one effect stage to a frame shard x [B, C, F_local]."""
+    """Apply one effect stage to a frame shard x [B, C, F_local].
+
+    Stages with "auto" lane tables in ``params`` evaluate them at this
+    shard's *global* frame positions, so sharded automation matches the
+    single-chip render (biquad/EQ require F_local to be a multiple of
+    PARAM_BLOCK so shard-local param blocks align with the global grid)."""
+    from whitebox_tpu.render.effects_generic import _db_to_lin_dev, _time_coef_dev, _tv_vals
+
     B, C, F_local = x.shape
     col = lambda a: a[:, None]
+    idx = jax.lax.axis_index(axis_name)
+    n0 = chunk_start + idx * F_local
+    lanes = _eval_shard_lanes(kind, params, n0, F_local)
+
+    def mix_coef(name):
+        return lanes[name][:, None, :] if name in lanes else params[name][:, None, None]
+
     if kind == "gain":
+        if "gain_db" in lanes:
+            return x * _db_to_lin_dev(lanes["gain_db"])[:, None, :]
         return x * params["g"][:, None, None]
     if kind == "biquad":
+        if static:  # TV form: static == (ftype_value,)
+            from whitebox_tpu.ops.biquad import PARAM_BLOCK
+
+            assert F_local % PARAM_BLOCK == 0, \
+                "TV-biquad shards must be PARAM_BLOCK-aligned"
+            K = F_local // PARAM_BLOCK
+            freq = _tv_vals(lanes, params, "freq_hz", "freq", K)
+            qv = _tv_vals(lanes, params, "q", "q", K)
+            gv = _tv_vals(lanes, params, "gain_db", "gain_db", K)
+            y = _tv_biquad_rows_shard(static[0], freq, qv, gv,
+                                      x.reshape(B * C, F_local), axis_name, fp,
+                                      sample_rate, C)
+            return y.reshape(B, C, F_local)
         pa = jnp.repeat(params["pa"], C, axis=0)
         return _biquad_rows_shard(x.reshape(B * C, F_local), pa, axis_name, fp).reshape(B, C, F_local)
     if kind == "eq":
-        (nb,) = static
+        nb = static[0]
         y = x.reshape(B * C, F_local)
+        if len(static) > 1 and isinstance(static[1], tuple):  # TV form
+            from whitebox_tpu.ops.biquad import PARAM_BLOCK
+
+            assert F_local % PARAM_BLOCK == 0, \
+                "TV-EQ shards must be PARAM_BLOCK-aligned"
+            K = F_local // PARAM_BLOCK
+            for b in range(nb):
+                freq = _tv_vals(lanes, params, f"b{b}.freq_hz", "freq", K, band=b)
+                qv = _tv_vals(lanes, params, f"b{b}.q", "q", K, band=b)
+                gv = _tv_vals(lanes, params, f"b{b}.gain_db", "gain_db", K, band=b)
+                y = _tv_biquad_rows_shard(static[1][b], freq, qv, gv, y, axis_name, fp,
+                                          sample_rate, C)
+            return y.reshape(B, C, F_local)
         for b in range(nb):
             y = _biquad_rows_shard(y, jnp.repeat(params["pa"][:, b], C, axis=0), axis_name, fp)
         return y.reshape(B, C, F_local)
-    if kind == "compressor":
-        (detector,) = static
-        return compressor_shard(x, {k: col(v) for k, v in params.items()}, axis_name, fp, detector)
-    if kind == "limiter":
-        (L,) = static
-        return limiter_shard(x, {k: col(v) for k, v in params.items()}, axis_name, fp, L)
-    if kind == "gate":
-        return gate_shard(x, {k: col(v) for k, v in params.items()}, axis_name, fp)
+    if kind in ("compressor", "limiter", "gate"):
+        p = {k: col(v) for k, v in params.items() if k != "auto"}
+        for nm in ("threshold_db", "ratio", "knee_db", "makeup_db", "ceiling_db", "range_db"):
+            if nm in lanes:
+                p[nm] = lanes[nm]
+        if "attack_s" in lanes:
+            p["attack"] = _time_coef_dev(lanes["attack_s"], sample_rate)
+        if "release_s" in lanes:
+            p["release"] = _time_coef_dev(lanes["release_s"], sample_rate)
+        if kind == "compressor":
+            (detector,) = static
+            return compressor_shard(x, p, axis_name, fp, detector)
+        if kind == "limiter":
+            (L,) = static
+            return limiter_shard(x, p, axis_name, fp, L)
+        return gate_shard(x, p, axis_name, fp)
     if kind == "delay":
         mode, D = static
-        return delay_shard(x, params, axis_name, fp, D, mode)
+        w = delay_shard(x, dict(params, dry=jnp.zeros_like(params["dry"]),
+                                wet=jnp.ones_like(params["wet"])), axis_name, fp, D, mode)
+        return mix_coef("dry") * x + mix_coef("wet") * w
     if kind in ("chorus", "flanger"):
         voices, MT = static
-        return chorus_shard(x, params, axis_name, fp, voices, MT, sample_rate, chunk_start)
+        wetsig = chorus_shard(x, dict(params, dry=jnp.zeros_like(params["dry"]),
+                                      wet=jnp.full_like(params["wet"], float(voices))),
+                              axis_name, fp, voices, MT, sample_rate, chunk_start)
+        return mix_coef("dry") * x + (mix_coef("wet") / float(voices)) * wetsig
     if kind == "convreverb":
         (L,) = static
-        return convreverb_shard(x, params, axis_name, fp, L)
+        wetsig = convreverb_shard(x, dict(params, dry=jnp.zeros_like(params["dry"]),
+                                          wet=jnp.ones_like(params["wet"])), axis_name, fp, L)
+        return mix_coef("dry") * x + mix_coef("wet") * wetsig
     if kind == "saturator":
-        shaped = jnp.tanh(params["drive"][:, None, None] * x) * params["norm"][:, None, None]
-        m = params["mix"][:, None, None]
+        if "drive_db" in lanes:
+            from whitebox_tpu.render.effects_generic import _LN10_20
+
+            drive = jnp.exp(jnp.float32(_LN10_20) * lanes["drive_db"])[:, None, :]
+            norm = 1.0 / jnp.tanh(drive)
+        else:
+            drive = params["drive"][:, None, None]
+            norm = params["norm"][:, None, None]
+        shaped = jnp.tanh(drive * x) * norm
+        m = mix_coef("mix")
         return m * shaped + (1.0 - m) * x
     if kind == "width":
         if C != 2:
             return x
+        w = lanes["width"] if "width" in lanes else params["width"][:, None]
         mid = 0.5 * (x[:, 0, :] + x[:, 1, :])
-        side = 0.5 * (x[:, 0, :] - x[:, 1, :]) * params["width"][:, None]
+        side = 0.5 * (x[:, 0, :] - x[:, 1, :]) * w
         return jnp.stack([mid + side, mid - side], axis=1)
     raise ValueError(f"unknown effect kind {kind!r}")
 

@@ -142,7 +142,8 @@ def bounce_sharded(
     from whitebox_tpu.timeline.carve import carve_session
 
     needs_per_track = (any(t.effects for t in session.tracks)
-                       or session_has_automation(session) or _session_has_midi(session))
+                       or session_has_automation(session) or _session_has_midi(session)
+                       or bool(getattr(session, "master_automation", None)))
     if needs_per_track and mesh.shape["tracks"] != 1:
         raise NotImplementedError(
             "per-track chains / automation / MIDI need a frames-only mesh "
@@ -216,10 +217,12 @@ def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
 
     table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
                                 out_channels=channels, slow_emit="runs")
-    dev = pack_device_tables(table, pool, session)
+    dev = pack_device_tables(table, pool, session, channels=channels)
     tables = shard_tables(dev.as_jax(), mesh)
     pool_dev = jax.device_put(jnp.asarray(pool.data), NamedSharding(mesh, P()))
-    frames = -(-max(table.total_frames, 1) // (fp * 128)) * (fp * 128)
+    # shards pad to PARAM_BLOCK multiples so timed-coefficient (TV biquad)
+    # param blocks stay aligned with the single-chip 512-frame grid
+    frames = -(-max(table.total_frames, 1) // (fp * 512)) * (fp * 512)
     f_local = frames // fp
     T = max(table.num_tracks, 1)
 

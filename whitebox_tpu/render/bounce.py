@@ -292,6 +292,19 @@ def bounce(
     from whitebox_tpu.ops.automation import session_has_automation
     from whitebox_tpu.render.effects_pipeline import session_has_effects
 
+    if engine != "xla" and len(table) and not table.fast.all():
+        # auto->xla fallback: the table was carved with slow_emit="runs"
+        # (closed-form resampled rows) for the Pallas plan; the XLA gather
+        # path's bit-parity contract needs the blockwise sequentially-
+        # rounded phases, so re-carve (slow_emit only affects slow rows)
+        table, pool = carve_session(
+            session, sample_rate, buffer_size=buffer_size, num_blocks=num_blocks,
+            out_channels=channels, slow_emit="blocks",
+        )
+        if sinc_bank is None and interpolation != "linear":
+            from whitebox_tpu.timeline.oversample import resolve_interpolation
+
+            table, pool, interp = resolve_interpolation(table, pool, interpolation)
     dev = pack_device_tables(table, pool, session, channels=channels)
     stats.carve_seconds = watch.lap()
 
@@ -319,10 +332,13 @@ def bounce(
 
         if not session_fx_packable(session):
             from whitebox_tpu.render.effects_generic import (
-                init_generic_states, make_generic_chunk_fn, prepare_generic_fx,
+                auto_chunk_frames, init_generic_states, make_generic_chunk_fn, prepare_generic_fx,
             )
 
             gfx = prepare_generic_fx(session, sample_rate, channels)
+            # heavy chains compile superlinearly with chunk length — cap it
+            # (more dispatches beats a >9-minute trace; see auto_chunk_frames)
+            chunk_frames = auto_chunk_frames(gfx, chunk_frames)
             gstep = make_generic_chunk_fn(gfx, T, channels, chunk=chunk_frames, with_meters=meters)
             states, mstates = init_generic_states(gfx, channels)
 

@@ -34,6 +34,59 @@ from whitebox_tpu.session.session import Session
 
 _PACKABLE = ("gain", "biquad", "eq")
 
+#: raw automatable parameter names per effect kind — the native-effects
+#: analogue of a VST3 plugin's parameter list (plugin_interface.h:77-90).
+#: Elementwise params evaluate per *frame* (finer than the reference's
+#: block-rate queues); biquad/EQ design params evaluate per 512-frame
+#: param block (ops.biquad.PARAM_BLOCK — the reference's buffer size) and
+#: recompute coefficients on device. EQ band params are "b{i}.{name}".
+AUTOMATABLE: dict[str, frozenset] = {
+    "gain": frozenset({"gain_db"}),
+    "biquad": frozenset({"freq_hz", "q", "gain_db"}),
+    "compressor": frozenset({"threshold_db", "ratio", "knee_db", "makeup_db",
+                             "attack_s", "release_s"}),
+    "limiter": frozenset({"ceiling_db", "attack_s", "release_s"}),
+    "gate": frozenset({"threshold_db", "range_db", "attack_s", "release_s"}),
+    "delay": frozenset({"wet", "dry"}),
+    "chorus": frozenset({"wet", "dry"}),
+    "flanger": frozenset({"wet", "dry"}),
+    "convreverb": frozenset({"wet", "dry"}),
+    "saturator": frozenset({"drive_db", "mix"}),
+    "width": frozenset({"width"}),
+}
+
+
+def automatable_params(kind: str, static: tuple = ()) -> frozenset:
+    """Raw automatable names for one effect kind ("eq" expands per band)."""
+    if kind == "eq":
+        (nb,) = static[:1]
+        return frozenset(f"b{i}.{n}" for i in range(nb) for n in ("freq_hz", "q", "gain_db"))
+    return AUTOMATABLE.get(kind, frozenset())
+
+
+def _auto_default(e, kind: str, name: str) -> float:
+    """The effect's current (static) value of an automatable raw param."""
+    if kind == "eq":
+        band, field_ = name.split(".", 1)
+        t, f, q, g = e.bands[int(band[1:])]
+        return {"freq_hz": f, "q": q, "gain_db": g}[field_]
+    return float(getattr(e, name))
+
+
+def _slot_auto_names(track_auto: dict, pos: int, kind: str, static: tuple, e) -> tuple:
+    """Sorted automated raw-param names of chain slot ``pos`` (validated)."""
+    names = sorted(p for (s, p) in track_auto.keys() if s == pos)
+    if not names:
+        return ()
+    allowed = automatable_params(kind, static)
+    bad = [n for n in names if n not in allowed]
+    if bad:
+        raise ValueError(
+            f"effect {kind!r} (slot {pos}) has no automatable param(s) {bad}; "
+            f"automatable: {sorted(allowed)}"
+        )
+    return tuple(names)
+
 
 def _stage_kind(e) -> tuple[str, tuple]:
     """(kind, static-config) of one effect — the grouping signature entry."""
@@ -60,20 +113,37 @@ def chain_is_packable(chain) -> bool:
 
 
 def session_fx_packable(session: Session) -> bool:
+    from whitebox_tpu.ops.automation import session_has_effect_automation
+
+    if session_has_effect_automation(session):
+        return False  # timed effect params run in the generic TV pipeline
     chains, master = _chains_of(session)
     return all(chain_is_packable(c) for c in chains) and chain_is_packable(master)
 
 
-def _stage_params(e, kind: str) -> dict[str, np.ndarray]:
-    """Per-effect parameter arrays (stacked later across the group)."""
+def _stage_params(e, kind: str, auto: tuple = ()) -> dict[str, np.ndarray]:
+    """Per-effect parameter arrays (stacked later across the group).
+
+    With ``auto`` (automated raw-param names), biquad/EQ stages pack raw
+    design values instead of precomputed coefficients — the device
+    redesigns per param block (design_biquad_device)."""
     from whitebox_tpu.effects.gain import Gain
 
     if kind == "gain":
         return {"g": np.float32(e.gain_linear)}
     if kind == "biquad":
+        if auto:
+            return {"freq": np.float32(e.freq_hz), "q": np.float32(e.q),
+                    "gain_db": np.float32(e.gain_db)}
         assert e.coeffs is not None, "effect not prepared"
         return {"pa": coeffs_device_arrays(e.coeffs)}  # [9]
     if kind == "eq":
+        if auto:
+            return {
+                "freq": np.asarray([b[1] for b in e.bands], np.float32),
+                "q": np.asarray([b[2] for b in e.bands], np.float32),
+                "gain_db": np.asarray([b[3] for b in e.bands], np.float32),
+            }
         assert e.coeffs, "effect not prepared"
         return {"pa": np.stack([coeffs_device_arrays(c) for c in e.coeffs])}  # [nb, 9]
     p = {k: np.asarray(v, np.float32) for k, v in e.param_arrays().items()}
@@ -105,6 +175,48 @@ def _chain_stages(chain) -> list:
     return [(e, *_stage_kind(e)) for e in effs]
 
 
+def _stage_sig_entry(e, kind: str, static: tuple, names: tuple):
+    """Grouping-signature entry; TV biquad/EQ stages carry their filter
+    types in ``static`` (the device redesign needs them)."""
+    if names and kind == "biquad":
+        static = (e.ftype.value,)
+    elif names and kind == "eq":
+        static = (static[0], tuple(b[0].value for b in e.bands))
+    return kind, static, names
+
+
+def _pack_stage_auto(session, chains, tracks, pos, kind, names, sample_rate, auto_of):
+    """Lane tables {name: {xs,ys,cv,tn} [B, P]} for one automated stage."""
+    from whitebox_tpu.ops.automation import pack_lane_tables
+
+    tables = {}
+    for name in names:
+        lanes, defaults = [], []
+        for t in tracks:
+            e = _chain_stages(chains[t])[pos][0]
+            lanes.append(auto_of(t).get((pos, name)))
+            defaults.append(_auto_default(e, kind, name))
+        tables[name] = pack_lane_tables(lanes, defaults, sample_rate, session.beat_duration)
+    return tables
+
+
+def _group_stages(session, chains, sig, tracks, sample_rate, auto_of):
+    stages = []
+    for pos, (kind, static, names) in enumerate(sig):
+        stacked: dict[str, list] = {}
+        for t in tracks:
+            e = _chain_stages(chains[t])[pos][0]
+            for k, v in _stage_params(e, kind, auto=names).items():
+                stacked.setdefault(k, []).append(v)
+        params = {k: np.stack(v) for k, v in stacked.items()}  # host numpy
+        if names:
+            params["auto"] = _pack_stage_auto(
+                session, chains, tracks, pos, kind, names, sample_rate, auto_of
+            )
+        stages.append((kind, static, params))
+    return stages
+
+
 def prepare_generic_fx(session: Session, sample_rate: float, channels: int = 2) -> GenericFX:
     chains, master = _chains_of(session)
     for c in chains:
@@ -112,31 +224,49 @@ def prepare_generic_fx(session: Session, sample_rate: float, channels: int = 2) 
             c.prepare(sample_rate, channels)
     fx = GenericFX(sample_rate=float(sample_rate), channels=channels)
 
+    def track_lanes(t: int) -> dict:
+        a = session.tracks[t].automation
+        return a.effects if (a is not None and a.effects) else {}
+
     by_sig: dict[tuple, list[int]] = {}
     for t, c in enumerate(chains):
-        if c is None or len(_chain_stages(c)) == 0:
+        stages_t = _chain_stages(c) if c is not None else []
+        eff_lanes = track_lanes(t)
+        bad = [s for (s, _) in eff_lanes.keys() if s >= len(stages_t)]
+        if bad:
+            raise ValueError(
+                f"track {t} automates effect slot(s) {sorted(set(bad))} but its "
+                f"chain has {len(stages_t)} effect(s)"
+            )
+        if not stages_t:
             continue
-        sig = tuple((k, s) for (_, k, s) in _chain_stages(c))
+        sig = tuple(
+            _stage_sig_entry(e, kind, static,
+                             _slot_auto_names(eff_lanes, pos, kind, static, e))
+            for pos, (e, kind, static) in enumerate(stages_t)
+        )
         by_sig.setdefault(sig, []).append(t)
 
     for sig, tracks in by_sig.items():
-        stages = []
-        for pos, (kind, static) in enumerate(sig):
-            stacked: dict[str, list] = {}
-            for t in tracks:
-                e = _chain_stages(chains[t])[pos][0]
-                for k, v in _stage_params(e, kind).items():
-                    stacked.setdefault(k, []).append(v)
-            params = {k: np.stack(v) for k, v in stacked.items()}  # host numpy
-            stages.append((kind, static, params))
+        stages = _group_stages(session, chains, sig, tracks, sample_rate, track_lanes)
         fx.groups.append(_Group(np.asarray(tracks, np.int64), stages))
 
     if master is not None and len(_chain_stages(master)) > 0:
         master.prepare(sample_rate, channels)
-        stages = []
-        for e, kind, static in _chain_stages(master):
-            params = {k: np.stack([v]) for k, v in _stage_params(e, kind).items()}
-            stages.append((kind, static, params))
+        mlanes = dict(getattr(session, "master_automation", {}) or {})
+        mstages = _chain_stages(master)
+        bad = [s for (s, _) in mlanes.keys() if s >= len(mstages)]
+        if bad:
+            raise ValueError(
+                f"master automation targets slot(s) {sorted(set(bad))} but the "
+                f"master chain has {len(mstages)} effect(s)"
+            )
+        sig = tuple(
+            _stage_sig_entry(e, kind, static,
+                             _slot_auto_names(mlanes, pos, kind, static, e))
+            for pos, (e, kind, static) in enumerate(mstages)
+        )
+        stages = _group_stages(session, [master], sig, [0], sample_rate, lambda _t: mlanes)
         fx.master = _Group(np.asarray([0], np.int64), stages)
     return fx
 
@@ -148,9 +278,18 @@ def device_params(fx: GenericFX):
     device arrays would be embedded as MLIR constants, which forces a
     device->host readback that remote-relay backends (axon) can't serve —
     and would recompile on every parameter change anyway."""
-    gp = [[{k: jnp.asarray(v) for k, v in params.items()} for (_, _, params) in g.stages]
-          for g in fx.groups]
-    mp = ([{k: jnp.asarray(v) for k, v in params.items()} for (_, _, params) in fx.master.stages]
+    def dev(params):
+        out = {}
+        for k, v in params.items():
+            if k == "auto":  # nested lane tables {name: {xs,ys,cv,tn}}
+                out[k] = {n: {kk: jnp.asarray(t) for kk, t in tab.items()}
+                          for n, tab in v.items()}
+            else:
+                out[k] = jnp.asarray(v)
+        return out
+
+    gp = [[dev(params) for (_, _, params) in g.stages] for g in fx.groups]
+    mp = ([dev(params) for (_, _, params) in fx.master.stages]
           if fx.master is not None else [])
     return gp, mp
 
@@ -186,7 +325,7 @@ def _init_stage_state(kind: str, static: tuple, params, B: int, C: int):
     if kind == "biquad":
         return z(B * C, 2)
     if kind == "eq":
-        (nb,) = static
+        nb = static[0]
         return [z(B * C, 2) for _ in range(nb)]
     if kind == "compressor":
         return {"red": z(B), "att": z(B), "det": z(B)}
@@ -214,41 +353,145 @@ def _conv_ir_f(params, ir_len: int, Fc: int):
     return jnp.fft.rfft(params["ir"], nfft, axis=-1)  # [B, C, K]
 
 
+_LN10_20 = float(np.log(10.0) / 20.0)
+
+
+def _db_to_lin_dev(db):
+    """f32 device dB->linear with the engine's -72 dB silence floor
+    (automation evaluates in f32; the bit-exact powf path is only for the
+    static fader values)."""
+    return jnp.where(db > -72.0, jnp.exp(jnp.float32(_LN10_20) * db), jnp.float32(0.0))
+
+
+def _time_coef_dev(t_s, sample_rate: float):
+    """Device mirror of ops.dynamics.time_coef: exp(-1/(t*fs)), 0 at t<=0."""
+    return jnp.where(
+        t_s <= 0.0, jnp.float32(0.0),
+        jnp.exp(-1.0 / jnp.maximum(t_s * jnp.float32(sample_rate), 1e-12)),
+    )
+
+
+def _eval_stage_lanes(kind: str, params, n0, Fc: int):
+    """Evaluate a stage's automation lane tables at this chunk's frames.
+
+    Elementwise params -> per-frame values [B, Fc]; biquad/EQ design
+    params -> per-param-block values [B, K] at block-start frames."""
+    from whitebox_tpu.ops.automation import eval_lanes_device
+
+    auto_tab = params.get("auto")
+    if not auto_tab:
+        return {}
+    if kind in ("biquad", "eq"):
+        from whitebox_tpu.ops.biquad import PARAM_BLOCK
+
+        g = n0 + jnp.arange(max(Fc // PARAM_BLOCK, 1), dtype=jnp.int32) * PARAM_BLOCK
+    else:
+        g = n0 + jnp.arange(Fc, dtype=jnp.int32)
+    return {name: eval_lanes_device(tab, g) for name, tab in auto_tab.items()}
+
+
+def _tv_biquad_rows(ftype, freq, q, gain_db, x2, state, sample_rate: float, C: int):
+    """TV biquad over rows: freq/q/gain_db [B, K]; x2 [B*C, F] (row b*C+c);
+    state [B*C, 2] z coords."""
+    from whitebox_tpu.ops.biquad import (
+        BiquadType, biquad_scan_blocked_tv, design_biquad_device, tv_section_params,
+    )
+
+    d = design_biquad_device(BiquadType(ftype), freq, q, gain_db, sample_rate)
+    p9, P, Pinv, aux = tv_section_params(d)
+    rep = lambda a: jnp.repeat(a, C, axis=0)  # [B, K, ...] -> [B*C, K, ...]
+    F = x2.shape[-1]
+    K = freq.shape[-1]
+    PBv = -(-F // K)
+    pad = K * PBv - F
+    if pad:  # safety net only: framework chunk sizes are 512-multiples
+        x2 = jnp.pad(x2, ((0, 0), (0, pad)))
+    y, z = biquad_scan_blocked_tv(
+        x2, [rep(p) for p in p9], rep(P), rep(Pinv), state, PB=PBv,
+        aux={k: rep(v) for k, v in aux.items()},
+    )
+    return (y[:, :F] if pad else y), z
+
+
+def _tv_vals(lanes, params, lane_name: str, raw_key: str, K: int, band: int | None = None):
+    """[B, K] design values: the lane where automated, else the base value."""
+    v = lanes.get(lane_name)
+    if v is not None:
+        return v
+    base = params[raw_key] if band is None else params[raw_key][:, band]
+    return jnp.broadcast_to(base[:, None], (base.shape[0], K))
+
+
 def _apply_stage(kind: str, static: tuple, params, x, state, n0, sample_rate: float):
-    """x [B, C, Fc] -> (y, new_state). ``n0``: absolute start frame (traced)."""
+    """x [B, C, Fc] -> (y, new_state). ``n0``: absolute start frame (traced).
+
+    Stages with an "auto" entry in ``params`` (timed effect-param lanes —
+    the param_changes.h analogue) evaluate their lanes here: elementwise
+    params per frame, biquad/EQ coefficients per 512-frame param block."""
     B, C, Fc = x.shape
     col = lambda a: a[:, None]  # [B] -> [B, 1] (broadcast against [B, F])
+    lanes = _eval_stage_lanes(kind, params, n0, Fc)
+
+    def mix_coef(name):  # wet/dry/mix lane [B,1,Fc] or static [B,1,1]
+        return lanes[name][:, None, :] if name in lanes else params[name][:, None, None]
+
     if kind == "gain":
+        if "gain_db" in lanes:
+            return x * _db_to_lin_dev(lanes["gain_db"])[:, None, :], state
         return x * params["g"][:, None, None], state
     if kind == "biquad":
+        if static:  # TV form: static == (ftype_value,)
+            K = lanes[next(iter(lanes))].shape[-1] if lanes else Fc // 512
+            freq = _tv_vals(lanes, params, "freq_hz", "freq", K)
+            qv = _tv_vals(lanes, params, "q", "q", K)
+            gv = _tv_vals(lanes, params, "gain_db", "gain_db", K)
+            y, ns = _tv_biquad_rows(static[0], freq, qv, gv, x.reshape(B * C, Fc),
+                                    state, sample_rate, C)
+            return y.reshape(B, C, Fc), ns
         arrs = [jnp.repeat(params["pa"][:, j : j + 1], C, axis=0) for j in range(9)]
         y, ns = biquad_scan_batched(x.reshape(B * C, Fc), arrs, state)
         return y.reshape(B, C, Fc), ns
     if kind == "eq":
-        (nb,) = static
+        nb = static[0]
         y = x.reshape(B * C, Fc)
         new_states = []
+        if len(static) > 1 and isinstance(static[1], tuple):  # TV form
+            ftypes = static[1]
+            K = lanes[next(iter(lanes))].shape[-1]
+            for b in range(nb):
+                freq = _tv_vals(lanes, params, f"b{b}.freq_hz", "freq", K, band=b)
+                qv = _tv_vals(lanes, params, f"b{b}.q", "q", K, band=b)
+                gv = _tv_vals(lanes, params, f"b{b}.gain_db", "gain_db", K, band=b)
+                y, ns = _tv_biquad_rows(ftypes[b], freq, qv, gv, y, state[b],
+                                        sample_rate, C)
+                new_states.append(ns)
+            return y.reshape(B, C, Fc), new_states
         for b in range(nb):
             arrs = [jnp.repeat(params["pa"][:, b, j : j + 1], C, axis=0) for j in range(9)]
             y, ns = biquad_scan_batched(y, arrs, state[b])
             new_states.append(ns)
         return y.reshape(B, C, Fc), new_states
-    if kind == "compressor":
-        from whitebox_tpu.ops.dynamics import compressor_process
+    if kind in ("compressor", "limiter", "gate"):
+        p = {k: col(v) for k, v in params.items() if k != "auto"}
+        for nm in ("threshold_db", "ratio", "knee_db", "makeup_db", "ceiling_db", "range_db"):
+            if nm in lanes:
+                p[nm] = lanes[nm]
+        if "attack_s" in lanes:
+            p["attack"] = _time_coef_dev(lanes["attack_s"], sample_rate)
+        if "release_s" in lanes:
+            p["release"] = _time_coef_dev(lanes["release_s"], sample_rate)
+        if kind == "compressor":
+            from whitebox_tpu.ops.dynamics import compressor_process
 
-        (detector,) = static
-        p = {k: col(v) for k, v in params.items()}
-        return compressor_process(x, p, state, detector=detector)
-    if kind == "limiter":
-        from whitebox_tpu.ops.dynamics import limiter_process
+            (detector,) = static
+            return compressor_process(x, p, state, detector=detector)
+        if kind == "limiter":
+            from whitebox_tpu.ops.dynamics import limiter_process
 
-        (L,) = static
-        p = {k: col(v) for k, v in params.items()}
-        return limiter_process(x, p, state, lookahead=L)
-    if kind == "gate":
+            (L,) = static
+            return limiter_process(x, p, state, lookahead=L)
         from whitebox_tpu.ops.dynamics import gate_process
 
-        p = {k: col(v) for k, v in params.items()}
         return gate_process(x, p, state)
     if kind == "delay":
         from whitebox_tpu.ops.delay import comb_feedback, comb_feedback_pingpong
@@ -259,7 +502,7 @@ def _apply_stage(kind: str, static: tuple, params, x, state, n0, sample_rate: fl
             w, wl, xl = comb_feedback_pingpong(x, fb, state["w"], state["x"], D=D)
         else:
             w, wl, xl = comb_feedback(x, fb, state["w"], state["x"], D=D)
-        y = params["dry"][:, None, None] * x + params["wet"][:, None, None] * w
+        y = mix_coef("dry") * x + mix_coef("wet") * w
         return y, {"w": wl, "x": xl}
     if kind in ("chorus", "flanger"):
         from whitebox_tpu.ops.delay import lfo_delay_frames, modulated_tap
@@ -273,32 +516,40 @@ def _apply_stage(kind: str, static: tuple, params, x, state, n0, sample_rate: fl
                 [two_pi * v / voices + c * (0.5 * np.pi) for c in range(C)], jnp.float32
             )[:, None]
             d = lfo_delay_frames(
-                n0, Fc, rate_hz=params["rate_hz"][:, None, None],
+                n0, Fc,
                 depth_frames=params["depth"][:, None, None],
                 center_frames=params["center"][:, None, None],
-                sample_rate=sample_rate, phase=phases,
+                phase=phases,
+                rate_splits=params["rate_splits"][:, None, None, :],
             )
             tap, new_tail = modulated_tap(x, d, state["xtail"], max_delay=MT)
             acc = acc + tap
-        wet = params["wet"][:, None, None] / float(voices)
-        return params["dry"][:, None, None] * x + wet * acc, {"xtail": new_tail}
+        wet = mix_coef("wet") / float(voices)
+        return mix_coef("dry") * x + wet * acc, {"xtail": new_tail}
     if kind == "convreverb":
         from whitebox_tpu.effects.reverb import fft_convolve_chunk
 
         (L,) = static
         ir_f = params["ir_f"] if "ir_f" in params else _conv_ir_f(params, L, Fc)
         wetsig, carry = fft_convolve_chunk(x, ir_f, L, state["carry"])
-        y = params["dry"][:, None, None] * x + params["wet"][:, None, None] * wetsig
+        y = mix_coef("dry") * x + mix_coef("wet") * wetsig
         return y, {"carry": carry}
     if kind == "saturator":
-        shaped = jnp.tanh(params["drive"][:, None, None] * x) * params["norm"][:, None, None]
-        m = params["mix"][:, None, None]
+        if "drive_db" in lanes:
+            drive = jnp.exp(jnp.float32(_LN10_20) * lanes["drive_db"])[:, None, :]
+            norm = 1.0 / jnp.tanh(drive)
+        else:
+            drive = params["drive"][:, None, None]
+            norm = params["norm"][:, None, None]
+        shaped = jnp.tanh(drive * x) * norm
+        m = mix_coef("mix")
         return m * shaped + (1.0 - m) * x, state
     if kind == "width":
         if C != 2:
             return x, state
+        w = lanes["width"] if "width" in lanes else params["width"][:, None]
         mid = 0.5 * (x[:, 0, :] + x[:, 1, :])
-        side = 0.5 * (x[:, 0, :] - x[:, 1, :]) * params["width"][:, None]
+        side = 0.5 * (x[:, 0, :] - x[:, 1, :]) * w
         return jnp.stack([mid + side, mid - side], axis=1), state
     raise ValueError(f"unknown effect kind {kind!r}")
 
@@ -328,6 +579,46 @@ def init_generic_states(fx: GenericFX, C: int):
         else []
     )
     return g_states, m_states
+
+
+#: per-stage-kind compile-cost weights: the scan-heavy kinds (log-depth
+#: associative scans whose XLA programs grow with chunk length) dominate
+#: compile time; memoryless kinds are ~free.
+_COMPILE_WEIGHT = {
+    "gain": 0, "saturator": 0, "width": 0,
+    "biquad": 1, "eq": 1, "convreverb": 1,
+    "delay": 2, "chorus": 2, "flanger": 2,
+    "compressor": 4, "limiter": 5, "gate": 4,
+}
+
+PARAM_BLOCK_MIN = 512  # chunks stay PARAM_BLOCK-aligned for TV stages
+
+
+def auto_chunk_frames(fx: GenericFX, requested: int = 1 << 16) -> int:
+    """Chunk length for the generic scan, bounded by chain compile cost.
+
+    A compressor chain traced at 1<<17 frames compiles pathologically
+    (>9 min on CPU — the associative-scan program grows superlinearly with
+    chunk length), while small chunks only add lax.scan iterations *inside
+    the same jitted program* (no extra dispatches). So: weigh the session's
+    stages and shrink the chunk as cost grows. Closes the
+    init-once/process-many contract (plugin_interface.h:142) without
+    per-session folklore."""
+    cost = 0
+    groups = list(fx.groups) + ([fx.master] if fx.master is not None else [])
+    for g in groups:
+        for (kind, static, params) in g.stages:
+            w = _COMPILE_WEIGHT.get(kind, 3)
+            if "auto" in params:
+                w += 1  # lane evaluation + TV redesign add program size
+            cost += w
+    if cost <= 2:
+        cap = 1 << 16
+    elif cost <= 10:
+        cap = 1 << 14
+    else:
+        cap = 1 << 13
+    return max(min(requested, cap), PARAM_BLOCK_MIN)
 
 
 def _chunk_step(fx: GenericFX, xc, g_states, m_states, gparams, mparams, start,
@@ -400,10 +691,12 @@ def make_generic_chunk_fn(fx: GenericFX, T: int, C: int, *, chunk: int,
     return call
 
 
-def make_generic_stems_finisher(fx: GenericFX, T: int, C: int, *, chunk: int = 1 << 16):
+def make_generic_stems_finisher(fx: GenericFX, T: int, C: int, *, chunk: int | None = None):
     """Stems form: fn(per_track [T, C, F], track_gain, auto) -> [T, C, F]
     post-chain post-gain (the track.cpp:728-733 feed point) — generic-chain
     counterpart of render/stems.stems_finish."""
+    if chunk is None:
+        chunk = auto_chunk_frames(fx)
     sample_rate = fx.sample_rate
     gp0, mp0 = device_params(fx)
 
@@ -434,10 +727,13 @@ def make_generic_stems_finisher(fx: GenericFX, T: int, C: int, *, chunk: int = 1
     return lambda per_track, track_gain, auto=None: jfinish(per_track, track_gain, gp0, auto)
 
 
-def make_generic_finisher(fx: GenericFX, T: int, C: int, *, chunk: int = 1 << 16,
+def make_generic_finisher(fx: GenericFX, T: int, C: int, *, chunk: int | None = None,
                           with_meters: bool = False, valid_frames: int | None = None):
     """Build fn(per_track [T, C, F], track_gain, auto) -> mixed [C, F]
-    (or (mixed, meters)). One jitted lax.scan over frame chunks."""
+    (or (mixed, meters)). One jitted lax.scan over frame chunks; ``chunk``
+    defaults to the compile-cost-bounded auto_chunk_frames."""
+    if chunk is None:
+        chunk = auto_chunk_frames(fx)
     gp0, mp0 = device_params(fx)
 
     def finish(per_track, track_gain, gparams, mparams, auto=None):
@@ -484,18 +780,43 @@ def make_generic_finisher(fx: GenericFX, T: int, C: int, *, chunk: int = 1 << 16
 # ---------------------------------------------------------------------------
 
 
+def _ref_lane_values(lane, default: float, g: np.ndarray, sample_rate: float,
+                     beat_duration: float) -> np.ndarray:
+    """Host lane evaluation at frames ``g`` -> f64 values (f32 lane eval,
+    widened — mirroring the device's f32 lane evaluation)."""
+    from whitebox_tpu.ops.automation import eval_lane_numpy, lane_frame_table
+
+    P = max(len(lane.points), 1) if lane is not None else 1
+    xs, ys, cv, tn = lane_frame_table(lane, sample_rate, beat_duration, P, float(default))
+    return eval_lane_numpy(xs, ys, cv, tn, g).astype(np.float64)
+
+
+def _ref_db_to_lin(db: np.ndarray) -> np.ndarray:
+    """f64 dB->linear with the -72 dB silence floor (automation spec)."""
+    return np.where(np.asarray(db) > -72.0, 10.0 ** (np.asarray(db, np.float64) / 20.0), 0.0)
+
+
+def _ref_time_coef(t_s: np.ndarray, sample_rate: float) -> np.ndarray:
+    t = np.asarray(t_s, np.float64)
+    with np.errstate(divide="ignore"):
+        return np.where(t <= 0.0, 0.0, np.exp(-1.0 / np.maximum(t * sample_rate, 1e-12)))
+
+
 def reference_generic_finish(per_track: np.ndarray, session: Session, sample_rate: float,
                              channels: int = 2) -> np.ndarray:
     """Sequential host reference: per-effect f64 reference models, f64
     gains/sum, hard clip. Mirrors reference_finish_mix but supports the
-    full effect family."""
+    full effect family, including timed effect-param lanes (per-frame for
+    elementwise params; per-PARAM_BLOCK coefficient redesign for
+    biquad/EQ, TDF2 state carried across changes)."""
     from whitebox_tpu.ops import delay as dl
     from whitebox_tpu.ops import dynamics as dyn
-    from whitebox_tpu.ops.biquad import biquad_sequential
+    from whitebox_tpu.ops.biquad import PARAM_BLOCK, biquad_sequential, biquad_sequential_tv
 
     chains, master = _chains_of(session)
+    bd = session.beat_duration
 
-    def run_chain(chain, x):
+    def run_chain(chain, x, eff_lanes=None):
         from whitebox_tpu.effects.base import EffectChain
         from whitebox_tpu.effects.delay import Chorus, Delay
         from whitebox_tpu.effects.dynamics import Compressor, Limiter, NoiseGate
@@ -508,36 +829,94 @@ def reference_generic_finish(per_track: np.ndarray, session: Session, sample_rat
             return x
         chain.prepare(sample_rate, channels)
         effs = chain.effects if isinstance(chain, EffectChain) else list(chain)
-        for e in effs:
+        F = x.shape[-1]
+        gf = np.arange(F, dtype=np.int64)
+        K = max(F // PARAM_BLOCK, 1)
+        gk = np.arange(K, dtype=np.int64) * PARAM_BLOCK
+
+        def lane_vals(pos, name, default, g=None):
+            lane = (eff_lanes or {}).get((pos, name))
+            if lane is None:
+                return None
+            return _ref_lane_values(lane, default, gf if g is None else g, sample_rate, bd)
+
+        def lane_or(pos, name, default, g=None):
+            v = lane_vals(pos, name, default, g)
+            return default if v is None else v
+
+        def coeff_lane(pos, name, default):
+            return np.broadcast_to(
+                np.asarray(lane_or(pos, name, float(default), gk), np.float64), (K,)
+            )
+
+        for pos, e in enumerate(effs):
+            slot_auto = any(s == pos for (s, _) in (eff_lanes or {}).keys())
             if isinstance(e, Gain):
-                x = x * float(e.gain_linear)
+                v = lane_vals(pos, "gain_db", e.gain_db)
+                x = x * (_ref_db_to_lin(v) if v is not None else float(e.gain_linear))
             elif isinstance(e, Biquad):
-                x, _ = biquad_sequential(x, e.coeffs)
+                if slot_auto:
+                    x, _ = biquad_sequential_tv(
+                        x, e.ftype, coeff_lane(pos, "freq_hz", e.freq_hz),
+                        coeff_lane(pos, "q", e.q), coeff_lane(pos, "gain_db", e.gain_db),
+                        sample_rate, PARAM_BLOCK,
+                    )
+                else:
+                    x, _ = biquad_sequential(x, e.coeffs)
             elif isinstance(e, ParametricEQ):
-                for c in e.coeffs:
-                    x, _ = biquad_sequential(x, c)
+                if slot_auto:
+                    for b, (t, f, q, g_) in enumerate(e.bands):
+                        x, _ = biquad_sequential_tv(
+                            x, t, coeff_lane(pos, f"b{b}.freq_hz", f),
+                            coeff_lane(pos, f"b{b}.q", q),
+                            coeff_lane(pos, f"b{b}.gain_db", g_),
+                            sample_rate, PARAM_BLOCK,
+                        )
+                else:
+                    for c in e.coeffs:
+                        x, _ = biquad_sequential(x, c)
             elif isinstance(e, Compressor):
                 p = e.param_arrays()
-                x = dyn.compressor_ref(x, threshold_db=p["threshold_db"], ratio=p["ratio"],
-                                       knee_db=p["knee_db"], attack=p["attack"], release=p["release"],
-                                       makeup_db=p["makeup_db"], detector=e.detector, det_avg=p["det_avg"])
+                av = lane_vals(pos, "attack_s", e.attack_s)
+                rv = lane_vals(pos, "release_s", e.release_s)
+                x = dyn.compressor_ref(
+                    x,
+                    threshold_db=lane_or(pos, "threshold_db", p["threshold_db"]),
+                    ratio=lane_or(pos, "ratio", p["ratio"]),
+                    knee_db=lane_or(pos, "knee_db", p["knee_db"]),
+                    attack=p["attack"] if av is None else _ref_time_coef(av, sample_rate),
+                    release=p["release"] if rv is None else _ref_time_coef(rv, sample_rate),
+                    makeup_db=lane_or(pos, "makeup_db", p["makeup_db"]),
+                    detector=e.detector, det_avg=p["det_avg"],
+                )
             elif isinstance(e, Limiter):
                 p = e.param_arrays()
-                x = dyn.limiter_ref(x, ceiling_db=p["ceiling_db"], attack=p["attack"],
-                                    release=p["release"], lookahead=e.lookahead)
+                av = lane_vals(pos, "attack_s", e.attack_s)
+                rv = lane_vals(pos, "release_s", e.release_s)
+                x = dyn.limiter_ref(
+                    x, ceiling_db=lane_or(pos, "ceiling_db", p["ceiling_db"]),
+                    attack=p["attack"] if av is None else _ref_time_coef(av, sample_rate),
+                    release=p["release"] if rv is None else _ref_time_coef(rv, sample_rate),
+                    lookahead=e.lookahead,
+                )
             elif isinstance(e, NoiseGate):
                 p = e.param_arrays()
-                x = dyn.gate_ref(x, threshold_db=p["threshold_db"], range_db=p["range_db"],
-                                 attack=p["attack"], release=p["release"])
+                av = lane_vals(pos, "attack_s", e.attack_s)
+                rv = lane_vals(pos, "release_s", e.release_s)
+                x = dyn.gate_ref(
+                    x, threshold_db=lane_or(pos, "threshold_db", p["threshold_db"]),
+                    range_db=lane_or(pos, "range_db", p["range_db"]),
+                    attack=p["attack"] if av is None else _ref_time_coef(av, sample_rate),
+                    release=p["release"] if rv is None else _ref_time_coef(rv, sample_rate),
+                )
             elif isinstance(e, Delay):
                 if e.mode == "pingpong" and x.shape[0] == 2:
                     w = dl.comb_pingpong_ref(x, e.feedback, e.D)
                 else:
                     w = dl.comb_feedback_ref(x, e.feedback, e.D)
-                x = e.dry * x + e.wet * w
+                x = lane_or(pos, "dry", e.dry) * x + lane_or(pos, "wet", e.wet) * w
             elif isinstance(e, Chorus):  # covers Flanger
                 fs = sample_rate
-                F = x.shape[-1]
                 acc = np.zeros_like(x)
                 for v in range(e.voices):
                     taps = []
@@ -549,20 +928,27 @@ def reference_generic_finish(per_track: np.ndarray, session: Session, sample_rat
                         )
                         taps.append(dl.modulated_tap_ref(x[c], d.astype(np.float32).astype(np.float64)))
                     acc += np.stack(taps)
-                x = e.dry * x + (e.wet / e.voices) * acc
+                x = lane_or(pos, "dry", e.dry) * x + (lane_or(pos, "wet", e.wet) / e.voices) * acc
             elif isinstance(e, ConvolutionReverb):
                 ir = np.asarray(e._ir, np.float64)
                 wet = np.stack([np.convolve(x[c], ir[c % ir.shape[0]])[: x.shape[-1]]
                                 for c in range(x.shape[0])])
-                x = e.dry * x + e.wet * wet
+                x = lane_or(pos, "dry", e.dry) * x + lane_or(pos, "wet", e.wet) * wet
             elif isinstance(e, Saturator):
                 p = e.param_arrays()
-                shaped = np.tanh(p["drive"] * x) * p["norm"]
-                x = p["mix"] * shaped + (1.0 - p["mix"]) * x
+                dv = lane_vals(pos, "drive_db", e.drive_db)
+                if dv is not None:
+                    drive = 10.0 ** (dv / 20.0)
+                    norm = 1.0 / np.tanh(drive)
+                else:
+                    drive, norm = p["drive"], p["norm"]
+                m = lane_or(pos, "mix", p["mix"])
+                shaped = np.tanh(drive * x) * norm
+                x = m * shaped + (1.0 - m) * x
             elif isinstance(e, StereoWidth):
                 if x.shape[0] == 2:
                     mid = 0.5 * (x[0] + x[1])
-                    side = 0.5 * (x[0] - x[1]) * e.width
+                    side = 0.5 * (x[0] - x[1]) * lane_or(pos, "width", e.width)
                     x = np.stack([mid + side, mid - side])
             else:
                 raise TypeError(e)
@@ -571,17 +957,23 @@ def reference_generic_finish(per_track: np.ndarray, session: Session, sample_rat
     from whitebox_tpu.ops.automation import eval_lane_numpy, pack_session_automation, session_has_automation
 
     T, C, F = per_track.shape
+
+    def track_lanes(t):
+        a = session.tracks[t].automation
+        return a.effects if (a is not None and a.effects) else None
+
     processed = np.stack([
-        run_chain(chains[t], per_track[t].astype(np.float64)) for t in range(T)
+        run_chain(chains[t], per_track[t].astype(np.float64), track_lanes(t)) for t in range(T)
     ])
 
     g = np.arange(F, dtype=np.int64)
     auto_tables = pack_session_automation(session, sample_rate) if session_has_automation(session) else None
 
     # gains + ordered sum (f64), master chain, clip — mirror reference_finish_mix
+    # (tracks with *only* effect lanes keep the bit-parity constant gains)
     total = np.zeros((C, F), dtype=np.float64)
     for t, track in enumerate(session.tracks):
-        if track.automation is not None and auto_tables is not None:
+        if track.automation is not None and track.automation.has_track_lanes() and auto_tables is not None:
             vol_t, pan_t, mute = auto_tables
             volv = eval_lane_numpy(vol_t["xs"][t], vol_t["ys"][t], vol_t["cv"][t], vol_t["tn"][t], g)
             panv = eval_lane_numpy(pan_t["xs"][t], pan_t["ys"][t], pan_t["cv"][t], pan_t["tn"][t], g)
@@ -594,5 +986,6 @@ def reference_generic_finish(per_track: np.ndarray, session: Session, sample_rat
             pan = track.pan_coeffs
             for ch in range(C):
                 total[ch] += processed[t][ch] * float(np.float32(vol * np.float32(pan[ch % 2])))
-    total = run_chain(master, total) if master is not None else total
+    mlanes = dict(getattr(session, "master_automation", {}) or {}) or None
+    total = run_chain(master, total, mlanes) if master is not None else total
     return np.clip(total, -1.0, 1.0).astype(np.float32)

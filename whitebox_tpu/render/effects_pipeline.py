@@ -190,7 +190,7 @@ def reference_finish_mix(per_track: np.ndarray, session: Session, sample_rate: f
     total = np.zeros((C, F), dtype=np.float64)
     for t, track in enumerate(session.tracks):
         buf = run_chain(chains[t], per_track[t].astype(np.float64))
-        if track.automation is not None and auto_tables is not None:
+        if track.automation is not None and track.automation.has_track_lanes() and auto_tables is not None:
             vol_t, pan_t, mute = auto_tables
             volv = eval_lane_numpy(vol_t["xs"][t], vol_t["ys"][t], vol_t["cv"][t], vol_t["tn"][t], g)
             panv = eval_lane_numpy(pan_t["xs"][t], pan_t["ys"][t], pan_t["cv"][t], pan_t["tn"][t], g)
@@ -259,8 +259,12 @@ def prepare_automation_tables(session: Session, sample_rate: float):
     if not session_has_automation(session):
         return None
     vol, pan, mute = pack_session_automation(session, sample_rate)
+    # only volume/pan lanes switch a track to the per-frame gain path;
+    # tracks that automate *effect* params only keep the bit-parity
+    # constant-fader gains
     use_auto = jnp.asarray(
-        np.array([t.automation is not None for t in session.tracks], dtype=bool)
+        np.array([t.automation is not None and t.automation.has_track_lanes()
+                  for t in session.tracks], dtype=bool)
     )
     volj = {k: jnp.asarray(v) for k, v in vol.items()}
     panj = {k: jnp.asarray(v) for k, v in pan.items()}

@@ -57,7 +57,14 @@ def render_stems(
     """Render all tracks to stems [T, C, F] (+ track names).
 
     ``interpolation`` matches bounce: "linear" | "catmull" | "sinc" (the
-    oversampled-pool form)."""
+    oversampled-pool form).
+
+    Resampled rows carve as closed-form runs here (for the Pallas plan);
+    if the plan fails and the XLA gather fallback renders them, phases are
+    the closed-form values rather than the blockwise sequentially-rounded
+    ones — inside the documented 2.4e-7 resampling contract, but not
+    bit-parity with ``bounce(engine="xla")``. speed==1 stems are always
+    bit-exact."""
     from whitebox_tpu.ops.mix import pack_device_tables, render_chunk_per_track
     from whitebox_tpu.render.bounce import _add_synth, _prepare_synth_tables, _session_has_midi
     from whitebox_tpu.render.effects_pipeline import prepare_automation_tables, prepare_effect_tables

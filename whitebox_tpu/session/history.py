@@ -44,21 +44,28 @@ class _TrackSnapshot:
     mute: bool
     solo: bool
     name: str
+    automation: object = None  # deep copy of TrackAutomation (lanes are tiny)
 
     @staticmethod
     def capture(session: Session, index: int) -> "_TrackSnapshot":
+        import copy
+
         t = session.tracks[index]
         return _TrackSnapshot(
             index=index, clips=[c.clone() for c in t.clips],
             volume_db=t.volume_db, pan=t.pan, mute=t.mute, solo=t.solo, name=t.name,
+            automation=copy.deepcopy(t.automation),
         )
 
     def restore(self, session: Session) -> None:
+        import copy
+
         t = session.tracks[self.index]
         t.clips = [c.clone() for c in self.clips]
         t.volume_db, t.pan, t.mute, t.solo, t.name = (
             self.volume_db, self.pan, self.mute, self.solo, self.name,
         )
+        t.automation = copy.deepcopy(self.automation)
 
 
 # ---- clip commands (command.h: ClipMoveCmd, ClipResizeCmd, ClipDeleteCmd,
@@ -387,6 +394,41 @@ class TrackSetParam(Command):
             t.pan = self.pan
         if self.mute is not None:
             t.mute = self.mute
+
+
+@dataclass
+class SetEffectAutomation(Command):
+    """Set or clear one timed effect-param lane on a track's chain — the
+    undoable edit over the param_changes.h-analogue automation surface
+    (ops.automation.TrackAutomation.effects)."""
+
+    name = "set effect automation"
+    track_idx: int = 0
+    slot: int = 0
+    param: str = ""
+    #: [(x_beats, y, curve, tension), ...], or None to clear the lane
+    points: Optional[list] = None
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        from whitebox_tpu.ops.automation import (
+            AutomationLane, CurveType, EnvelopePoint, TrackAutomation,
+        )
+
+        t = session.tracks[self.track_idx]
+        key = (self.slot, self.param)
+        if self.points is None:
+            if t.automation is not None:
+                t.automation.effects.pop(key, None)
+            return
+        if t.automation is None:
+            t.automation = TrackAutomation()
+        t.automation.effects[key] = AutomationLane([
+            EnvelopePoint(float(x), float(y), CurveType(int(c)), float(tn))
+            for (x, y, c, tn) in self.points
+        ])
 
 
 # ---- note commands (NoteAddCmd/NoteDeleteCmd/NoteMoveCmd...) operate on a

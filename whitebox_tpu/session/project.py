@@ -192,6 +192,15 @@ def _lane_from_doc(docs):
     return AutomationLane([EnvelopePoint(float(p[0]), float(p[1]), CurveType(int(p[2])), float(p[3])) for p in docs])
 
 
+def _fx_lanes_from_doc(doc: dict) -> dict:
+    """{"slot:param": lane_doc} -> {(slot, param): AutomationLane}."""
+    out = {}
+    for key, lane_doc in doc.items():
+        slot, _, param = _as_str(key).partition(":")
+        out[(int(slot), param)] = _lane_from_doc(lane_doc)
+    return out
+
+
 def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
     sample_index: dict[int, int] = {}
     sample_paths: list[str] = []
@@ -204,13 +213,17 @@ def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
     for idx, asset in enumerate(session.midi_table.midi_assets):
         midi_index[id(asset)] = idx
         notes = asset.notes
-        midi_docs.append(
-            {
-                "min_note": notes.min_note,
-                "max_note": notes.max_note,
-                "notes": [[n.min_time, n.max_time, n.key, n.flags, float(n.velocity)] for n in notes],
-            }
-        )
+        mdoc = {
+            "min_note": notes.min_note,
+            "max_note": notes.max_note,
+            "notes": [[n.min_time, n.max_time, n.key, n.flags, float(n.velocity)] for n in notes],
+        }
+        if getattr(notes, "cc", None):
+            # extension keys: CC / poly-pressure events (event.h:41-62)
+            mdoc["cc"] = [[e.time, e.controller, float(e.value), e.channel] for e in notes.cc]
+        if getattr(notes, "poly_pressure", None):
+            mdoc["pp"] = [[e.time, e.key, float(e.pressure), e.channel] for e in notes.poly_pressure]
+        midi_docs.append(mdoc)
 
     track_docs = []
     for track in session.tracks:
@@ -252,6 +265,12 @@ def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
                 auto_doc["vol"] = _lane_to_doc(track.automation.volume)
             if track.automation.pan is not None:
                 auto_doc["pan"] = _lane_to_doc(track.automation.pan)
+            if track.automation.effects:
+                # timed effect-param lanes, keyed "slot:param"
+                auto_doc["fx"] = {
+                    f"{slot}:{param}": _lane_to_doc(lane)
+                    for (slot, param), lane in sorted(track.automation.effects.items())
+                }
             extras["auto"] = auto_doc
         track_docs.append(
             {
@@ -289,6 +308,11 @@ def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
     }
     if session.master_effects:
         doc["wbpr"]["master_fx"] = _chain_to_doc(session.master_effects)
+    if getattr(session, "master_automation", None):
+        doc["wbpr"]["master_auto"] = {
+            f"{slot}:{param}": _lane_to_doc(lane)
+            for (slot, param), lane in sorted(session.master_automation.items())
+        }
 
     blob = msgpack.packb(doc, use_bin_type=False, use_single_float=False)
     if hasattr(path, "write"):
@@ -360,10 +384,19 @@ def read_project(path, search_dirs: list | None = None) -> Session:
                     velocity=float(nd[4]),
                 )
             )
-        midi_assets.append(session.midi_table.create_midi(MidiNoteBuffer(notes)))
+        from whitebox_tpu.midi.notes import MidiCCEvent, MidiPolyPressureEvent
+
+        cc = [MidiCCEvent(float(e[0]), int(e[1]), float(e[2]), int(e[3]))
+              for e in m.get("cc", []) or []]
+        pp = [MidiPolyPressureEvent(float(e[0]), int(e[1]), float(e[2]), int(e[3]))
+              for e in m.get("pp", []) or []]
+        midi_assets.append(session.midi_table.create_midi(
+            MidiNoteBuffer(notes, cc=cc, poly_pressure=pp)))
 
     if project.get("master_fx"):
         session.master_effects = _chain_from_doc(project["master_fx"])
+    if project.get("master_auto"):
+        session.master_automation = _fx_lanes_from_doc(project["master_auto"])
 
     for t in project.get("tracks", []) or []:
         track = Track(
@@ -385,6 +418,7 @@ def read_project(path, search_dirs: list | None = None) -> Session:
             track.automation = TrackAutomation(
                 volume=_lane_from_doc(a["vol"]) if a.get("vol") else None,
                 pan=_lane_from_doc(a["pan"]) if a.get("pan") else None,
+                effects=_fx_lanes_from_doc(a.get("fx") or {}),
             )
         for j, c in enumerate(t.get("clips", []) or []):
             ctype = ClipType(int(c.get("type", 0)))

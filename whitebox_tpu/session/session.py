@@ -75,6 +75,10 @@ class Session:
         #: master-bus effect chain — an extension over the reference's flat
         #: track sum (engine.cpp:1600-1617 has no master effects, SURVEY §2.9).
         self.master_effects: list = []
+        #: timed master-chain effect-param lanes, keyed (slot, param) like
+        #: TrackAutomation.effects (the plugin param-queue analogue,
+        #: param_changes.h:56-115).
+        self.master_automation: dict = {}
 
     # ---- transport / tempo (engine.cpp:24-41) ----
 

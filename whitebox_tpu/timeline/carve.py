@@ -429,10 +429,18 @@ def _carve_track_audio(
                             rev, o, stalls = False, playback_speed, 0
                     else:
                         nxt = emit_slow_span(pos, ge, o) if not rev else emit_reverse_span(pos, ge, o)
-                        if nxt >= ge or nxt <= pos:
+                        if nxt >= ge:
                             break
+                        if nxt <= pos:
+                            # zero-progress pass (degenerate clip: speed >
+                            # count-1 exhausts the source within one frame);
+                            # flip direction like the oracle / speed==1
+                            # branch, up to the same 2-stall limit
+                            rev, o = not rev, playback_speed
+                            stalls += 1
+                            continue
                         pos = nxt
-                        rev, o = not rev, playback_speed
+                        rev, o, stalls = not rev, playback_speed, 0
             else:  # pragma: no cover
                 raise ValueError(f"unknown clip mode {mode!r}")
 
