@@ -156,3 +156,60 @@ class TestPackDeviceTablesVectorized:
         # ~0.14s standalone. A per-row Python loop regression would be 30s+
         # here, so a loose bound still guards the regression.
         assert dt < 5.0, f"pack took {dt:.3f}s for {len(table)} rows"
+
+
+class TestMergeSlowRuns:
+    """_merge_slow_runs phase-continuity tolerance scales with f64 spacing
+    (a fixed 1e-6 epsilon was shape-dependent at high source offsets)."""
+
+    def _table(self, x0s, L=512, speed=0.9188):
+        from whitebox_tpu.timeline.carve import SegmentTable
+
+        n = len(x0s)
+        return SegmentTable(
+            track=np.zeros(n, np.int32),
+            dst_start=np.asarray([i * L for i in range(n)], np.int32),
+            length=np.full(n, L, np.int32),
+            sample_id=np.zeros(n, np.int32),
+            src_int=np.asarray([int(np.floor(x)) for x in x0s], np.int32),
+            src_frac=np.asarray([x - np.floor(x) for x in x0s], np.float64),
+            speed=np.full(n, speed, np.float64),
+            gain=np.ones(n, np.float32),
+            fast=np.zeros(n, bool), clamp=np.zeros(n, bool),
+            clip_id=np.zeros(n, np.int32),
+            fin_start=np.full(n, -(1 << 30), np.int32), fin_inv=np.ones(n, np.float32),
+            fout_end=np.full(n, 1 << 30, np.int32), fout_inv=np.ones(n, np.float32),
+            num_tracks=1, total_frames=n * L, buffer_size=L,
+        )
+
+    def _seq_phases(self, x0, n, L=512, speed=0.9188):
+        xs = []
+        x = np.float64(x0)
+        for _ in range(n):
+            xs.append(float(x))
+            x = x + L * speed
+        return xs
+
+    def test_extreme_offset_contiguous_merges(self):
+        from whitebox_tpu.ops.mix_pallas import _merge_slow_runs
+
+        # phase ~1.5e8 samples (a ~52-minute 48k source) — f64 spacing is
+        # ~3e-8; sequential per-block accumulation must still merge
+        runs = _merge_slow_runs(self._table(self._seq_phases(1.5e8 + 0.37, 6)))
+        assert len(runs) == 1
+
+    def test_extreme_offset_phase_jump_breaks(self):
+        from whitebox_tpu.ops.mix_pallas import _merge_slow_runs
+
+        xs = self._seq_phases(1.5e8 + 0.37, 6)
+        xs[3] += 8e-7  # sub-1e-6 discontinuity: the old absolute epsilon
+        # would have silently merged (a false phase continue); the jump
+        # breaks continuity on both sides of row 3
+        runs = _merge_slow_runs(self._table(xs))
+        assert len(runs) == 3
+
+    def test_low_offset_keeps_old_behavior(self):
+        from whitebox_tpu.ops.mix_pallas import _merge_slow_runs
+
+        runs = _merge_slow_runs(self._table(self._seq_phases(1000.25, 8)))
+        assert len(runs) == 1

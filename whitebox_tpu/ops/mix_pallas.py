@@ -98,12 +98,19 @@ def _merge_slow_runs(table: SegmentTable):
 
     brk = np.ones(idx.size, dtype=bool)
     if idx.size > 1:
+        # phase-continuity tolerance scales with the f64 spacing at the
+        # phase magnitude (per-block accumulation rounds a few ulps per
+        # block): a fixed absolute epsilon would go shape-dependent at
+        # high source offsets (phase ~1e8 has ulp 1.5e-8) and falsely
+        # break for very long samples where spacing exceeds it
+        x1 = x0[:-1] + ln[:-1] * sp[:-1]
+        tol = np.maximum(16.0 * np.spacing(np.maximum(np.abs(x1), np.abs(x0[1:]))), 1e-9)
         cont = (
             (trk[1:] == trk[:-1]) & (sid[1:] == sid[:-1]) & (sp[1:] == sp[:-1])
             & (gn[1:] == gn[:-1]) & (fis[1:] == fis[:-1]) & (fii[1:] == fii[:-1])
             & (foe[1:] == foe[:-1]) & (foi[1:] == foi[:-1])
             & (d0[1:] == d0[:-1] + ln[:-1])
-            & (np.abs((x0[:-1] + ln[:-1] * sp[:-1]) - x0[1:]) < 1e-6)
+            & (np.abs(x1 - x0[1:]) < tol)
         )
         brk[1:] = ~cont
     starts = np.nonzero(brk)[0]
@@ -140,10 +147,6 @@ def build_plan(
 
     fast_mask = table.fast if len(table) else np.zeros(0, dtype=bool)
     any_slow = bool((~fast_mask).any()) if len(table) else False
-    if len(table) and bool((table.speed < 0).any()):
-        # reverse playback (clip loop-mode extensions): the slow path's
-        # window/span math assumes forward motion; ride the XLA gather path
-        raise SlowRowsPresent("reverse-playback rows are not pallas-planned")
 
     # ---- slow slots: merged runs split per tile and per span limit,
     #      expanded vectorized (runs -> tile segments -> max_len sub-slots) ----
@@ -162,7 +165,9 @@ def build_plan(
         fii_r = np.array([r["fii"] for r in runs], np.float32)
         foe_r = np.array([r["foe"] for r in runs], np.int64)
         foi_r = np.array([r["foi"] for r in runs], np.float32)
-        maxlen_r = np.maximum(((span_limit - 2) / sp_r).astype(np.int64), 1)
+        # reverse rows (negative speed — LOOP_REVERSE / BIDIRECTIONAL) span
+        # the same source width per output frame; bound by |speed|
+        maxlen_r = np.maximum(((span_limit - 2) / np.abs(sp_r)).astype(np.int64), 1)
 
         def _expand(starts, reps):
             tot = int(reps.sum())
@@ -303,7 +308,7 @@ def build_plan(
         k_v = cursor[ti_v, trk_v].astype(np.int64) + rank
 
         g0_v = ti_v * tile
-        span_v = np.ceil(slow["frac"] + (slow["me"] - slow["ms"]) * slow["speed"]).astype(np.int64) + 2
+        span_v = np.ceil(slow["frac"] + (slow["me"] - slow["ms"]) * np.abs(slow["speed"])).astype(np.int64) + 2
         fh, fl = split_f64(slow["frac"])
         sh, sl = split_f64(slow["speed"])
 
@@ -322,13 +327,22 @@ def build_plan(
         fin_inv[idx] = slow["fii"]
         fout_end[idx] = np.minimum(slow["foe"] - g0_v, 1 << 30)
         fout_inv[idx] = slow["foi"]
+        # reverse slots advance toward LOWER source indices: align the DMA
+        # window at the slot's *lowest* touched position (the phase at the
+        # last output frame) so in-window indices m = ixl + delta stay >= 0;
+        # forward slots keep disp == 0
+        disp_v = np.where(
+            slow["speed"] < 0.0,
+            np.floor((slow["me"] - slow["ms"] - 1).astype(np.float64) * slow["speed"]),
+            0.0,
+        ).astype(np.int64)
         for ch in range(channels):
             w = pool.channel_base[slow["sid"], ch].astype(np.int64) + slow["src_i"]
             # rebase the window four samples early so every early
             # interpolation tap (catmull m-1, poly m-2) is in-window
-            # (delta in [4, 1027]; the pool's lead guard keeps w-4 >= 0);
-            # transparent to the linear path
-            w_al = ((w - 4) // 1024) * 1024
+            # (delta in [4, 1027] forward, [span+4, span+1027] reverse; the
+            # pool's lead guard keeps w-4 >= 0); transparent to linear
+            w_al = ((w + disp_v - 4) // 1024) * 1024
             row_al[ti_v, trk_v, k_v, ch] = w_al // 128
             delta[ti_v, trk_v, k_v, ch] = w - w_al
 
@@ -441,10 +455,13 @@ def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, interp: str, row_al_
                         ixl, fx = phase_eval(j, fh, fl, sh, sl)
                         m = ixl + delta
                         # scalar chunk bounds from the group-edge phases
+                        # (min/max: reverse slots descend, forward ascend)
                         ix0, _ = phase_eval(jnp.maximum(base - ms_k, 0), fh, fl, sh, sl)
                         ixe, _ = phase_eval(jnp.maximum(base + G * 128 - 1 - ms_k, 0), fh, fl, sh, sl)
-                        q0 = jnp.clip((ix0 - lo_tap + delta) >> 7, 0, R + 15)
-                        q1 = jnp.clip(((ixe + hi_tap + delta) >> 7) + 1, q0 + 1, R + 16)
+                        lo_ix = jnp.minimum(ix0, ixe)
+                        hi_ix = jnp.maximum(ix0, ixe)
+                        q0 = jnp.clip((lo_ix - lo_tap + delta) >> 7, 0, R + 15)
+                        q1 = jnp.clip(((hi_ix + hi_tap + delta) >> 7) + 1, q0 + 1, R + 16)
                         qs = [(m + kk) >> 7 for kk in taps]
                         rs = [(m + kk) & 127 for kk in taps]
 
