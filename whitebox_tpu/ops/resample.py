@@ -190,6 +190,7 @@ def _resample_matmul_kernel(xp, M, qmax: int, P: int, W: int):
     A = xp[:, : (qmax + m1 - 1) * P].reshape(xp.shape[0], qmax + m1 - 1, P)
     Xr = jnp.concatenate([A[:, i : i + qmax] for i in range(m1)], axis=-1)  # [C, qmax, W]
     out2d = jnp.einsum("cqw,jw->cqj", Xr, M,
+                       precision=jax.lax.Precision.HIGHEST,  # TPU default is bf16
                        preferred_element_type=jnp.float32)  # [C, qmax, Q]
     return out2d.reshape(xp.shape[0], -1)
 

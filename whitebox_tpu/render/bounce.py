@@ -144,7 +144,23 @@ def bounce(
 
     sinc_bank = None
     interp = "linear"
-    if interpolation == "sinc" and engine == "xla" and len(table) and not table.fast.all():
+    pre_pool_dev = None
+    if interpolation == "sinc" and engine in ("auto", "pallas") and len(table) and not table.fast.all():
+        # primary sinc path: pre-render every resampled run with the exact
+        # polyphase matmul (MXU) into a speed-1 pool extension, then mix on
+        # the pure fast path (timeline/prerender.py). Falls back to the
+        # oversampled-pool form for non-rational/off-grid/reverse runs.
+        from whitebox_tpu.timeline.prerender import apply_prerender_device, plan_prerender
+
+        pplan = plan_prerender(table, pool)
+        if pplan is not None:
+            table, pool, pre_pool_dev = apply_prerender_device(table, pool, pplan)
+            _log.debug("sinc prerender: %d runs -> fast rows", len(pplan.runs))
+        else:
+            from whitebox_tpu.timeline.oversample import resolve_interpolation
+
+            table, pool, interp = resolve_interpolation(table, pool, "sinc")
+    elif interpolation == "sinc" and engine == "xla" and len(table) and not table.fast.all():
         # direct 32-tap windowed sinc (per-frame gathers; the slowest but
         # most literal definition — kept for comparison). abs: reverse rows
         # advance at -|speed| but alias just the same — the anti-alias
@@ -196,7 +212,7 @@ def bounce(
             from whitebox_tpu.render.effects_generic import session_fx_packable
 
             renderer = PallasMixRenderer(table, pool, session, channels=channels, plan=plan,
-                                         interp=interp)
+                                         interp=interp, pool_device=pre_pool_dev)
             if has_fx:
                 if not session_fx_packable(session):
                     # nonlinear / long-memory chains (dynamics, delays,
@@ -292,15 +308,18 @@ def bounce(
     from whitebox_tpu.ops.automation import session_has_automation
     from whitebox_tpu.render.effects_pipeline import session_has_effects
 
-    if engine != "xla" and len(table) and not table.fast.all():
+    if engine != "xla" and len(table) and (not table.fast.all() or pre_pool_dev is not None):
         # auto->xla fallback: the table was carved with slow_emit="runs"
         # (closed-form resampled rows) for the Pallas plan; the XLA gather
         # path's bit-parity contract needs the blockwise sequentially-
-        # rounded phases, so re-carve (slow_emit only affects slow rows)
+        # rounded phases, so re-carve (slow_emit only affects slow rows).
+        # A sinc-prerendered table also re-resolves here: its pool
+        # extension lives on device only.
         table, pool = carve_session(
             session, sample_rate, buffer_size=buffer_size, num_blocks=num_blocks,
             out_channels=channels, slow_emit="blocks",
         )
+        pre_pool_dev = None
         if sinc_bank is None and interpolation != "linear":
             from whitebox_tpu.timeline.oversample import resolve_interpolation
 

@@ -1,0 +1,465 @@
+"""Sinc playback via run pre-rendering — exact polyphase resampling on the
+MXU, then a pure fast-path mix.
+
+The oversample path (timeline/oversample.py) made sinc-quality playback
+~20x RT by shrinking the slow path's work; this module removes the slow
+path entirely. Observation: after carve's run merge, every resampled span
+is a *closed-form phase ramp* ``x(k) = x0 + k*speed``; when the speed is
+rational P/Q and the start phase sits on the 1/Q grid (true for every
+rate-conversion ratio — 44.1k/96k -> 48k — and for loop-accumulated
+offsets, which advance by multiples of P/Q from integer clip offsets), the
+positions are EXACTLY ``(N0 + k*P)/Q`` — Q fixed fractional phases, no
+phase-grid quantization.
+
+Because gcd(P, Q) = 1, ``N0`` decomposes as ``k0*P + c0*Q`` with
+``k0 = N0 * P^-1 mod Q``: every run is a window of the CANONICAL
+resampling ``y[n] = x(n*P/Q)`` of its source shifted by the integer c0,
+starting at output index k0 < Q. So one banded matrix per ratio
+
+    out2d[q, :] = M0 @ x[c0 + q*P - half + 1 : ... + W]      (W <= 2*P')
+
+renders every run (ops.resample.design_sinc_matrix's operator, start
+residue folded into the window base), all runs batch into a single MXU
+einsum per ratio, and the run's fast row simply starts ``src_int = k0``
+into its rendered buffer. The mix then runs the config-1 fast path
+(~1000x) and sinc quality costs one matmul pass instead of per-frame tap
+gathers. This is also a *quality* upgrade: the output is the exact
+Kaiser-sinc polyphase value, not the oversample+poly approximation.
+
+Runs with irrational speeds, off-grid phases, or reverse motion fall back
+to the oversample path (render.bounce dispatches).
+
+Reference scope: quality mode the reference abandoned (sampler.cpp:61-86);
+phases snap to the exact rational grid (carve's f64 accumulation deviates
+by <=1e-6/Q — inside the documented resampling contract).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, replace
+from fractions import Fraction
+
+import numpy as np
+
+from whitebox_tpu.timeline.carve import SegmentTable
+from whitebox_tpu.timeline.pool import _GUARD, SamplePool
+
+DEFAULT_TAPS = 32
+_QF = 16      # window rows per sub-run: one batched shape per ratio;
+              # per-run padding <= _QF*Qp - 1 frames, window overlap 1/_QF
+
+
+def _rational_speed(speed: float, max_den: int = 4096):
+    if not np.isfinite(speed) or speed <= 0.0:
+        return None
+    fr = Fraction(speed).limit_denominator(max_den)
+    if fr.numerator <= 0 or float(fr) != float(speed):
+        return None
+    return fr.numerator, fr.denominator
+
+
+@functools.lru_cache(maxsize=None)
+def _canonical_matrix(Pp: int, Qp: int, taps: int, atten_db: float, ratio_key: tuple):
+    """[Qp, Pp + taps] f32 canonical operator (+ f64 twin) for positions
+    (k*Pp)/Qp above an integer base; row j covers window column d_j + t.
+    The width is the band's true support (d_max < Pp), not a padded
+    power — a dense matmul over zeros would cost ~3x the FLOPs.
+
+    ``ratio_key`` = (P, Q) of the unscaled speed — sets the anti-alias
+    cutoff (downsampling lowers it)."""
+    from whitebox_tpu.ops.resample import _design_rows
+
+    P, Q = ratio_key
+    j = np.arange(Qp, dtype=np.int64)
+    num = j * Pp
+    d = num // Qp
+    fr = (num % Qp).astype(np.float64) / Qp
+    rows = _design_rows(fr, P / Q, taps, atten_db)  # [Qp, taps] f64
+    W = Pp + taps
+    assert int(d.max()) + taps <= W, (int(d.max()), Pp)
+    M = np.zeros((Qp, W), dtype=np.float64)
+    for jj in range(Qp):
+        M[jj, d[jj] : d[jj] + taps] = rows[jj]
+    return M.astype(np.float32), M
+
+
+@dataclass
+class _RunPlan:
+    trk: int
+    d0: int          # destination start frame
+    L: int           # destination length
+    sid: int         # source sample id
+    c0: int          # integer source shift (N0 = k0*P + c0*Q)
+    k0: int          # canonical output offset (< Q) -> the fast row's src_int
+    Pp: int
+    Qp: int
+    nsub: int        # sub-runs of _QF window rows covering k0 + L outputs
+    gain: float
+    fis: int
+    fii: float
+    foe: int
+    foi: float
+    new_sid: int = -1
+    ext_base: int = -1     # channel-0 offset inside the ext region
+    sub0: int = -1         # first sub-run index within the group batch
+    stride_group: int = 0  # channel separation (n_sub_g * _QF * Qp)
+
+
+@dataclass
+class PrerenderPlan:
+    runs: list            # group-major order (== ext layout order)
+    groups: list          # [(Pp, Qp, ratio_key, n_subruns)] in layout order
+    ext_len: int          # total appended samples (128-aligned)
+    guard: int            # device read-guard needed past the base pool
+    taps: int
+    atten_db: float
+
+
+def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TAPS,
+                   atten_db: float = 90.0) -> PrerenderPlan | None:
+    """Host planning: merge slow rows into runs and check every run is an
+    exact rational phase ramp. Returns None when any run isn't (caller
+    falls back to the oversample path).
+
+    Ext layout is group-major (one group per distinct ratio) and
+    channel-major within a group: the group's rendered batch transposed to
+    [C, n_sub, _QF*Qp] *is* its ext segment, so assembly is a handful of
+    reshapes regardless of run count."""
+    from whitebox_tpu.ops.mix_pallas import _merge_slow_runs
+
+    if not len(table) or table.fast.all():
+        return None
+    runs_raw = _merge_slow_runs(table)
+    if not runs_raw:
+        return None
+
+    half = taps // 2
+    C = pool.channel_base.shape[1]
+
+    # vectorized per-run arithmetic: rationalize each DISTINCT speed once,
+    # then batch the modular phase decomposition (thousands of runs would
+    # otherwise pay a Python Fraction + pow() each)
+    speeds = np.array([r["speed"] for r in runs_raw])
+    x0s = np.array([r["x0"] for r in runs_raw])
+    uniq = {}
+    for sp in np.unique(speeds):
+        pq = _rational_speed(float(sp))
+        if pq is None:
+            return None
+        P, Q = pq
+        s = 1
+        while s * P < taps:  # the window trick needs taps <= Pp
+            s *= 2
+        uniq[float(sp)] = (P, Q, s, pow(P, -1, Q))
+    P_a = np.array([uniq[float(sp)][0] for sp in speeds], np.int64)
+    Q_a = np.array([uniq[float(sp)][1] for sp in speeds], np.int64)
+    s_a = np.array([uniq[float(sp)][2] for sp in speeds], np.int64)
+    Pinv_a = np.array([uniq[float(sp)][3] for sp in speeds], np.int64)
+    N0f = x0s * Q_a
+    N0 = np.round(N0f).astype(np.int64)
+    if np.max(np.abs(N0f - N0)) > 1e-6:
+        return None  # off the 1/Q grid: not an exact polyphase ramp
+    k0_a = (N0 % Q_a * Pinv_a) % Q_a
+    c0_a = (N0 - k0_a * P_a) // Q_a
+    L_a = np.array([r["end"] - r["d0"] for r in runs_raw], np.int64)
+    nsub_a = -(-(k0_a + L_a) // (_QF * s_a * Q_a))
+
+    plans = [
+        _RunPlan(
+            trk=r["trk"], d0=r["d0"], L=int(L_a[i]), sid=r["sid"],
+            c0=int(c0_a[i]), k0=int(k0_a[i]),
+            Pp=int(s_a[i] * P_a[i]), Qp=int(s_a[i] * Q_a[i]), nsub=int(nsub_a[i]),
+            gain=r["gain"], fis=r["fis"], fii=r["fii"], foe=r["foe"], foi=r["foi"],
+        )
+        for i, r in enumerate(runs_raw)
+    ]
+
+    # group-major layout: one group per ratio; channel-major inside
+    by_shape: dict[tuple, list[_RunPlan]] = {}
+    for p, r in zip(plans, runs_raw):
+        key = (p.Pp, p.Qp, _rational_speed(r["speed"]))
+        by_shape.setdefault(key, []).append(p)
+    ordered: list[_RunPlan] = []
+    groups = []
+    ext_off = 0
+    for key in sorted(by_shape.keys()):
+        runs = by_shape[key]
+        Pp, Qp, ratio_key = key
+        stride = _QF * Qp  # frames per sub-run buffer
+        if stride % 128:
+            return None  # layout needs 128-aligned sub-run buffers
+        n_sub_g = sum(p.nsub for p in runs)
+        sub = 0
+        for p in runs:
+            p.sub0 = sub
+            # channel-major: channel ch of sub-run j lives at
+            # ext_origin + ext_base_of_group + (ch*n_sub_g + j)*stride
+            p.ext_base = ext_off + sub * stride
+            sub += p.nsub
+        for p in runs:
+            p.stride_group = n_sub_g * stride  # channel separation
+        ordered.extend(runs)
+        groups.append((Pp, Qp, ratio_key, n_sub_g))
+        ext_off += n_sub_g * stride * C
+
+    # device read guard: the last sub-run's window may overshoot the pool
+    pool_len = pool.data.shape[0]
+    pool_len += (-pool_len) % 128
+    guard = 0
+    for p in plans:
+        for ch in range(C):
+            win_last = (int(pool.channel_base[p.sid, ch]) + p.c0 - (half - 1)
+                        + (p.nsub - 1) * _QF * p.Pp)
+            guard = max(guard, win_last + (_QF + 1) * p.Pp - pool_len)
+    guard += (-guard) % 128
+    return PrerenderPlan(runs=ordered, groups=groups, ext_len=ext_off,
+                         guard=max(guard, 0), taps=taps, atten_db=float(atten_db))
+
+
+def _rewrite(table: SegmentTable, pool: SamplePool, plan: PrerenderPlan,
+             ext_origin: int) -> tuple[SegmentTable, SamplePool]:
+    """Replace slow rows with fast rows into the ext region; extend pool
+    METADATA (data stays wherever the caller materialized it)."""
+    C = pool.channel_base.shape[1]
+    n_new = len(plan.runs)
+    base_sid = pool.num_samples
+    cb_new = np.zeros((n_new, C), dtype=np.int64)
+    counts_new = np.zeros(n_new, dtype=np.int64)
+    for i, p in enumerate(plan.runs):
+        p.new_sid = base_sid + i
+        for ch in range(C):
+            cb_new[i, ch] = ext_origin + p.ext_base + ch * p.stride_group
+        counts_new[i] = p.k0 + p.L
+
+    keep = table.fast
+
+    def cat(a, vals, dt):
+        return np.concatenate([a[keep], np.asarray(vals, dt)])
+
+    runs = plan.runs
+    table2 = SegmentTable(
+        track=cat(table.track, [p.trk for p in runs], np.int32),
+        dst_start=cat(table.dst_start, [p.d0 for p in runs], np.int32),
+        length=cat(table.length, [p.L for p in runs], np.int32),
+        sample_id=cat(table.sample_id, [p.new_sid for p in runs], np.int32),
+        src_int=cat(table.src_int, [p.k0 for p in runs], np.int32),
+        src_frac=cat(table.src_frac, [0.0] * len(runs), np.float64),
+        speed=cat(table.speed, [1.0] * len(runs), np.float64),
+        gain=cat(table.gain, [p.gain for p in runs], np.float32),
+        fast=cat(table.fast, [True] * len(runs), bool),
+        clamp=cat(table.clamp, [False] * len(runs), bool),
+        clip_id=cat(table.clip_id, [-1] * len(runs), np.int32),
+        fin_start=cat(table.fin_start, [p.fis for p in runs], np.int32),
+        fin_inv=cat(table.fin_inv, [p.fii for p in runs], np.float32),
+        fout_end=cat(table.fout_end, [p.foe for p in runs], np.int32),
+        fout_inv=cat(table.fout_inv, [p.foi for p in runs], np.float32),
+        num_tracks=table.num_tracks, total_frames=table.total_frames,
+        buffer_size=table.buffer_size,
+    )
+    order = np.lexsort((table2.dst_start, table2.track))
+    table2 = SegmentTable(
+        **{f: getattr(table2, f)[order] for f in (
+            "track", "dst_start", "length", "sample_id", "src_int", "src_frac",
+            "speed", "gain", "fast", "clamp", "clip_id",
+            "fin_start", "fin_inv", "fout_end", "fout_inv")},
+        num_tracks=table2.num_tracks, total_frames=table2.total_frames,
+        buffer_size=table2.buffer_size,
+    )
+    if ext_origin + plan.ext_len + _GUARD >= 2**31:
+        raise ValueError("prerendered pool exceeds int32 addressing")
+    pool2 = SamplePool(
+        data=pool.data,  # metadata extension only; see apply_prerender_*
+        channel_base=np.concatenate(
+            [pool.channel_base.astype(np.int64), cb_new]).astype(np.int32),
+        counts=np.concatenate([pool.counts, counts_new]),
+        rates=np.concatenate([pool.rates, np.full(n_new, 48000.0)]),
+        index_of=dict(pool.index_of),
+    )
+    return table2, pool2
+
+
+def _render_ext_body(pool2d, group_args, layout):
+    """TRACED: compute the prerendered full pool [rows, 128]."""
+    import jax
+    import jax.numpy as jnp
+
+    C, guard, groups, taps = layout
+    flat = pool2d.reshape(-1)
+    if guard:
+        flat = jnp.concatenate([flat, jnp.zeros(guard, jnp.float32)])
+    # one batched einsum per ratio; the transposed batch [C, n_sub, F]
+    # IS the group's ext segment (channel-major layout)
+    pieces = [pool2d.reshape(-1)]
+    for (Pp, Qp, _n), (starts_g, M) in zip(groups, group_args):
+        need = (_QF + 1) * Pp
+
+        def one(starts_c):
+            xp = jnp.stack([
+                jax.lax.dynamic_slice(flat, (starts_c[c],), (need,))
+                for c in range(C)
+            ])  # [C, need]
+            A = xp.reshape(C, _QF + 1, Pp)
+            # window = own P'-row + the next row's first `taps` columns
+            return jnp.concatenate([A[:, :_QF], A[:, 1:, :taps]], axis=-1)
+
+        Xr = jax.vmap(one)(starts_g)  # [n_sub, C, QF, Pp+taps]
+        # HIGHEST: the TPU default matmul precision is bf16, which
+        # floors the resampler at ~-60 dB; bf16x3 restores f32 quality
+        out = jnp.einsum("scqw,jw->scqj", Xr, M,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)  # [n_sub, C, QF, Qp]
+        pieces.append(out.reshape(out.shape[0], C, -1).transpose(1, 0, 2).reshape(-1))
+    # fresh tail guard: the mix kernel's fixed DMA windows read past
+    # the last ext buffer
+    pieces.append(jnp.zeros(_GUARD, jnp.float32))
+    full = jnp.concatenate(pieces)
+    pad = (-full.shape[0]) % 128
+    if pad:
+        full = jnp.concatenate([full, jnp.zeros(pad, jnp.float32)])
+    return full.reshape(-1, 128)
+
+
+def _render_ext_jit():
+    import jax
+
+    return jax.jit(_render_ext_body, static_argnames=("layout",))
+
+
+_render_ext_fn = None
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_render_fn(layout, mix_kw_items):
+    """jit(prerender ext + Pallas mix) — ONE device dispatch per render for
+    the repeated-render (pool-resident) protocol."""
+    import jax
+
+    from whitebox_tpu.ops.mix_pallas import _mix_call
+
+    kw = dict(mix_kw_items)
+
+    @jax.jit
+    def fused(pool2d, group_args, mix_rest):
+        full = _render_ext_body(pool2d, group_args, layout)
+        return _mix_call(full, *mix_rest, **kw)
+
+    return fused
+
+
+def prerender_tables(table: SegmentTable, pool: SamplePool, plan: PrerenderPlan,
+                     pool_device) -> tuple[SegmentTable, SamplePool]:
+    """Metadata-only rewrite for the fused render path (no device work):
+    the ext region's origin is the device pool's flattened length."""
+    return _rewrite(table, pool, plan, ext_origin=int(np.prod(pool_device.shape)))
+
+
+def render_prerendered_fused(plan: PrerenderPlan, pool: SamplePool, renderer,
+                             pool_device):
+    """Single-dispatch render: prerender the runs AND run the mix kernel in
+    one jitted program. ``renderer``: a PallasMixRenderer built on the
+    rewritten table with ``pool_device`` (its device pool arg is replaced
+    by the fused computation). Returns the device output array."""
+    import jax.numpy as jnp
+
+    C = pool.channel_base.shape[1]
+    group_args = []
+    for starts, (Pp, Qp, ratio_key, _n) in zip(_group_starts(plan, pool), plan.groups):
+        M, _ = _canonical_matrix(Pp, Qp, plan.taps, plan.atten_db, ratio_key)
+        group_args.append((jnp.asarray(starts), jnp.asarray(M)))
+    layout = (C, plan.guard, tuple((g[0], g[1], g[3]) for g in plan.groups), plan.taps)
+    fn = _fused_render_fn(layout, tuple(sorted(renderer._kw.items())))
+    return fn(pool_device, group_args, tuple(renderer._args[1:]))
+
+
+def _group_starts(plan: PrerenderPlan, pool: SamplePool):
+    """Per-group sub-run window starts [n_sub, C] int32 (host, vectorized)."""
+    half = plan.taps // 2
+    C = pool.channel_base.shape[1]
+    out = []
+    i0 = 0
+    for (Pp, Qp, ratio_key, n_sub) in plan.groups:
+        i1 = i0
+        while i1 < len(plan.runs) and (plan.runs[i1].Pp, plan.runs[i1].Qp) == (Pp, Qp):
+            i1 += 1
+        runs = plan.runs[i0:i1]
+        i0 = i1
+        nsub = np.array([p.nsub for p in runs], np.int64)
+        sid = np.array([p.sid for p in runs], np.int64)
+        c0 = np.array([p.c0 for p in runs], np.int64)
+        parent = np.repeat(np.arange(len(runs)), nsub)
+        j = np.arange(nsub.sum()) - np.repeat(np.cumsum(nsub) - nsub, nsub)
+        base = pool.channel_base[sid[parent]].astype(np.int64)  # [n_sub, C]
+        starts = base + (c0[parent] - (half - 1) + j * (_QF * Pp))[:, None]
+        assert starts.shape[0] == n_sub
+        out.append(starts.astype(np.int32))
+    return out
+
+
+def apply_prerender_device(table: SegmentTable, pool: SamplePool, plan: PrerenderPlan,
+                           pool_device=None):
+    """Render every run on device (one jitted dispatch) and return
+    (table2, pool2_meta, pool2d_device [rows, 128]).
+
+    ``pool_device``: an existing device-resident [rows, 128] pool (the
+    bench's pool-resident protocol); default uploads pool.data."""
+    import jax
+    import jax.numpy as jnp
+
+    global _render_ext_fn
+    if _render_ext_fn is None:
+        _render_ext_fn = _render_ext_jit()
+
+    C = pool.channel_base.shape[1]
+    if pool_device is None:
+        flat = pool.data
+        if flat.shape[0] % 128:
+            flat = np.pad(flat, (0, 128 - flat.shape[0] % 128))
+        pool_device = jax.device_put(jnp.asarray(flat.reshape(-1, 128)))
+    pool_len = int(np.prod(pool_device.shape))
+
+    group_args = []
+    for starts, (Pp, Qp, ratio_key, _n) in zip(_group_starts(plan, pool), plan.groups):
+        M, _ = _canonical_matrix(Pp, Qp, plan.taps, plan.atten_db, ratio_key)
+        group_args.append((jnp.asarray(starts), jnp.asarray(M)))
+
+    layout = (C, plan.guard, tuple((g[0], g[1], g[3]) for g in plan.groups), plan.taps)
+    pool2d_full = _render_ext_fn(pool_device, group_args, layout=layout)
+    table2, pool2 = _rewrite(table, pool, plan, ext_origin=pool_len)
+    return table2, pool2, pool2d_full
+
+
+def apply_prerender_host(table: SegmentTable, pool: SamplePool, plan: PrerenderPlan,
+                         f64: bool = False):
+    """NumPy twin of the device path (tests / XLA fallback): returns
+    (table2, pool2) with pool2.data extended by the rendered runs.
+
+    ``f64=True`` evaluates the banded products in float64 (the quality
+    reference)."""
+    C = pool.channel_base.shape[1]
+    flat = pool.data
+    if flat.shape[0] % 128:
+        flat = np.pad(flat, (0, 128 - flat.shape[0] % 128))
+    pool_len = flat.shape[0]
+    flatg = np.pad(flat, (0, plan.guard)) if plan.guard else flat
+    ext = np.zeros(plan.ext_len + _GUARD, dtype=np.float32)  # incl. tail guard
+    ext_off = 0
+    for starts, (Pp, Qp, ratio_key, n_sub) in zip(_group_starts(plan, pool), plan.groups):
+        Mf, M64 = _canonical_matrix(Pp, Qp, plan.taps, plan.atten_db, ratio_key)
+        M = M64 if f64 else Mf
+        stride = _QF * Qp
+        need = (_QF + 1) * Pp
+        for s in range(n_sub):
+            for ch in range(C):
+                seg = flatg[starts[s, ch] : starts[s, ch] + need]
+                if seg.shape[0] < need:
+                    seg = np.pad(seg, (0, need - seg.shape[0]))
+                A = seg.reshape(_QF + 1, Pp)
+                Xr = np.concatenate([A[:_QF], A[1:, : plan.taps]], axis=-1)
+                y = (Xr.astype(M.dtype) @ M.T).reshape(-1)
+                o = ext_off + (ch * n_sub + s) * stride
+                ext[o : o + stride] = y.astype(np.float32)
+        ext_off += n_sub * stride * C
+    table2, pool2 = _rewrite(table, pool, plan, ext_origin=pool_len)
+    pool2 = replace(pool2, data=np.concatenate([flat, ext]))
+    return table2, pool2
