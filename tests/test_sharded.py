@@ -182,3 +182,83 @@ def test_frame_sharded_biquad_matches_single(mesh):
     )
     got = fn(jnp.asarray(x), params)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_bounce_sharded_fx_2d_mesh_matches_frames_only(mesh):
+    """Per-track chains/automation/MIDI on a full 2-D mesh (the tracks axis
+    shards the chain groups; frames keep the state handoff) must match the
+    frames-only path — closes render_sharded's former NotImplementedError."""
+    from whitebox_tpu.effects import Biquad, Compressor, EffectChain, Gain
+    from whitebox_tpu.midi.notes import MidiNote, MidiNoteBuffer
+    from whitebox_tpu.ops.automation import AutomationLane, TrackAutomation
+    from whitebox_tpu.parallel.render_sharded import bounce_sharded
+    from whitebox_tpu.session.clip import Clip, ClipType, MidiClipData
+    from whitebox_tpu.session.track import Track
+
+    s = random_session(21, rate=48000, bpm=120.0, n_tracks=4, n_clips=1)
+    s.tracks[0].effects = EffectChain([Gain(-2.0), Biquad("lowpass", 5000.0)])
+    s.tracks[1].effects = EffectChain([Compressor(-20.0, 3.0)])
+    s.tracks[2].effects = EffectChain([Gain(-2.0), Biquad("lowpass", 6500.0)])
+    s.tracks[1].automation = TrackAutomation(
+        volume=AutomationLane().add(0.0, 1.0).add(4.0, 0.3))
+    s.tracks[3].effects = EffectChain([Biquad("lowpass", 7000.0, 1.0)])
+    s.tracks[3].automation = TrackAutomation(
+        effects={(0, "freq_hz"): AutomationLane().add(0.0, 7000.0).add(2.0, 500.0)})
+    s.master_effects = EffectChain([Biquad("highpass", 30.0)])
+    mt = Track(name="midi")
+    s.tracks.append(mt)  # 5 tracks on tp=2: exercises the padded track row
+    buf = MidiNoteBuffer([MidiNote(0.0, 1.0, key=60, velocity=0.7),
+                          MidiNote(1.0, 2.0, key=64, velocity=0.6)])
+    clip = Clip(id=0, type=ClipType.MIDI, min_time=0.0, max_time=2.0)
+    clip.midi = MidiClipData(asset=s.midi_table.create_midi(buf))
+    mt.clips.append(clip)
+
+    ref = bounce_sharded(s, 48000.0, make_render_mesh(tracks_parallel=1, frames_parallel=8))
+    for tp, fp in ((2, 4), (4, 2)):
+        got = bounce_sharded(s, 48000.0, make_render_mesh(tracks_parallel=tp, frames_parallel=fp))
+        n = min(got.shape[1], ref.shape[1])
+        assert np.max(np.abs(got[:, :n] - ref[:, :n])) < 2e-6, (tp, fp)
+
+
+@pytest.mark.slow
+def test_bounce_sharded_scale(mesh):
+    """Scale test (VERDICT r2 #8): a multi-second 32-track session with
+    heterogeneous chains on the 8-device mesh vs the single-chip generic
+    pipeline — multi-chip correctness beyond the dryrun's toy shapes."""
+    from whitebox_tpu.effects import (
+        Biquad, Compressor, Delay, EffectChain, Gain, NoiseGate, Saturator,
+    )
+    from whitebox_tpu.parallel.render_sharded import bounce_sharded
+    from whitebox_tpu.render.effects_generic import reference_generic_finish
+    from whitebox_tpu.timeline.carve import render_segments_per_track_numpy
+
+    s = random_session(77, rate=48000, bpm=120.0, n_tracks=32, n_clips=2)
+    chains = [
+        EffectChain([Compressor(-18.0, 4.0)]),
+        EffectChain([Biquad("lowpass", 6000.0)]),
+        EffectChain([Gain(-2.0), Saturator(6.0, mix=0.5)]),
+        EffectChain([NoiseGate(-45.0)]),
+        EffectChain([Delay(0.05, 0.4, wet=0.3)]),
+        None,
+    ]
+    for i, t in enumerate(s.tracks):
+        c = chains[i % len(chains)]
+        if c is not None:
+            import copy
+
+            t.effects = copy.deepcopy(c)
+    s.master_effects = EffectChain([Biquad("highpass", 25.0)])
+
+    fmesh = make_render_mesh(tracks_parallel=1, frames_parallel=8)
+    multi = bounce_sharded(s, 48000.0, fmesh)
+    assert multi.shape[1] / 48000.0 > 3.0, "session must be multi-second"
+
+    table, pool = carve_session(s, 48000.0, buffer_size=512, slow_emit="runs")
+    pt = render_segments_per_track_numpy(table, pool, 2)
+    Fp = multi.shape[1]
+    pt = np.pad(pt, ((0, 0), (0, 0), (0, max(Fp - pt.shape[2], 0))))[:, :, :Fp]
+    ref = reference_generic_finish(pt, s, 48000.0)
+    scale = max(float(np.max(np.abs(ref))), 1e-6)
+    err = np.max(np.abs(multi - ref)) / scale
+    assert err < 1e-4, f"sharded scale rel err {err:.2e}"

@@ -145,11 +145,12 @@ def bounce_sharded(
                        or session_has_automation(session) or _session_has_midi(session)
                        or bool(getattr(session, "master_automation", None)))
     if needs_per_track and mesh.shape["tracks"] != 1:
-        raise NotImplementedError(
-            "per-track chains / automation / MIDI need a frames-only mesh "
-            "(tracks_parallel=1): they apply per track before the sum, so "
-            "each device must hold all tracks of its frame shard"
-        )
+        # 2-D mesh: tracks are the natural parallel axis for independent
+        # per-track chains — shard each chain group over 'tracks' while the
+        # frames axis keeps the sequence-parallel state handoff
+        return _bounce_sharded_fx_2d(session, sample_rate, mesh,
+                                     buffer_size=buffer_size, channels=channels,
+                                     master_effects=master_effects)
     if needs_per_track:
         return _bounce_sharded_fx(session, sample_rate, mesh,
                                   buffer_size=buffer_size, channels=channels,
@@ -176,6 +177,179 @@ def bounce_sharded(
 
         out = apply_chain_sharded(master_effects, out, mesh, float(sample_rate),
                                   channels=channels)
+    return np.asarray(out)[:, : table.total_frames]
+
+
+def _pad_auto_tables(auto, Tp: int):
+    """Pad automation tables' track axis to ``Tp`` (padded rows: no lanes,
+    muted — their contribs are zero anyway)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    if auto is None:
+        return None
+    volj, panj, mute, use_auto = auto
+    T = mute.shape[0]
+    if T == Tp:
+        return auto
+    padn = Tp - T
+
+    def padt(d):
+        return {k: jnp.concatenate(
+            [v, jnp.zeros((padn,) + v.shape[1:], v.dtype)]) for k, v in d.items()}
+
+    return (padt(volj), padt(panj),
+            jnp.concatenate([mute, jnp.zeros(padn, mute.dtype)]),
+            jnp.concatenate([use_auto, jnp.zeros(padn, use_auto.dtype)]))
+
+
+def _bounce_sharded_fx_2d(session, sample_rate: float, mesh: Mesh, *,
+                          buffer_size: int, channels: int, master_effects=None):
+    """Effectful sharded bounce on a full 2-D ('tracks','frames') mesh.
+
+    Chains are per-track independent, so the tracks axis shards them
+    naturally (SURVEY §5's "tracks-axis x frames-axis" mandate):
+
+    1. per-track contributions render on the 2-D mesh (tracks-sharded
+       segment tables; MIDI synth voices add on whichever shard owns the
+       track);
+    2. each chain group gathers its tracks (a GSPMD reshard), pads to the
+       tracks-axis size, and runs frame-sharded with the exact cross-shard
+       state handoff (effects_sharded.chain_shard) — every device
+       processes B_group/tp tracks;
+    3. per-frame automation/fader gains apply on local rows, the track sum
+       psums over 'tracks', the master chain runs frame-sharded, and the
+       hard clip finishes.
+
+    Bit/tolerance-matches the frames-only path (same per-track programs;
+    sum association is shard-deterministic)."""
+    import numpy as np
+
+    from whitebox_tpu.ops.mix import pack_device_tables
+    from whitebox_tpu.parallel.effects_sharded import chain_shard
+    from whitebox_tpu.render.bounce import _prepare_synth_tables, _session_has_midi
+    from whitebox_tpu.render.effects_generic import device_params, prepare_generic_fx
+    from whitebox_tpu.render.effects_pipeline import _frame_gains, prepare_automation_tables
+    from whitebox_tpu.timeline.carve import carve_session
+
+    tp = mesh.shape["tracks"]
+    fp = mesh.shape["frames"]
+    rate = float(sample_rate)
+    fx = prepare_generic_fx(session, sample_rate, channels)
+    if master_effects is not None:
+        from whitebox_tpu.render.effects_generic import _Group, _stage_kind, _stage_params
+
+        for e in master_effects:
+            e.prepare(rate, channels)
+        stages = []
+        for e in master_effects:
+            kind, static = _stage_kind(e)
+            stages.append((kind, static, {k: np.stack([v]) for k, v in _stage_params(e, kind).items()}))
+        fx.master = _Group(np.asarray([0], np.int64), stages) if stages else None
+    gparams, mparams = device_params(fx)
+
+    table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
+                                out_channels=channels, slow_emit="runs")
+    T = max(table.num_tracks, 1)
+    Tp = -(-T // tp) * tp
+    T_local = Tp // tp
+    dev = pack_device_tables(table, pool, session, channels=channels, pad_tracks_to=Tp)
+    tables = shard_tables(dev.as_jax(), mesh)
+    pool_dev = jax.device_put(jnp.asarray(pool.data), NamedSharding(mesh, P()))
+    frames = -(-max(table.total_frames, 1) // (fp * 512)) * (fp * 512)
+    f_local = frames // fp
+
+    auto = _pad_auto_tables(prepare_automation_tables(session, sample_rate), Tp)
+    synth_tables = (
+        _prepare_synth_tables(session, sample_rate, buffer_size,
+                              max(table.total_frames // buffer_size, 1))
+        if _session_has_midi(session) else {}
+    )
+
+    rep = lambda tree: jax.tree.map(lambda _: P(), tree)
+    track_spec = P("tracks", None, "frames")
+
+    # ---- stage 1: per-track contribs (+ synth) on the 2-D mesh ----
+    def tile_contrib(pool, tables, synth_t):
+        from whitebox_tpu.midi.synth import render_synth_chunk
+
+        base_f = jax.lax.axis_index("frames") * f_local
+        contribs = _tile_contribs(pool, tables, jnp.int32(0), f_local)
+        ti = jax.lax.axis_index("tracks")
+        for t in sorted(synth_t.keys()):
+            sy = render_synth_chunk(synth_t[t], base_f, frames=f_local)
+            row = t - ti * T_local
+            valid = (row >= 0) & (row < T_local)
+            rowc = jnp.clip(row, 0, T_local - 1)
+            contribs = contribs.at[rowc].add(jnp.where(valid, sy[None, :], 0.0))
+        return contribs
+
+    contribs = jax.jit(shard_map(
+        tile_contrib, mesh=mesh,
+        in_specs=(P(), _TABLE_SPECS, rep(synth_tables)),
+        out_specs=track_spec,
+    ))(pool_dev, tables, synth_tables)  # [Tp, C, frames] sharded 2-D
+
+    # ---- stage 2: chain groups, tracks axis sharded ----
+    # per-effect parameters shard WITH their tracks (leading dim B), so a
+    # device only applies the params of the rows it holds
+    group_sharding = NamedSharding(mesh, track_spec)
+    for g, pl in zip(fx.groups, gparams):
+        stages = tuple((k, s) for (k, s, _) in g.stages)
+        B = len(g.track_idx)
+        Bpad = -(-B // tp) * tp
+        fill = Tp - 1 if Tp > T else int(g.track_idx[0])
+        idx_pad = np.concatenate([g.track_idx, np.full(Bpad - B, fill, np.int64)])
+
+        def pad_b(v):
+            if Bpad == B:
+                return v
+            return jnp.concatenate([v, jnp.repeat(v[:1], Bpad - B, axis=0)])
+
+        pl_pad = jax.tree.map(pad_b, pl)
+        pspec = jax.tree.map(
+            lambda v: P(*(("tracks",) + (None,) * (v.ndim - 1))), pl_pad)
+
+        def chain_tile(xg_local, plist):
+            return chain_shard(list(stages), plist, xg_local, "frames", fp, rate)
+
+        fn_g = shard_map(chain_tile, mesh=mesh,
+                         in_specs=(track_spec, pspec), out_specs=track_spec)
+        xg = jax.device_put(contribs[jnp.asarray(idx_pad)], group_sharding)
+        yg = jax.jit(fn_g)(xg, pl_pad)
+        contribs = contribs.at[jnp.asarray(g.track_idx)].set(yg[:B])
+        contribs = jax.device_put(contribs, group_sharding)
+
+    # ---- stage 3: gains -> psum track sum -> master -> clip ----
+    master_stages = tuple((k, s) for (k, s, _) in fx.master.stages) if fx.master else ()
+
+    def finish_tile(contribs_l, tg_l, auto_l, mpar):
+        base_f = jax.lax.axis_index("frames") * f_local
+        gidx = base_f + jnp.arange(f_local, dtype=jnp.int32)
+        gains = _frame_gains(auto_l, tg_l, gidx, T_local, channels)
+        y = contribs_l * gains
+
+        def add(acc, row):
+            return acc + row, None
+
+        local, _ = jax.lax.scan(add, jnp.zeros_like(y[0]), y)
+        total = jax.lax.psum(local, "tracks")
+        if master_stages:
+            total = chain_shard(list(master_stages), mpar, total[None], "frames", fp, rate)[0]
+        total = jnp.where(total > 1.0, jnp.float32(1.0), total)
+        total = jnp.where(total < -1.0, jnp.float32(-1.0), total)
+        return total
+
+    auto_spec = None if auto is None else (
+        jax.tree.map(lambda _: P("tracks"), auto[0]),
+        jax.tree.map(lambda _: P("tracks"), auto[1]),
+        P("tracks"), P("tracks"),
+    )
+    out = jax.jit(shard_map(
+        finish_tile, mesh=mesh,
+        in_specs=(track_spec, P("tracks", None), auto_spec, rep(mparams)),
+        out_specs=P(None, "frames"),
+    ))(contribs, tables["track_gain"], auto, mparams)
     return np.asarray(out)[:, : table.total_frames]
 
 
