@@ -123,3 +123,56 @@ class TestPreviewStreaming:
             joined = np.concatenate(list(ps), axis=1)[:, : full.shape[1]]
             absd = np.abs(joined.astype(np.float64) - full.astype(np.float64))
             assert absd.max() < 3e-6, f"{mode}: {absd.max():.2e}"
+
+
+class TestPreviewEditInvalidation:
+    """Edits during playback re-carve from the current position — the
+    offline refresh_voice / internal_state_changed (track.cpp:289-345)."""
+
+    def test_edit_during_preview_matches_fresh_render(self):
+        from whitebox_tpu.render.bounce import bounce
+        from whitebox_tpu.timeline.oracle import OracleRenderer
+
+        s = make_session()
+        ps = PreviewStream(s, 32768.0, buffer_size=256, lookahead_blocks=4)
+        pre = [ps.next_block() for _ in range(6)]  # playing...
+        # edit mid-playback: move the clip later and drop its gain
+        s.tracks[0].clips[0].audio.gain = 0.5
+        s.tracks[0].clips[0].min_time += 0.05
+        s.tracks[0].clips[0].max_time += 0.05
+        post = [ps.next_block() for _ in range(6)]
+        # a fresh render of the EDITED session from the same position
+        ref = OracleRenderer(s, 32768.0, buffer_size=256).render()
+        start = 6 * 256
+        joined = np.concatenate(post, axis=1)
+        n = min(joined.shape[1], ref.shape[1] - start)
+        np.testing.assert_array_equal(joined[:, :n], ref[:, start : start + n])
+
+    def test_note_edit_changes_stamp(self):
+        from whitebox_tpu.midi.notes import MidiNote, MidiNoteBuffer
+        from whitebox_tpu.session.clip import Clip, ClipType, MidiClipData
+
+        s = make_session()
+        buf = MidiNoteBuffer([MidiNote(0.0, 0.25, key=60, velocity=0.5)])
+        asset = s.midi_table.create_midi(buf)
+        tr = s.add_track("keys")
+        clip = Clip(id=0, type=ClipType.MIDI, min_time=0.0, max_time=0.5)
+        clip.midi = MidiClipData(asset=asset)
+        tr.clips.append(clip)
+        s0 = s.edit_stamp()
+        buf.add_note(MidiNote(0.25, 0.5, key=64, velocity=0.6))
+        assert s.edit_stamp() != s0
+
+    def test_param_and_lane_edits_change_stamp(self):
+        from whitebox_tpu.ops.automation import AutomationLane, TrackAutomation
+
+        s = make_session()
+        s0 = s.edit_stamp()
+        s.tracks[0].volume_db = -6.0
+        s1 = s.edit_stamp()
+        assert s1 != s0
+        s.tracks[0].automation = TrackAutomation(volume=AutomationLane().add(0.0, 1.0))
+        s2 = s.edit_stamp()
+        assert s2 != s1
+        s.tracks[0].automation.volume.add(0.5, 0.2)  # point edit, same object
+        assert s.edit_stamp() != s2

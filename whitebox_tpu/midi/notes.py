@@ -78,6 +78,9 @@ class MidiNoteBuffer:
         self.create_metadata()
 
     def create_metadata(self) -> None:
+        # monotonically stamps every note edit (Session.edit_stamp uses it
+        # to invalidate live previews — track.cpp:289-345's refresh_voice)
+        self.version = getattr(self, "version", 0) + 1
         self.notes.sort(key=lambda n: n.min_time)
         for i, n in enumerate(self.notes):
             n.meta_id = i
@@ -97,6 +100,7 @@ class MidiNoteBuffer:
         by (min_time, key, velocity), clear MODIFIED flags and return the
         post-sort ids of the notes that carried them, and refresh the
         min/max-note, max-length and selection-count caches."""
+        self.version = getattr(self, "version", 0) + 1
         self.notes.sort(key=lambda n: (n.min_time, n.key, n.velocity))
         modified: list[int] = []
         new_min, new_max = MAX_KEYS, 0

@@ -8,6 +8,9 @@ on demand and ``next_block()`` serves engine-sized blocks out of the current
 window — memory stays bounded by one window regardless of session length.
 Seeking drops the window (the next pull re-renders at the new position);
 effect/IIR state carries across pulls like a live engine's filters would.
+Edits during playback invalidate automatically: every pull compares the
+session's edit_stamp and re-carves when it moved (the offline analogue of
+Track::refresh_voice / internal_state_changed, track.cpp:289-345).
 """
 
 from __future__ import annotations
@@ -30,19 +33,32 @@ class PreviewStream:
         lookahead_blocks: int = 64,
         interpolation: str = "linear",
     ) -> None:
-        from whitebox_tpu.ops.automation import session_has_automation
-        from whitebox_tpu.ops.mix import pack_device_tables
-        from whitebox_tpu.render.bounce import _prepare_synth_tables, _session_has_midi
-        from whitebox_tpu.render.effects_pipeline import session_has_effects
-        from whitebox_tpu.timeline.carve import carve_session
-
         self.session = session
         self.sample_rate = float(sample_rate)
         self.buffer_size = int(buffer_size)
         self.channels = channels
         self.lookahead = max(int(lookahead_blocks), 1) * self.buffer_size
+        self._interpolation = interpolation
+        self._pos = 0
+        self._build()
 
+    def _build(self) -> None:
+        """(Re-)carve and pack the session; called at construction and
+        whenever the session's edit_stamp moves mid-playback (the offline
+        refresh_voice / internal_state_changed, track.cpp:289-345)."""
+        from whitebox_tpu.ops.automation import session_has_automation
+        from whitebox_tpu.ops.mix import pack_device_tables
+        from whitebox_tpu.render.bounce import _prepare_synth_tables, _session_has_midi
+        from whitebox_tpu.render.effects_pipeline import session_has_effects
+        from whitebox_tpu.timeline.carve import carve_session
         from whitebox_tpu.timeline.oversample import resolve_interpolation
+
+        session = self.session
+        sample_rate = self.sample_rate
+        buffer_size = self.buffer_size
+        channels = self.channels
+        interpolation = self._interpolation
+        self._stamp = session.edit_stamp()
 
         table, pool = carve_session(session, sample_rate, buffer_size=buffer_size, out_channels=channels)
         # same TPU-shaped sinc as bounce: oversampled pool + LS-optimal taps
@@ -85,7 +101,6 @@ class PreviewStream:
 
         self._window: np.ndarray | None = None
         self._win_start = 0
-        self._pos = 0
 
     # ---- device window fetch ----
 
@@ -143,7 +158,15 @@ class PreviewStream:
 
     def next_block(self) -> np.ndarray | None:
         """Next [channels, buffer_size] block, zero-padded at the tail;
-        None when the timeline is exhausted."""
+        None when the timeline is exhausted.
+
+        Edits since the last pull (any change to Session.edit_stamp) drop
+        the cached window and re-carve, so playback continues from the
+        current position over the NEW session state — never stale tables."""
+        if self.session.edit_stamp() != self._stamp:
+            pos = self._pos
+            self._build()
+            self._pos = min(pos, self._total)
         if self._pos >= self._total:
             return None
         if (

@@ -716,5 +716,44 @@ class Session:
     def num_clips(self) -> int:
         return sum(len(t.clips) for t in self.tracks)
 
+    def edit_stamp(self) -> int:
+        """Cheap structural fingerprint of everything the render depends on
+        (clip layout, track params, note-buffer versions, automation and
+        effect identities). Live consumers (render.preview.PreviewStream)
+        compare stamps to re-carve mid-playback after edits — the offline
+        analogue of Track::refresh_voice / internal_state_changed
+        (track.cpp:289-345,396-417). Catching *direct field* mutations is
+        the point: no edit-API bookkeeping to forget."""
+        items: list = [self.bpm, len(self.tracks), len(self.master_effects or []),
+                       len(getattr(self, "master_automation", {}) or {})]
+        for t in self.tracks:
+            a = t.automation
+            def lane_key(lane):
+                if lane is None:
+                    return 0
+                return tuple((p.x, p.y, int(p.curve), p.tension) for p in lane.points)
+
+            items.append((t.volume_db, t.pan, t.mute, t.solo, len(t.clips),
+                          id(t.effects) if t.effects else 0,
+                          len(t.effects) if t.effects else 0,
+                          0 if a is None else (lane_key(a.volume), lane_key(a.pan),
+                                               tuple(sorted(
+                                                   (k, lane_key(l))
+                                                   for k, l in a.effects.items())))))
+            for c in t.clips:
+                base = (c.min_time, c.max_time, c.start_offset, bool(c.active), int(c.type))
+                if c.is_audio() and c.audio is not None:
+                    d = c.audio
+                    items.append(base + (id(d.asset), d.gain, d.speed, d.fade_start,
+                                         d.fade_end, int(d.mode)))
+                elif c.is_midi() and c.midi is not None:
+                    d = c.midi
+                    notes_ver = (getattr(d.asset.notes, "version", 0)
+                                 if d.asset is not None else 0)
+                    items.append(base + (id(d.asset), d.transpose, d.rate, notes_ver))
+                else:
+                    items.append(base)
+        return hash(tuple(items))
+
     def __repr__(self) -> str:
         return f"Session(bpm={self.bpm}, tracks={len(self.tracks)}, clips={self.num_clips()})"
