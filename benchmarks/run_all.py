@@ -226,6 +226,21 @@ def extra_sinc(duration):
     return frames / 48000.0 / best
 
 
+def extra_reverse(duration):
+    """128 tracks of LOOP_BIDIRECTIONAL resampled clips — reverse rows on
+    the Pallas fast path (formerly a hard SlowRowsPresent -> XLA cliff)."""
+    from whitebox_tpu.render.demo import make_demo_session
+    from whitebox_tpu.session.clip import ClipMode
+
+    s = make_demo_session(n_tracks=128, duration_seconds=duration, sample_rate=44100,
+                          seed=7, clip_speeds=(1.0, 1.088435374149660, 0.5))
+    for t in s.tracks:
+        for c in t.clips:
+            if c.is_audio() and c.audio is not None:
+                c.audio.mode = ClipMode.LOOP_BIDIRECTIONAL
+    return _rtf_pallas(s, 48000.0)
+
+
 def headline(duration):
     """128-track 48 kHz bounce (the bench.py metric)."""
     from whitebox_tpu.render.demo import make_demo_session
@@ -256,6 +271,7 @@ def main() -> int:
         ("config5_128trk_eq_master_rtf", lambda: config5(args.duration)),
         ("extra_config3_linear_128trk_rtf", lambda: config3_linear(args.duration)),
         ("extra_sinc_oversample_128trk_rtf", lambda: extra_sinc(args.duration)),
+        ("extra_reverse_bidir_128trk_rtf", lambda: extra_reverse(args.duration)),
         ("headline_128trk_bounce_rtf", lambda: headline(args.duration)),
     ]:
         t0 = time.perf_counter()

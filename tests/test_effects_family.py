@@ -139,6 +139,20 @@ class TestDelayOps:
         assert w[1, 2 * D] == pytest.approx(0.5)  # first feedback echo crossed to R
         assert w[0, 3 * D] == pytest.approx(0.25)  # and back
 
+    def test_lfo_phase_exact_at_long_offsets(self):
+        """The digit-split phase evaluation stays within ~2e-5 cycles of the
+        f64 LFO out to 2^31 frames (a plain f32 w*n broke at ~2^24)."""
+        F = 2048
+        for n0 in (0, 1 << 24, (1 << 28) + 12345, (1 << 31) - F - 1):
+            for rate in (0.25, 0.8, 5.0):
+                d = np.asarray(dl.lfo_delay_frames(
+                    n0, F, rate_hz=rate, depth_frames=200.0, center_frames=300.0,
+                    sample_rate=RATE))
+                n = n0 + np.arange(F, dtype=np.float64)
+                ref = 300.0 + 200.0 * np.sin(2.0 * np.pi * rate / RATE * n)
+                # phase err ~2e-5 cycles -> delay err <= depth * 2*pi * 2e-5
+                assert np.max(np.abs(d - ref)) < 0.05, (n0, rate)
+
     def test_modulated_tap_matches_reference(self):
         x = _noise(seed=9)
         F = x.shape[1]
