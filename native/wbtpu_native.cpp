@@ -183,7 +183,7 @@ int32_t wb_build_mix_plan(
   return 0;
 }
 
-// Version marker for the loader
-int32_t wb_native_version() { return 1; }
+// Version marker for the loader (2: + wb_carve_audio, native/wb_carve.cpp)
+int32_t wb_native_version() { return 2; }
 
 }  // extern "C"

@@ -22,13 +22,13 @@ _TRIED = False
 
 def _build() -> Path | None:
     so = _NATIVE_DIR / "libwbtpu.so"
-    if so.is_file():
-        return so
     try:
+        # always invoke make: it no-ops when up to date and rebuilds a stale
+        # .so when the sources are newer (cheap, runs once per process)
         subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
                        capture_output=True, timeout=120)
     except (subprocess.SubprocessError, FileNotFoundError, OSError):
-        return None
+        pass  # no toolchain: fall through to any existing build
     return so if so.is_file() else None
 
 
@@ -46,7 +46,7 @@ def load() -> ctypes.CDLL | None:
         lib = ctypes.CDLL(str(so))
     except OSError:
         return None
-    if lib.wb_native_version() != 1:
+    if lib.wb_native_version() not in (1, 2):
         return None
 
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
@@ -77,8 +77,82 @@ def load() -> ctypes.CDLL | None:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         i32p, i32p, i32p, i32p, f32p, i32p, i32p, f32p, i32p, f32p, i32p,
     ]
+    if hasattr(lib, "wb_carve_audio"):  # version >= 2
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+        lib.wb_carve_audio.restype = ctypes.c_void_p
+        lib.wb_carve_audio.argtypes = [
+            f64p, f64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+            i64p, i64p,
+            f64p, f64p, f64p, f64p, f64p, f64p, f64p, f64p, f32p,
+            i32p, i32p, i32p, u8p, u8p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        _p = lambda t: np.ctypeslib.ndpointer(t, flags="C")  # noqa: E731
+        lib.wb_carve_copy.restype = None
+        lib.wb_carve_copy.argtypes = [ctypes.c_void_p] + [
+            _p(np.int32), _p(np.int32), _p(np.int32), _p(np.int32), _p(np.int32),
+            f64p, f64p, f32p, u8p, u8p, _p(np.int32),
+            _p(np.int32), f32p, _p(np.int32), f32p,
+        ] + [
+            _p(np.int32), _p(np.int32), _p(np.int32), _p(np.int32), _p(np.int32),
+            f64p, f64p, f32p, _p(np.int32),
+            _p(np.int32), f32p, _p(np.int32), f32p,
+        ]
+        lib.wb_carve_free.restype = None
+        lib.wb_carve_free.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return _LIB
+
+
+def has_carve() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "wb_carve_audio")
+
+
+def carve_audio(P, S, num_blocks, bs, rate, bd, runs, clip_begin, ci0, cols):
+    """Native timeline carve (native/wb_carve.cpp). ``cols`` is the dict of
+    flattened per-clip column arrays. Returns (fast_cols, slow_cols) tuples
+    matching the Python carve's assembly layout, or None on fallback
+    (lib absent / unknown clip mode)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "wb_carve_audio"):
+        return None
+    n_fast = ctypes.c_int64(0)
+    n_slow = ctypes.c_int64(0)
+    h = lib.wb_carve_audio(
+        P, S, int(num_blocks), int(bs), float(rate), float(bd), int(bool(runs)),
+        int(clip_begin.shape[0] - 1), clip_begin, ci0,
+        cols["min_time"], cols["max_time"], cols["start_offset"], cols["clip_speed"],
+        cols["fade_start"], cols["fade_end"], cols["count"], cols["srate"],
+        cols["gain"], cols["mode"], cols["clip_id"], cols["sid"],
+        cols["clampf"], cols["skip"],
+        ctypes.byref(n_fast), ctypes.byref(n_slow),
+    )
+    if not h:
+        return None
+    try:
+        nf, ns = n_fast.value, n_slow.value
+        fa = (
+            np.empty(nf, np.int32), np.empty(nf, np.int32), np.empty(nf, np.int32),
+            np.empty(nf, np.int32), np.empty(nf, np.int32), np.empty(nf, np.float64),
+            np.empty(nf, np.float64), np.empty(nf, np.float32),
+            np.empty(nf, np.uint8), np.empty(nf, np.uint8), np.empty(nf, np.int32),
+            np.empty(nf, np.int32), np.empty(nf, np.float32),
+            np.empty(nf, np.int32), np.empty(nf, np.float32),
+        )
+        sa = (
+            np.empty(ns, np.int32), np.empty(ns, np.int32), np.empty(ns, np.int32),
+            np.empty(ns, np.int32), np.empty(ns, np.int32), np.empty(ns, np.float64),
+            np.empty(ns, np.float64), np.empty(ns, np.float32), np.empty(ns, np.int32),
+            np.empty(ns, np.int32), np.empty(ns, np.float32),
+            np.empty(ns, np.int32), np.empty(ns, np.float32),
+        )
+        lib.wb_carve_copy(h, *fa, *sa)
+    finally:
+        lib.wb_carve_free(h)
+    return fa, sa
 
 
 def available() -> bool:

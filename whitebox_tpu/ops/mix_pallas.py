@@ -71,7 +71,7 @@ class SlowRowsPresent(ValueError):
     the kernel now handles resampled slots natively)."""
 
 
-def _merge_slow_runs(table: SegmentTable):
+def _merge_slow_runs_soa(table: SegmentTable):
     """Group consecutive per-block resampled rows into maximal runs.
 
     Rows of one clip are per engine block with exact accumulated offsets;
@@ -80,10 +80,14 @@ def _merge_slow_runs(table: SegmentTable):
     few f64 ulps — within the documented resampling contract). Vectorized:
     run breaks at any change of track/sample/speed/gain/fades, a dst gap,
     or a phase discontinuity.
+
+    Returns a dict of per-run column arrays (struct-of-arrays — both
+    consumers, build_plan and plan_prerender, are themselves vectorized),
+    or None when the table has no slow rows.
     """
     idx = np.nonzero(~table.fast)[0]
     if idx.size == 0:
-        return []
+        return None
     trk = table.track[idx]
     d0 = table.dst_start[idx].astype(np.int64)
     ln = table.length[idx].astype(np.int64)
@@ -115,16 +119,23 @@ def _merge_slow_runs(table: SegmentTable):
         brk[1:] = ~cont
     starts = np.nonzero(brk)[0]
     ends = np.append(starts[1:], idx.size) - 1
+    return {
+        "trk": trk[starts].astype(np.int64), "d0": d0[starts],
+        "end": d0[ends] + ln[ends], "sid": sid[starts].astype(np.int64),
+        "x0": x0[starts], "speed": sp[starts], "gain": gn[starts],
+        "fis": fis[starts].astype(np.int64), "fii": fii[starts],
+        "foe": foe[starts].astype(np.int64), "foi": foi[starts],
+    }
 
-    runs = []
-    for s, e in zip(starts, ends):
-        runs.append({
-            "trk": int(trk[s]), "d0": int(d0[s]), "end": int(d0[e] + ln[e]),
-            "sid": int(sid[s]), "x0": float(x0[s]), "speed": float(sp[s]),
-            "gain": float(gn[s]), "fis": int(fis[s]), "fii": float(fii[s]),
-            "foe": int(foe[s]), "foi": float(foi[s]),
-        })
-    return runs
+
+def _merge_slow_runs(table: SegmentTable):
+    """List-of-dicts view of :func:`_merge_slow_runs_soa` (tests/debug)."""
+    soa = _merge_slow_runs_soa(table)
+    if soa is None:
+        return []
+    keys = list(soa)
+    cols = [soa[k].tolist() for k in keys]
+    return [dict(zip(keys, vals)) for vals in zip(*cols)]
 
 
 def build_plan(
@@ -152,19 +163,10 @@ def build_plan(
     #      expanded vectorized (runs -> tile segments -> max_len sub-slots) ----
     slow = None
     if any_slow:
-        runs = _merge_slow_runs(table)
-        Rn = len(runs)
-        trk_r = np.array([r["trk"] for r in runs], np.int64)
-        d0_r = np.array([r["d0"] for r in runs], np.int64)
-        end_r = np.array([r["end"] for r in runs], np.int64)
-        sid_r = np.array([r["sid"] for r in runs], np.int64)
-        x0_r = np.array([r["x0"] for r in runs], np.float64)
-        sp_r = np.array([r["speed"] for r in runs], np.float64)
-        gn_r = np.array([r["gain"] for r in runs], np.float32)
-        fis_r = np.array([r["fis"] for r in runs], np.int64)
-        fii_r = np.array([r["fii"] for r in runs], np.float32)
-        foe_r = np.array([r["foe"] for r in runs], np.int64)
-        foi_r = np.array([r["foi"] for r in runs], np.float32)
+        soa = _merge_slow_runs_soa(table)
+        trk_r, d0_r, end_r, sid_r = soa["trk"], soa["d0"], soa["end"], soa["sid"]
+        x0_r, sp_r, gn_r = soa["x0"], soa["speed"], soa["gain"]
+        fis_r, fii_r, foe_r, foi_r = soa["fis"], soa["fii"], soa["foe"], soa["foi"]
         # reverse rows (negative speed — LOOP_REVERSE / BIDIRECTIONAL) span
         # the same source width per output frame; bound by |speed|
         maxlen_r = np.maximum(((span_limit - 2) / np.abs(sp_r)).astype(np.int64), 1)

@@ -456,6 +456,7 @@ def carve_session(
     pool: SamplePool | None = None,
     out_channels: int = 2,
     slow_emit: str = "blocks",
+    native: bool | None = None,
 ) -> tuple[SegmentTable, SamplePool]:
     """Compile a session into (SegmentTable, SamplePool) for rendering.
 
@@ -471,6 +472,11 @@ def carve_session(
     to assemble/pack at 128-track resampled scale. Passes that reach the
     sample end (including every loop-mode wrap) keep the exact blockwise
     path, so wrap points are bit-identical in both modes.
+
+    ``native``: use the C++ carve walk (native/wb_carve.cpp, bit-parity
+    fuzzed against the Python walk in tests/test_carve_native.py). None
+    (default) = auto: native when the runtime is available, unless
+    WBTPU_NO_NATIVE_CARVE / WBTPU_NO_NATIVE is set.
     """
     start = session.playhead_start if playhead_start is None else playhead_start
     transport = BlockTransport(float(sample_rate), int(buffer_size), session.beat_duration, start)
@@ -482,32 +488,48 @@ def carve_session(
     if pool is None:
         pool = build_sample_pool(session, out_channels=out_channels)
 
-    rows: list = []
-    slow_cols: list = []
-    for t, track in enumerate(session.tracks):
-        _carve_track_audio(track, transport, P, S, num_blocks, pool, rows, slow_cols, t,
-                           slow_emit=slow_emit)
+    import os
 
-    # combine scalar fast rows + vectorized slow-row blocks, sort by (track, dst)
+    if native is None:
+        native = not (os.environ.get("WBTPU_NO_NATIVE_CARVE")
+                      or os.environ.get("WBTPU_NO_NATIVE"))
+    native_out = None
+    if native:
+        from whitebox_tpu.timeline import carve_native
+
+        native_out = carve_native.carve_audio_tracks(
+            session, P, S, num_blocks, buffer_size, transport.sample_rate,
+            transport.beat_duration, pool, slow_emit)
+
     fast_arrays = None
-    if rows:
-        rows.sort(key=lambda r: (r[0], r[1]))
-        c = list(zip(*rows))
-        fast_arrays = (
-            np.asarray(c[0], np.int32), np.asarray(c[1], np.int32), np.asarray(c[2], np.int32),
-            np.asarray(c[3], np.int32), np.asarray(c[4], np.int32), np.asarray(c[5], np.float64),
-            np.asarray(c[6], np.float64), np.asarray(c[7], np.float32),
-            np.asarray(c[10], np.int32),
-            np.asarray(c[11], np.int32), np.asarray(c[12], np.float32),
-            np.asarray(c[13], np.int32), np.asarray(c[14], np.float32),
-        )
-        fast_flags = np.asarray(c[8], bool)
-        clamp_flags = np.asarray(c[9], bool)
+    slow_arrays = None
+    slow_cols: list = []
+    if native_out is not None:
+        fast_arrays, fast_flags, clamp_flags, slow_arrays = native_out
+    else:
+        rows: list = []
+        for t, track in enumerate(session.tracks):
+            _carve_track_audio(track, transport, P, S, num_blocks, pool, rows, slow_cols, t,
+                               slow_emit=slow_emit)
 
-    if slow_cols or fast_arrays is not None:
+        # combine scalar fast rows + vectorized slow-row blocks, sort by (track, dst)
+        if rows:
+            rows.sort(key=lambda r: (r[0], r[1]))
+            c = list(zip(*rows))
+            fast_arrays = (
+                np.asarray(c[0], np.int32), np.asarray(c[1], np.int32), np.asarray(c[2], np.int32),
+                np.asarray(c[3], np.int32), np.asarray(c[4], np.int32), np.asarray(c[5], np.float64),
+                np.asarray(c[6], np.float64), np.asarray(c[7], np.float32),
+                np.asarray(c[10], np.int32),
+                np.asarray(c[11], np.int32), np.asarray(c[12], np.float32),
+                np.asarray(c[13], np.int32), np.asarray(c[14], np.float32),
+            )
+            fast_flags = np.asarray(c[8], bool)
+            clamp_flags = np.asarray(c[9], bool)
+
+    if slow_cols or slow_arrays is not None or fast_arrays is not None:
         # expand slow spans: per-row arrays concatenate; per-span scalars
         # expand in one np.repeat per column (not one np.full per span)
-        slow_arrays = None
         if slow_cols:
             counts = np.asarray([sc[0] for sc in slow_cols], np.int64)
             scal = np.asarray([sc[5] for sc in slow_cols], np.float64)  # [S, 9]

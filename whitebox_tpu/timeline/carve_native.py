@@ -1,0 +1,127 @@
+"""Native carve front-end — flattens the session's clip lists into column
+arrays and drives native/wb_carve.cpp (the C++ port of the per-track block
+walk in timeline/carve.py).
+
+The C++ walk is bit-parity-contracted against the Python implementation
+(fuzzed column-by-column in tests/test_carve_native.py); this module only
+prepares inputs and re-assembles outputs, so the Python carve remains the
+single source of truth for semantics. Falls back (returns None) when the
+native runtime is unavailable (no toolchain, WBTPU_NO_NATIVE=1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from whitebox_tpu.core.formats import AudioFormat
+from whitebox_tpu.io import native
+from whitebox_tpu.timeline.pool import SamplePool
+
+
+def carve_audio_tracks(session, P: np.ndarray, S: np.ndarray, num_blocks: int,
+                       buffer_size: int, sample_rate: float, beat_duration: float,
+                       pool: SamplePool, slow_emit: str):
+    """Carve all tracks' audio clips natively.
+
+    Returns (fast_arrays, fast_flags, clamp_flags, slow_arrays) matching
+    carve.carve_session's internal assembly layout (each ``*_arrays`` is the
+    13-column tuple, or None when empty), or None to fall back to Python.
+
+    Raises the same overlapping-clips ValueError as the Python walk.
+    """
+    if not native.has_carve():
+        return None
+
+    tracks = session.tracks
+    n_clips = sum(len(t.clips) for t in tracks)
+    mt = np.empty(n_clips, np.float64)
+    xt = np.empty(n_clips, np.float64)
+    so = np.zeros(n_clips, np.float64)
+    cs = np.ones(n_clips, np.float64)
+    fs = np.zeros(n_clips, np.float64)
+    fe = np.zeros(n_clips, np.float64)
+    cnt = np.zeros(n_clips, np.float64)
+    sr = np.zeros(n_clips, np.float64)
+    gn = np.zeros(n_clips, np.float32)
+    md = np.zeros(n_clips, np.int32)
+    cid = np.zeros(n_clips, np.int32)
+    sid = np.zeros(n_clips, np.int32)
+    cl = np.zeros(n_clips, np.uint8)
+    sk = np.ones(n_clips, np.uint8)
+    clip_begin = np.zeros(len(tracks) + 1, np.int64)
+    ci0 = np.full(len(tracks), -1, np.int64)
+
+    index_of = pool.index_of
+    p0 = float(P[0])
+    i = 0
+    for t, track in enumerate(tracks):
+        clips = track.clips
+        clip_begin[t] = i
+        prev_max = None
+        prev = None
+        last_max = None
+        for c in clips:
+            m, x = c.min_time, c.max_time
+            if prev_max is not None and m < prev_max:
+                # identical message to carve._carve_track_audio
+                raise ValueError(
+                    f"track {track.name!r}: overlapping clips [{prev.min_time},{prev.max_time}) and "
+                    f"[{m},{x}) — use Session.delete_region/add APIs"
+                )
+            prev_max, prev = x, c
+            mt[i], xt[i] = m, x
+            if c.is_audio() and c.audio is not None and c.audio.asset is not None:
+                a = c.audio
+                smp = a.asset.sample
+                sk[i] = 0
+                _id = c.id
+                if not (-2147483648 <= _id <= 2147483647):
+                    # stale/INVALID ids (edit-API bypass): let the Python
+                    # walk handle it and surface its exact errors
+                    return None
+                cid[i] = _id
+                so[i] = c.start_offset
+                cs[i] = a.speed
+                fs[i] = a.fade_start
+                fe[i] = a.fade_end
+                cnt[i] = float(smp.count)
+                sr[i] = float(smp.sample_rate)
+                gn[i] = np.float32(a.gain)
+                md[i] = int(a.mode)
+                sid[i] = index_of[id(a.asset)]
+                cl[i] = smp.format != AudioFormat.F32
+            i += 1
+        # find_next_clip(P[0]) (track.cpp:182 clamp-to-last semantics)
+        if clips:
+            last_max = clips[-1].max_time
+            if last_max >= p0:
+                seg = xt[clip_begin[t]:i]
+                j = min(int(np.searchsorted(seg, p0, side="right")), len(clips) - 1)
+                start_id = clips[j].id
+                if not (0 <= start_id < len(clips)):
+                    return None  # stale ids: let the Python walk surface it
+                ci0[t] = start_id
+    clip_begin[len(tracks)] = i
+
+    cols = dict(min_time=mt, max_time=xt, start_offset=so, clip_speed=cs,
+                fade_start=fs, fade_end=fe, count=cnt, srate=sr, gain=gn,
+                mode=md, clip_id=cid, sid=sid, clampf=cl, skip=sk)
+    res = native.carve_audio(
+        np.ascontiguousarray(P, np.float64), np.ascontiguousarray(S, np.float64),
+        num_blocks, buffer_size, sample_rate, beat_duration,
+        slow_emit == "runs", clip_begin, ci0, cols,
+    )
+    if res is None:
+        return None
+    fa, sa = res
+
+    fast_arrays = None
+    fast_flags = clamp_flags = None
+    if fa[0].shape[0]:
+        order = np.lexsort((fa[1], fa[0]))  # stable (track, dst) — rows.sort
+        fa = tuple(col[order] for col in fa)
+        fast_arrays = fa[0:8] + fa[10:15]
+        fast_flags = fa[8].astype(bool)
+        clamp_flags = fa[9].astype(bool)
+    slow_arrays = sa if sa[0].shape[0] else None
+    return fast_arrays, fast_flags, clamp_flags, slow_arrays

@@ -126,13 +126,14 @@ def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TA
     channel-major within a group: the group's rendered batch transposed to
     [C, n_sub, _QF*Qp] *is* its ext segment, so assembly is a handful of
     reshapes regardless of run count."""
-    from whitebox_tpu.ops.mix_pallas import _merge_slow_runs
+    from whitebox_tpu.ops.mix_pallas import _merge_slow_runs_soa
 
     if not len(table) or table.fast.all():
         return None
-    runs_raw = _merge_slow_runs(table)
-    if not runs_raw:
+    soa = _merge_slow_runs_soa(table)
+    if soa is None or soa["trk"].size == 0:
         return None
+    n_runs = soa["trk"].size
 
     half = taps // 2
     C = pool.channel_base.shape[1]
@@ -140,10 +141,11 @@ def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TA
     # vectorized per-run arithmetic: rationalize each DISTINCT speed once,
     # then batch the modular phase decomposition (thousands of runs would
     # otherwise pay a Python Fraction + pow() each)
-    speeds = np.array([r["speed"] for r in runs_raw])
-    x0s = np.array([r["x0"] for r in runs_raw])
-    uniq = {}
-    for sp in np.unique(speeds):
+    speeds = soa["speed"]
+    x0s = soa["x0"]
+    uspeeds, inv = np.unique(speeds, return_inverse=True)
+    upqsp = []
+    for sp in uspeeds:
         pq = _rational_speed(float(sp))
         if pq is None:
             return None
@@ -151,34 +153,35 @@ def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TA
         s = 1
         while s * P < taps:  # the window trick needs taps <= Pp
             s *= 2
-        uniq[float(sp)] = (P, Q, s, pow(P, -1, Q))
-    P_a = np.array([uniq[float(sp)][0] for sp in speeds], np.int64)
-    Q_a = np.array([uniq[float(sp)][1] for sp in speeds], np.int64)
-    s_a = np.array([uniq[float(sp)][2] for sp in speeds], np.int64)
-    Pinv_a = np.array([uniq[float(sp)][3] for sp in speeds], np.int64)
+        upqsp.append((P, Q, s, pow(P, -1, Q)))
+    upq = np.asarray(upqsp, np.int64)  # [U, 4]
+    P_a, Q_a, s_a, Pinv_a = (upq[inv, j] for j in range(4))
     N0f = x0s * Q_a
     N0 = np.round(N0f).astype(np.int64)
     if np.max(np.abs(N0f - N0)) > 1e-6:
         return None  # off the 1/Q grid: not an exact polyphase ramp
     k0_a = (N0 % Q_a * Pinv_a) % Q_a
     c0_a = (N0 - k0_a * P_a) // Q_a
-    L_a = np.array([r["end"] - r["d0"] for r in runs_raw], np.int64)
+    L_a = soa["end"] - soa["d0"]
     nsub_a = -(-(k0_a + L_a) // (_QF * s_a * Q_a))
 
     plans = [
-        _RunPlan(
-            trk=r["trk"], d0=r["d0"], L=int(L_a[i]), sid=r["sid"],
-            c0=int(c0_a[i]), k0=int(k0_a[i]),
-            Pp=int(s_a[i] * P_a[i]), Qp=int(s_a[i] * Q_a[i]), nsub=int(nsub_a[i]),
-            gain=r["gain"], fis=r["fis"], fii=r["fii"], foe=r["foe"], foi=r["foi"],
-        )
-        for i, r in enumerate(runs_raw)
+        _RunPlan(trk=trk, d0=d0, L=L, sid=sid, c0=c0, k0=k0,
+                 Pp=Pp, Qp=Qp, nsub=nsub,
+                 gain=gain, fis=fis, fii=fii, foe=foe, foi=foi)
+        for trk, d0, L, sid, c0, k0, Pp, Qp, nsub, gain, fis, fii, foe, foi in zip(
+            soa["trk"].tolist(), soa["d0"].tolist(), L_a.tolist(), soa["sid"].tolist(),
+            c0_a.tolist(), k0_a.tolist(), (s_a * P_a).tolist(), (s_a * Q_a).tolist(),
+            nsub_a.tolist(), soa["gain"].tolist(), soa["fis"].tolist(),
+            soa["fii"].tolist(), soa["foe"].tolist(), soa["foi"].tolist())
     ]
 
     # group-major layout: one group per ratio; channel-major inside
+    # (ratio key from the uniq table — a per-run Fraction here was ~30% of
+    # the whole plan cost at 10k-run scale)
     by_shape: dict[tuple, list[_RunPlan]] = {}
-    for p, r in zip(plans, runs_raw):
-        key = (p.Pp, p.Qp, _rational_speed(r["speed"]))
+    for i, p in enumerate(plans):
+        key = (p.Pp, p.Qp, (int(P_a[i]), int(Q_a[i])))
         by_shape.setdefault(key, []).append(p)
     ordered: list[_RunPlan] = []
     groups = []
@@ -204,14 +207,13 @@ def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TA
         ext_off += n_sub_g * stride * C
 
     # device read guard: the last sub-run's window may overshoot the pool
+    # (vectorized over runs x channels)
     pool_len = pool.data.shape[0]
     pool_len += (-pool_len) % 128
-    guard = 0
-    for p in plans:
-        for ch in range(C):
-            win_last = (int(pool.channel_base[p.sid, ch]) + p.c0 - (half - 1)
-                        + (p.nsub - 1) * _QF * p.Pp)
-            guard = max(guard, win_last + (_QF + 1) * p.Pp - pool_len)
+    Pp_a = s_a * P_a
+    win_last = (pool.channel_base[soa["sid"]].astype(np.int64) + (
+        c0_a - (half - 1) + (nsub_a - 1) * _QF * Pp_a)[:, None])
+    guard = int(max(0, (win_last + ((_QF + 1) * Pp_a)[:, None]).max() - pool_len))
     guard += (-guard) % 128
     return PrerenderPlan(runs=ordered, groups=groups, ext_len=ext_off,
                          guard=max(guard, 0), taps=taps, atten_db=float(atten_db))
