@@ -287,25 +287,31 @@ def _render_ext_body(pool2d, group_args, layout):
     import jax.numpy as jnp
 
     C, guard, groups, taps = layout
-    flat = pool2d.reshape(-1)
-    if guard:
-        flat = jnp.concatenate([flat, jnp.zeros(guard, jnp.float32)])
+    # Window fetch = aligned 128-row gather + in-register barrel shift.
+    # A vmapped dynamic_slice at arbitrary offsets lowers to an unaligned
+    # 1-D gather that ran at ~5 GB/s on v5e (338 ms for this stage at
+    # 128-track scale); gathering whole [*,128] rows on the major axis and
+    # rotating by the 7-bit residue with static rolls+selects (which XLA
+    # fuses into one elementwise pass) is ~7x faster. take_along_axis on
+    # the minor axis is 50x WORSE (5.9 s) — never index per-element.
+    pad_rows = guard // 128 + 2  # row-gather may touch ceil(need/128)+1 rows past the end
+    p2 = jnp.concatenate([pool2d, jnp.zeros((pad_rows, 128), jnp.float32)])
     # one batched einsum per ratio; the transposed batch [C, n_sub, F]
     # IS the group's ext segment (channel-major layout)
     pieces = [pool2d.reshape(-1)]
     for (Pp, Qp, _n), (starts_g, M) in zip(groups, group_args):
         need = (_QF + 1) * Pp
-
-        def one(starts_c):
-            xp = jnp.stack([
-                jax.lax.dynamic_slice(flat, (starts_c[c],), (need,))
-                for c in range(C)
-            ])  # [C, need]
-            A = xp.reshape(C, _QF + 1, Pp)
-            # window = own P'-row + the next row's first `taps` columns
-            return jnp.concatenate([A[:, :_QF], A[:, 1:, :taps]], axis=-1)
-
-        Xr = jax.vmap(one)(starts_g)  # [n_sub, C, QF, Pp+taps]
+        nrow = -(-need // 128) + 1
+        a = starts_g // 128
+        B = p2[a[..., None] + jnp.arange(nrow)]  # [n_sub, C, nrow, 128]
+        B = B.reshape(starts_g.shape[0], C, nrow * 128)
+        r = (starts_g % 128)[..., None]
+        for k in range(7):  # barrel shift: B_final[u] = B[u + r]
+            bit = 1 << k
+            B = jnp.where((r & bit) != 0, jnp.roll(B, -bit, axis=-1), B)
+        A = B[:, :, :need].reshape(starts_g.shape[0], C, _QF + 1, Pp)
+        # window = own P'-row + the next row's first `taps` columns
+        Xr = jnp.concatenate([A[:, :, :_QF], A[:, :, 1:, :taps]], axis=-1)  # [n_sub, C, QF, Pp+taps]
         # HIGHEST: the TPU default matmul precision is bf16, which
         # floors the resampler at ~-60 dB; bf16x3 restores f32 quality
         out = jnp.einsum("scqw,jw->scqj", Xr, M,
