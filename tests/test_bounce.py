@@ -100,3 +100,55 @@ class TestPallasResampled:
         n = min(got.shape[1], ref.shape[1])
         absd = np.abs(got[:, :n].astype(np.float64) - ref[:, :n].astype(np.float64))
         assert absd.max() < 3e-6
+
+
+class TestAutoTileBackoff:
+    """build_plan(tile=None) starts at DEFAULT_TILE and halves on slot
+    overflow instead of falling off to the XLA path."""
+
+    def _dense_session(self):
+        # one track, 12 short clips at distinct speeds inside the first
+        # DEFAULT_TILE-frame window: runs cannot merge (speed changes), so
+        # the (tile, track) cell needs 12 slots at 32768 but fits at <= 8
+        # once the tile shrinks
+        from whitebox_tpu.session import Session
+        from whitebox_tpu.session.sample import Sample
+
+        rng = np.random.default_rng(42)
+        s = Session(bpm=120.0)
+        data = (rng.standard_normal((1, 4000)) * 0.3).astype(np.float32)
+        asset = s.sample_table.add_sample(
+            Sample.from_planar(data, 48000, AudioFormat.F32, name="d"), key="d")
+        tr = s.add_track("t0")
+        pos = 0.0
+        for c in range(12):
+            speed = 0.9 + 0.017 * c  # all distinct, all != 1.0
+            s.add_audio_clip(tr, f"c{c}", pos, pos + 0.08,
+                             start_offset=0.0, asset=asset, speed=speed)
+            pos += 0.1  # 0.05 s gap: separate runs, all within ~1.2 s
+        return s
+
+    def test_backoff_resolves_overflow(self):
+        import pytest as _pytest
+
+        from whitebox_tpu.ops.mix_pallas import (
+            DEFAULT_TILE, SlotOverflow, build_plan)
+
+        s = self._dense_session()
+        table, pool = carve_session(s, 48000.0, buffer_size=512,
+                                    slow_emit="runs")
+        with _pytest.raises(SlotOverflow):
+            build_plan(table, pool, s, tile=DEFAULT_TILE)
+        plan = build_plan(table, pool, s, tile=None)
+        assert plan.tile < DEFAULT_TILE
+        assert plan.ms.shape[2] <= 8  # K fits the default slot budget
+
+    def test_backoff_plan_renders_parity(self):
+        s = self._dense_session()
+        table, pool = carve_session(s, 48000.0, buffer_size=512,
+                                    slow_emit="runs")
+        ref = render_segments_numpy(table, pool, s)
+        out = render_timeline_pallas(table, pool, s, tile=None, interpret=True)
+        n = min(out.shape[1], ref.shape[1])
+        absd = np.abs(out[:, :n].astype(np.float64) - ref[:, :n].astype(np.float64))
+        assert absd.max() < 2.4e-7

@@ -33,7 +33,8 @@ from whitebox_tpu.session.session import Session
 from whitebox_tpu.timeline.carve import SegmentTable
 from whitebox_tpu.timeline.pool import MAX_TILE_FRAMES, SamplePool
 
-DEFAULT_TILE = 8192
+DEFAULT_TILE = 32768  # largest window: fewer/bigger DMAs (73->42 ms at 128trk/60s)
+MIN_TILE = 1024       # slot-overflow backoff floor (build_plan tile=None)
 DEFAULT_K = 8
 
 
@@ -69,6 +70,10 @@ class PallasMixPlan:
 class SlowRowsPresent(ValueError):
     """Raised when resampled rows cannot be planned (kept for API compat;
     the kernel now handles resampled slots natively)."""
+
+
+class SlotOverflow(ValueError):
+    """A (tile, track) cell needs more than max_slots segment slots."""
 
 
 def _merge_slow_runs_soa(table: SegmentTable):
@@ -143,9 +148,21 @@ def build_plan(
     pool: SamplePool,
     session: Session,
     channels: int = 2,
-    tile: int = DEFAULT_TILE,
+    tile: int | None = None,
     max_slots: int = DEFAULT_K,
 ) -> PallasMixPlan:
+    if tile is None:
+        # auto: start at the largest window (fewer, bigger DMAs) and halve
+        # on slot overflow — clip-dense sessions land on a smaller tile
+        # instead of falling off to the XLA path
+        t = DEFAULT_TILE
+        while True:
+            try:
+                return build_plan(table, pool, session, channels, t, max_slots)
+            except SlotOverflow:
+                if t // 2 < MIN_TILE:
+                    raise
+                t //= 2
     if tile > MAX_TILE_FRAMES or tile % 128:
         raise ValueError(f"tile must be a multiple of 128 and <= {MAX_TILE_FRAMES}")
 
@@ -216,7 +233,7 @@ def build_plan(
         np.add.at(counts, (slow["ti"], slow["trk"]), 1)
     K = max(int(counts.max()) if counts.size else 1, 1)
     if K > max_slots:
-        raise ValueError(f"needs {K} slots per (tile, track), max {max_slots}; lower tile size")
+        raise SlotOverflow(f"needs {K} slots per (tile, track), max {max_slots}; lower tile size")
 
     # ---- native fast path for the fast-row expansion ----
     from whitebox_tpu.io import native as _native
@@ -566,7 +583,7 @@ class PallasMixRenderer:
     """Holds device-resident tables; call to render (one pallas_call)."""
 
     def __init__(self, table: SegmentTable, pool: SamplePool, session: Session,
-                 channels: int = 2, tile: int = DEFAULT_TILE, interpret: bool = False,
+                 channels: int = 2, tile: int | None = None, interpret: bool = False,
                  plan: PallasMixPlan | None = None, interp: str = "linear",
                  pool_device=None) -> None:
         # Mosaic only compiles on TPU; CPU (tests / virtual meshes) interprets
@@ -626,7 +643,7 @@ def render_timeline_pallas(
     pool: SamplePool,
     session: Session,
     channels: int = 2,
-    tile: int = DEFAULT_TILE,
+    tile: int | None = None,
     interpret: bool = False,
     plan: PallasMixPlan | None = None,
     interp: str = "linear",

@@ -35,7 +35,7 @@ class SamplePool:
 
 #: Guard bands so the Pallas mix kernel's fixed-size DMA windows
 #: (tile_frames <= MAX_TILE_FRAMES) are always in-bounds without clamping.
-MAX_TILE_FRAMES = 8192
+MAX_TILE_FRAMES = 32768
 # windows are (tile/128 + 16) rows of 128 plus the 1024-alignment slack
 _GUARD = MAX_TILE_FRAMES + 16 * 128 + 256
 

@@ -302,22 +302,24 @@ def _render_ext_body(pool2d, group_args, layout):
     for (Pp, Qp, _n), (starts_g, M) in zip(groups, group_args):
         need = (_QF + 1) * Pp
         nrow = -(-need // 128) + 1
-        a = starts_g // 128
-        B = p2[a[..., None] + jnp.arange(nrow)]  # [n_sub, C, nrow, 128]
-        B = B.reshape(starts_g.shape[0], C, nrow * 128)
-        r = (starts_g % 128)[..., None]
+        sT = starts_g.T  # [C, n_sub]: batch channel-major so the group
+        # output IS its ext segment with no 0.9 GB transpose at the end
+        a = sT // 128
+        B = p2[a[..., None] + jnp.arange(nrow)]  # [C, n_sub, nrow, 128]
+        B = B.reshape(C, sT.shape[1], nrow * 128)
+        r = (sT % 128)[..., None]
         for k in range(7):  # barrel shift: B_final[u] = B[u + r]
             bit = 1 << k
             B = jnp.where((r & bit) != 0, jnp.roll(B, -bit, axis=-1), B)
-        A = B[:, :, :need].reshape(starts_g.shape[0], C, _QF + 1, Pp)
+        A = B[:, :, :need].reshape(C, sT.shape[1], _QF + 1, Pp)
         # window = own P'-row + the next row's first `taps` columns
-        Xr = jnp.concatenate([A[:, :, :_QF], A[:, :, 1:, :taps]], axis=-1)  # [n_sub, C, QF, Pp+taps]
+        Xr = jnp.concatenate([A[:, :, :_QF], A[:, :, 1:, :taps]], axis=-1)  # [C, n_sub, QF, Pp+taps]
         # HIGHEST: the TPU default matmul precision is bf16, which
         # floors the resampler at ~-60 dB; bf16x3 restores f32 quality
-        out = jnp.einsum("scqw,jw->scqj", Xr, M,
+        out = jnp.einsum("csqw,jw->csqj", Xr, M,
                          precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)  # [n_sub, C, QF, Qp]
-        pieces.append(out.reshape(out.shape[0], C, -1).transpose(1, 0, 2).reshape(-1))
+                         preferred_element_type=jnp.float32)  # [C, n_sub, QF, Qp]
+        pieces.append(out.reshape(-1))
     # fresh tail guard: the mix kernel's fixed DMA windows read past
     # the last ext buffer
     pieces.append(jnp.zeros(_GUARD, jnp.float32))
