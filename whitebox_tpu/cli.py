@@ -138,6 +138,10 @@ def _cmd_inspect(args) -> int:
                 "volume_db": t.volume_db,
                 "pan": t.pan,
                 "mute": t.mute,
+                **({"output_bus": t.output_bus} if t.output_bus is not None else {}),
+                **({"sends": [{"bus": s.bus, "gain_db": s.gain_db, "pre": s.pre_fader,
+                               **({"sc": True} if s.sidechain else {})}
+                              for s in t.sends]} if t.sends else {}),
                 "clips": [
                     {
                         "name": c.name,
@@ -154,6 +158,12 @@ def _cmd_inspect(args) -> int:
         "samples": [a.sample.name for a in session.sample_table.samples.values()],
         "end_time_beats": session.end_time(),
     }
+    if session.buses:
+        info["buses"] = [
+            {"name": b.name, "volume_db": b.volume_db, "pan": b.pan, "mute": b.mute,
+             "effects": len(b.effects or [])}
+            for b in session.buses
+        ]
     print(json.dumps(info, indent=2))
     return 0
 

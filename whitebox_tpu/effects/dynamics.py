@@ -15,14 +15,22 @@ from whitebox_tpu.ops import dynamics as dyn
 
 
 class Compressor(Effect):
-    """Downward compressor, soft knee, peak or RMS detector, stereo-linked."""
+    """Downward compressor, soft knee, peak or RMS detector, stereo-linked.
+
+    ``sidechain=True`` makes the detector listen to an external KEY signal
+    instead of the program audio (classic ducking). The key is delivered
+    by the routed pipelines from the bus's sidechain sends
+    (session/bus.py ``Send(sidechain=True)``); with no key routed the
+    detector hears silence and the compressor passes audio at makeup gain.
+    """
 
     name = "compressor"
 
     def __init__(self, threshold_db: float = -18.0, ratio: float = 4.0, *,
                  knee_db: float = 6.0, attack_s: float = 0.005,
                  release_s: float = 0.1, makeup_db: float = 0.0,
-                 detector: str = "peak", rms_window_s: float = 0.03) -> None:
+                 detector: str = "peak", rms_window_s: float = 0.03,
+                 sidechain: bool = False) -> None:
         super().__init__()
         if detector not in ("peak", "rms"):
             raise ValueError(f"detector {detector!r}")
@@ -34,9 +42,10 @@ class Compressor(Effect):
         self.makeup_db = float(makeup_db)
         self.detector = detector
         self.rms_window_s = float(rms_window_s)
+        self.sidechain = bool(sidechain)
 
     def static_config(self):
-        return (self.detector,)
+        return (self.detector, self.sidechain)
 
     def param_arrays(self) -> dict:
         assert self.sample_rate is not None, "call prepare(sample_rate) first"
@@ -53,9 +62,10 @@ class Compressor(Effect):
     def init_state(self, channels: int):
         return {"red": jnp.zeros(()), "att": jnp.zeros(()), "det": jnp.zeros(())}
 
-    def process(self, x, state):
+    def process(self, x, state, key=None):
         p = {k: jnp.float32(v) for k, v in self.param_arrays().items()}
-        return dyn.compressor_process(jnp.atleast_2d(x), p, state, detector=self.detector)
+        return dyn.compressor_process(jnp.atleast_2d(x), p, state, detector=self.detector,
+                                      key=None if key is None else jnp.atleast_2d(key))
 
     def tail_frames(self) -> int:
         return int(5.0 * self.release_s * (self.sample_rate or 48000.0))
@@ -113,22 +123,26 @@ class Limiter(Effect):
 
 
 class NoiseGate(Effect):
-    """Downward gate: instant-open / exponential-close, declicked."""
+    """Downward gate: instant-open / exponential-close, declicked.
+
+    ``sidechain=True``: the gate opens on an external KEY signal (see
+    Compressor.sidechain) — e.g. keying a pad from a kick drum."""
 
     name = "gate"
 
     def __init__(self, threshold_db: float = -50.0, *, range_db: float = 80.0,
                  attack_s: float = 0.001, release_s: float = 0.1,
-                 hysteresis_db: float = 0.0) -> None:
+                 hysteresis_db: float = 0.0, sidechain: bool = False) -> None:
         super().__init__()
         self.threshold_db = float(threshold_db)
         self.range_db = float(range_db)
         self.attack_s = float(attack_s)
         self.release_s = float(release_s)
         self.hysteresis_db = float(hysteresis_db)
+        self.sidechain = bool(sidechain)
 
     def static_config(self):
-        return ()
+        return (self.sidechain,)
 
     def param_arrays(self) -> dict:
         assert self.sample_rate is not None, "call prepare(sample_rate) first"
@@ -143,9 +157,10 @@ class NoiseGate(Effect):
     def init_state(self, channels: int):
         return {"open": jnp.zeros(()), "att": jnp.zeros(())}
 
-    def process(self, x, state):
+    def process(self, x, state, key=None):
         p = {k: jnp.float32(v) for k, v in self.param_arrays().items()}
-        return dyn.gate_process(jnp.atleast_2d(x), p, state)
+        return dyn.gate_process(jnp.atleast_2d(x), p, state,
+                                key=None if key is None else jnp.atleast_2d(key))
 
     def tail_frames(self) -> int:
         return int(5.0 * self.release_s * (self.sample_rate or 48000.0))

@@ -156,7 +156,7 @@ def detector_level(x, mode: str, avg_coef, det0):
 
 
 @partial(jax.jit, static_argnames=("detector",))
-def compressor_process(x, params, state, *, detector: str = "peak"):
+def compressor_process(x, params, state, *, detector: str = "peak", key=None):
     """Compress x [..., C, F].
 
     params: dict of f32 arrays broadcastable over the leading batch dims
@@ -165,8 +165,12 @@ def compressor_process(x, params, state, *, detector: str = "peak"):
     state: dict with "red" (release-held reduction, dB), "att" (attack
       smoother output, dB), "det" (RMS average) — each [..., 1]-less,
       i.e. shape of x without the C and F axes -> [...] per batch row.
+    ``key`` [..., C, F] (optional): external sidechain signal — the
+    detector listens to it while the gain applies to ``x`` (classic
+    ducking; routed via sidechain sends, session/bus.py).
     Returns (y, new_state)."""
-    lvl, det_last = detector_level(x, detector, params.get("det_avg", 0.0), state["det"])
+    lvl, det_last = detector_level(x if key is None else key, detector,
+                                   params.get("det_avg", 0.0), state["det"])
     r_db = compressor_reduction_db(_level_db(lvl), params["threshold_db"], params["ratio"], params["knee_db"])
     held, red_last = maxdecay_scan(r_db, params["release"], state["red"])
     smooth, att_last = onepole_scan(held, params["attack"], state["att"])
@@ -214,15 +218,17 @@ def _window_max(seq, w: int):
 
 
 @partial(jax.jit, static_argnames=())
-def gate_process(x, params, state):
+def gate_process(x, params, state, key=None):
     """Noise gate on x [..., C, F].
 
     Openness o[n] = max(target_gain[n], rho*o[n-1]): instant open, exp
     close at the release time; one-pole attack smoothing declicks the
     opening edge. params: threshold_db, range_db, hysteresis... (hysteresis
     folded into target curve host-side as hyst_db), attack, release.
-    state: "open" (held openness), "att"."""
-    lvl = jnp.max(jnp.abs(x), axis=-2)
+    state: "open" (held openness), "att". ``key`` (optional): external
+    sidechain detector signal (the gate opens when the KEY crosses the
+    threshold — e.g. gating a pad from a kick)."""
+    lvl = jnp.max(jnp.abs(x if key is None else key), axis=-2)
     tgt = gate_open_gain(_level_db(lvl), params["threshold_db"], params["range_db"],
                          params.get("hyst_db", 0.0))
     floor = jnp.exp(-jnp.abs(params["range_db"]) / _LOG10_20)
@@ -248,13 +254,15 @@ def _per_frame(v, F: int) -> np.ndarray:
 
 
 def compressor_ref(x: np.ndarray, *, threshold_db, ratio, knee_db, attack, release,
-                   makeup_db=0.0, detector="peak", det_avg=0.0) -> np.ndarray:
+                   makeup_db=0.0, detector="peak", det_avg=0.0, key=None) -> np.ndarray:
     """Sequential f64 reference of compressor_process (one batch row [C, F]).
 
     Every level/ratio/ballistics param may be a scalar or a per-frame [F]
-    array (timed effect-param automation)."""
+    array (timed effect-param automation). ``key`` [C, F]: external
+    sidechain detector signal."""
     x = np.asarray(x, np.float64)
     C, F = x.shape
+    det_src = x if key is None else np.asarray(key, np.float64)
     thr, rat, knee = _per_frame(threshold_db, F), _per_frame(ratio, F), _per_frame(knee_db, F)
     atk, rel, mk = _per_frame(attack, F), _per_frame(release, F), _per_frame(makeup_db, F)
     davg = _per_frame(det_avg, F)
@@ -264,9 +272,9 @@ def compressor_ref(x: np.ndarray, *, threshold_db, ratio, knee_db, attack, relea
     y = np.empty_like(x)
     for n in range(F):
         if detector == "peak":
-            lvl = np.max(np.abs(x[:, n]))
+            lvl = np.max(np.abs(det_src[:, n]))
         else:
-            avg = davg[n] * avg + (1.0 - davg[n]) * np.mean(x[:, n] ** 2)
+            avg = davg[n] * avg + (1.0 - davg[n]) * np.mean(det_src[:, n] ** 2)
             lvl = math.sqrt(max(avg, 0.0))
         slope = 1.0 - 1.0 / rat[n]
         w = max(knee[n], 1e-6)
@@ -304,16 +312,17 @@ def limiter_ref(x: np.ndarray, *, ceiling_db, attack, release, lookahead=0) -> n
     return y
 
 
-def gate_ref(x: np.ndarray, *, threshold_db, range_db, attack, release) -> np.ndarray:
+def gate_ref(x: np.ndarray, *, threshold_db, range_db, attack, release, key=None) -> np.ndarray:
     x = np.asarray(x, np.float64)
     C, F = x.shape
+    det_src = x if key is None else np.asarray(key, np.float64)
     thr, rng = _per_frame(threshold_db, F), _per_frame(range_db, F)
     atk, rel = _per_frame(attack, F), _per_frame(release, F)
     opn = att = 0.0
     y = np.empty_like(x)
     for n in range(F):
         floor = 10.0 ** (-abs(rng[n]) / 20.0)
-        lvl = np.max(np.abs(x[:, n]))
+        lvl = np.max(np.abs(det_src[:, n]))
         tgt = 1.0 if _level_db_np(lvl) >= thr[n] else floor
         opn = max(tgt, rel[n] * opn)
         o = max(opn, floor)

@@ -84,14 +84,18 @@ def maxdecay_shard(v, rho, axis_name: str, fp: int):
 # ---------------------------------------------------------------------------
 
 
-def compressor_shard(x, params, axis_name: str, fp: int, detector: str = "peak"):
-    """x_local [B, C, F_local] -> compressed local frames (exact handoff)."""
+def compressor_shard(x, params, axis_name: str, fp: int, detector: str = "peak",
+                     key=None):
+    """x_local [B, C, F_local] -> compressed local frames (exact handoff).
+
+    ``key``: external sidechain detector shard (same layout as x)."""
+    det_src = x if key is None else key
     if detector == "rms":
-        p = jnp.mean(jnp.square(x), axis=-2)
+        p = jnp.mean(jnp.square(det_src), axis=-2)
         avg = onepole_shard(p, params.get("det_avg", 0.0), axis_name, fp)
         lvl = jnp.sqrt(jnp.maximum(avg, 0.0))
     else:
-        lvl = jnp.max(jnp.abs(x), axis=-2)
+        lvl = jnp.max(jnp.abs(det_src), axis=-2)
     r_db = compressor_reduction_db(_level_db(lvl), params["threshold_db"], params["ratio"], params["knee_db"])
     held = maxdecay_shard(r_db, params["release"], axis_name, fp)
     smooth = onepole_shard(held, params["attack"], axis_name, fp)
@@ -115,8 +119,8 @@ def limiter_shard(x, params, axis_name: str, fp: int, lookahead: int = 0):
     return xd * jnp.exp(-smooth / _LOG10_20)[..., None, :]
 
 
-def gate_shard(x, params, axis_name: str, fp: int):
-    lvl = jnp.max(jnp.abs(x), axis=-2)
+def gate_shard(x, params, axis_name: str, fp: int, key=None):
+    lvl = jnp.max(jnp.abs(x if key is None else key), axis=-2)
     tgt = gate_open_gain(_level_db(lvl), params["threshold_db"], params["range_db"],
                          params.get("hyst_db", 0.0))
     floor = jnp.exp(-jnp.abs(params["range_db"]) / _LOG10_20)
@@ -299,7 +303,7 @@ def _eval_shard_lanes(kind: str, params, n0, F_local: int):
 
 
 def stage_shard(kind: str, static: tuple, params, x, axis_name: str, fp: int,
-                sample_rate: float, chunk_start=0):
+                sample_rate: float, chunk_start=0, key=None):
     """Apply one effect stage to a frame shard x [B, C, F_local].
 
     Stages with "auto" lane tables in ``params`` evaluate them at this
@@ -365,13 +369,17 @@ def stage_shard(kind: str, static: tuple, params, x, axis_name: str, fp: int,
             p["attack"] = _time_coef_dev(lanes["attack_s"], sample_rate)
         if "release_s" in lanes:
             p["release"] = _time_coef_dev(lanes["release_s"], sample_rate)
+        if key is None:
+            key = jnp.zeros_like(x)  # sidechain with nothing routed hears silence
         if kind == "compressor":
-            (detector,) = static
-            return compressor_shard(x, p, axis_name, fp, detector)
+            detector, sc = static
+            return compressor_shard(x, p, axis_name, fp, detector,
+                                    key=key if sc else None)
         if kind == "limiter":
             (L,) = static
             return limiter_shard(x, p, axis_name, fp, L)
-        return gate_shard(x, p, axis_name, fp)
+        (sc,) = static
+        return gate_shard(x, p, axis_name, fp, key=key if sc else None)
     if kind == "delay":
         mode, D = static
         w = delay_shard(x, dict(params, dry=jnp.zeros_like(params["dry"]),
@@ -411,11 +419,13 @@ def stage_shard(kind: str, static: tuple, params, x, axis_name: str, fp: int,
 
 
 def chain_shard(stages, params_list, x, axis_name: str, fp: int, sample_rate: float,
-                chunk_start=0):
+                chunk_start=0, key=None):
     """Apply a whole chain (effects_generic-style (kind, static) stages +
-    aligned params) to a frame shard."""
+    aligned params) to a frame shard. ``key``: sidechain detector shard
+    delivered to every sidechain-flagged dynamics stage in the chain."""
     for (kind, static), params in zip(stages, params_list):
-        x = stage_shard(kind, static, params, x, axis_name, fp, sample_rate, chunk_start)
+        x = stage_shard(kind, static, params, x, axis_name, fp, sample_rate, chunk_start,
+                        key=key)
     return x
 
 

@@ -141,9 +141,12 @@ def bounce_sharded(
     from whitebox_tpu.render.bounce import _session_has_midi
     from whitebox_tpu.timeline.carve import carve_session
 
+    from whitebox_tpu.session.bus import session_has_routing
+
     needs_per_track = (any(t.effects for t in session.tracks)
                        or session_has_automation(session) or _session_has_midi(session)
-                       or bool(getattr(session, "master_automation", None)))
+                       or bool(getattr(session, "master_automation", None))
+                       or session_has_routing(session))
     if needs_per_track and mesh.shape["tracks"] != 1:
         # 2-D mesh: tracks are the natural parallel axis for independent
         # per-track chains — shard each chain group over 'tracks' while the
@@ -232,10 +235,20 @@ def _bounce_sharded_fx_2d(session, sample_rate: float, mesh: Mesh, *,
     from whitebox_tpu.render.effects_pipeline import _frame_gains, prepare_automation_tables
     from whitebox_tpu.timeline.carve import carve_session
 
+    from whitebox_tpu.session.bus import session_has_routing
+
     tp = mesh.shape["tracks"]
     fp = mesh.shape["frames"]
     rate = float(sample_rate)
-    fx = prepare_generic_fx(session, sample_rate, channels)
+    routed = session_has_routing(session)
+    if routed:
+        from whitebox_tpu.render.routing import prepare_routed_fx, routed_device_params
+
+        rfx = prepare_routed_fx(session, sample_rate, channels)
+        fx = rfx.fx
+    else:
+        rfx = None
+        fx = prepare_generic_fx(session, sample_rate, channels)
     if master_effects is not None:
         from whitebox_tpu.render.effects_generic import _Group, _stage_kind, _stage_params
 
@@ -246,7 +259,11 @@ def _bounce_sharded_fx_2d(session, sample_rate: float, mesh: Mesh, *,
             kind, static = _stage_kind(e)
             stages.append((kind, static, {k: np.stack([v]) for k, v in _stage_params(e, kind).items()}))
         fx.master = _Group(np.asarray([0], np.int64), stages) if stages else None
-    gparams, mparams = device_params(fx)
+    if routed:
+        gparams, bparams, mparams, _ = routed_device_params(rfx)
+    else:
+        gparams, mparams = device_params(fx)
+        bparams = []
 
     table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
                                 out_channels=channels, slow_emit="runs")
@@ -320,20 +337,60 @@ def _bounce_sharded_fx_2d(session, sample_rate: float, mesh: Mesh, *,
         contribs = contribs.at[jnp.asarray(g.track_idx)].set(yg[:B])
         contribs = jax.device_put(contribs, group_sharding)
 
-    # ---- stage 3: gains -> psum track sum -> master -> clip ----
+    # ---- stage 3: gains -> routing/psum track sum -> buses -> master ----
     master_stages = tuple((k, s) for (k, s, _) in fx.master.stages) if fx.master else ()
+    bus_group_stages = ([tuple((k, s) for (k, s, _) in g.stages) for g in rfx.bus_groups]
+                        if routed else [])
+    bus_group_idx = [jnp.asarray(g.track_idx) for g in rfx.bus_groups] if routed else []
+    if routed:
+        # routing weight columns shard with their tracks (pad cols are 0)
+        padT = lambda a: jnp.asarray(np.pad(a, ((0, 0), (0, Tp - T))))
+        routing_dev = (padT(rfx.r_post), padT(rfx.r_pre), jnp.asarray(rfx.bus_gain),
+                       padT(rfx.k_post), padT(rfx.k_pre))
+        routing_spec = (P(None, "tracks"), P(None, "tracks"), P(),
+                        P(None, "tracks"), P(None, "tracks"))
+        has_key = rfx.has_key
+    else:
+        routing_dev, routing_spec = (), ()
+        has_key = False
 
-    def finish_tile(contribs_l, tg_l, auto_l, mpar):
+    def finish_tile(contribs_l, tg_l, auto_l, bpar, mpar, routing_c):
         base_f = jax.lax.axis_index("frames") * f_local
         gidx = base_f + jnp.arange(f_local, dtype=jnp.int32)
         gains = _frame_gains(auto_l, tg_l, gidx, T_local, channels)
         y = contribs_l * gains
 
-        def add(acc, row):
-            return acc + row, None
+        if routed:
+            # local routing partials over this track shard, psum'd over
+            # 'tracks' (render/routing.py; HIGHEST keeps f32 quality)
+            r_post_l, r_pre_l, bus_gain, k_post_l, k_pre_l = routing_c
+            hp = jax.lax.Precision.HIGHEST
+            total = jax.lax.psum(
+                jnp.einsum("t,tcf->cf", r_post_l[0], y, precision=hp,
+                           preferred_element_type=jnp.float32), "tracks")
+            bus_sig = jax.lax.psum(
+                jnp.einsum("bt,tcf->bcf", r_post_l[1:], y, precision=hp,
+                           preferred_element_type=jnp.float32)
+                + jnp.einsum("bt,tcf->bcf", r_pre_l, contribs_l, precision=hp,
+                             preferred_element_type=jnp.float32), "tracks")
+            key_sig = None
+            if has_key:
+                key_sig = jax.lax.psum(
+                    jnp.einsum("bt,tcf->bcf", k_post_l, y, precision=hp,
+                               preferred_element_type=jnp.float32)
+                    + jnp.einsum("bt,tcf->bcf", k_pre_l, contribs_l, precision=hp,
+                                 preferred_element_type=jnp.float32), "tracks")
+            for idx, stages, pl in zip(bus_group_idx, bus_group_stages, bpar):
+                yb = chain_shard(list(stages), pl, bus_sig[idx], "frames", fp, rate,
+                                 key=None if key_sig is None else key_sig[idx])
+                bus_sig = bus_sig.at[idx].set(yb)
+            total = total + jnp.sum(bus_sig * bus_gain[:, :, None], axis=0)
+        else:
+            def add(acc, row):
+                return acc + row, None
 
-        local, _ = jax.lax.scan(add, jnp.zeros_like(y[0]), y)
-        total = jax.lax.psum(local, "tracks")
+            local, _ = jax.lax.scan(add, jnp.zeros_like(y[0]), y)
+            total = jax.lax.psum(local, "tracks")
         if master_stages:
             total = chain_shard(list(master_stages), mpar, total[None], "frames", fp, rate)[0]
         total = jnp.where(total > 1.0, jnp.float32(1.0), total)
@@ -347,9 +404,10 @@ def _bounce_sharded_fx_2d(session, sample_rate: float, mesh: Mesh, *,
     )
     out = jax.jit(shard_map(
         finish_tile, mesh=mesh,
-        in_specs=(track_spec, P("tracks", None), auto_spec, rep(mparams)),
+        in_specs=(track_spec, P("tracks", None), auto_spec, rep(bparams),
+                  rep(mparams), routing_spec),
         out_specs=P(None, "frames"),
-    ))(contribs, tables["track_gain"], auto, mparams)
+    ))(contribs, tables["track_gain"], auto, bparams, mparams, routing_dev)
     return np.asarray(out)[:, : table.total_frames]
 
 
@@ -372,9 +430,19 @@ def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
     from whitebox_tpu.render.effects_pipeline import _frame_gains, prepare_automation_tables
     from whitebox_tpu.timeline.carve import carve_session
 
+    from whitebox_tpu.session.bus import session_has_routing
+
     fp = mesh.shape["frames"]
     rate = float(sample_rate)
-    fx = prepare_generic_fx(session, sample_rate, channels)
+    routed = session_has_routing(session)
+    if routed:
+        from whitebox_tpu.render.routing import prepare_routed_fx, routed_device_params
+
+        rfx = prepare_routed_fx(session, sample_rate, channels)
+        fx = rfx.fx
+    else:
+        rfx = None
+        fx = prepare_generic_fx(session, sample_rate, channels)
     if master_effects is not None:
         # explicit master list overrides the session's chain
         from whitebox_tpu.render.effects_generic import _stage_kind, _stage_params
@@ -387,7 +455,11 @@ def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
             kind, static = _stage_kind(e)
             stages.append((kind, static, {k: np.stack([v]) for k, v in _stage_params(e, kind).items()}))
         fx.master = _Group(np.asarray([0], np.int64), stages) if stages else None
-    gparams, mparams = device_params(fx)
+    if routed:
+        gparams, bparams, mparams, routing_dev = routed_device_params(rfx)
+    else:
+        gparams, mparams = device_params(fx)
+        bparams, routing_dev = [], ()
 
     table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
                                 out_channels=channels, slow_emit="runs")
@@ -410,8 +482,11 @@ def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
     group_stages = [tuple((k, s) for (k, s, _) in g.stages) for g in fx.groups]
     group_tracks = [jnp.asarray(g.track_idx) for g in fx.groups]
     master_stages = tuple((k, s) for (k, s, _) in fx.master.stages) if fx.master else ()
+    bus_group_stages = ([tuple((k, s) for (k, s, _) in g.stages) for g in rfx.bus_groups]
+                        if routed else [])
+    bus_group_idx = [jnp.asarray(g.track_idx) for g in rfx.bus_groups] if routed else []
 
-    def tile(pool, tables, gpar, mpar, auto_t, synth_t):
+    def tile(pool, tables, gpar, bpar, mpar, auto_t, synth_t, routing_c):
         from whitebox_tpu.midi.synth import render_synth_chunk
 
         base = jax.lax.axis_index("frames") * f_local
@@ -426,13 +501,39 @@ def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
         gidx = base + jnp.arange(f_local, dtype=jnp.int32)
         y = contribs * _frame_gains(auto_t, tables["track_gain"], gidx, T, channels)
 
-        def add(acc, row):
-            return acc + row, None
+        if routed:
+            # bus routing replaces the ordered sum (render/routing.py):
+            # HIGHEST keeps the matmul at f32 quality
+            r_post, r_pre, bus_gain, k_post, k_pre = routing_c
+            hp = jax.lax.Precision.HIGHEST
+            total = jnp.einsum("t,tcf->cf", r_post[0], y, precision=hp,
+                               preferred_element_type=jnp.float32)
+            bus_sig = (jnp.einsum("bt,tcf->bcf", r_post[1:], y, precision=hp,
+                                  preferred_element_type=jnp.float32)
+                       + jnp.einsum("bt,tcf->bcf", r_pre, contribs, precision=hp,
+                                    preferred_element_type=jnp.float32))
+            total = jax.lax.psum(total, "tracks")
+            bus_sig = jax.lax.psum(bus_sig, "tracks")
+            key_sig = None
+            if rfx.has_key:
+                key_sig = jax.lax.psum(
+                    jnp.einsum("bt,tcf->bcf", k_post, y, precision=hp,
+                               preferred_element_type=jnp.float32)
+                    + jnp.einsum("bt,tcf->bcf", k_pre, contribs, precision=hp,
+                                 preferred_element_type=jnp.float32), "tracks")
+            for idx, stages, pl in zip(bus_group_idx, bus_group_stages, bpar):
+                yb = chain_shard(list(stages), pl, bus_sig[idx], "frames", fp, rate,
+                                 key=None if key_sig is None else key_sig[idx])
+                bus_sig = bus_sig.at[idx].set(yb)
+            total = total + jnp.sum(bus_sig * bus_gain[:, :, None], axis=0)
+        else:
+            def add(acc, row):
+                return acc + row, None
 
-        total, _ = jax.lax.scan(add, jnp.zeros_like(y[0]), y)
-        # tracks axis is size 1 here (asserted by the caller); the psum is a
-        # numeric no-op that marks the output replicated over 'tracks'
-        total = jax.lax.psum(total, "tracks")
+            total, _ = jax.lax.scan(add, jnp.zeros_like(y[0]), y)
+            # tracks axis is size 1 here (asserted by the caller); the psum
+            # is a numeric no-op that marks the output replicated
+            total = jax.lax.psum(total, "tracks")
         if master_stages:
             total = chain_shard(list(master_stages), mpar, total[None], "frames", fp, rate)[0]
         total = jnp.where(total > 1.0, jnp.float32(1.0), total)
@@ -442,8 +543,9 @@ def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
     rep = lambda tree: jax.tree.map(lambda _: P(), tree)
     fn = shard_map(
         tile, mesh=mesh,
-        in_specs=(P(), _TABLE_SPECS, rep(gparams), rep(mparams), rep(auto), rep(synth_tables)),
+        in_specs=(P(), _TABLE_SPECS, rep(gparams), rep(bparams), rep(mparams),
+                  rep(auto), rep(synth_tables), rep(routing_dev)),
         out_specs=P(None, "frames"),
     )
-    out = jax.jit(fn)(pool_dev, tables, gparams, mparams, auto, synth_tables)
+    out = jax.jit(fn)(pool_dev, tables, gparams, bparams, mparams, auto, synth_tables, routing_dev)
     return np.asarray(out)[:, : table.total_frames]

@@ -126,8 +126,16 @@ def bounce(
     (vu_meter.h equivalent; see RenderStats.track_peak). Meters need the
     post-chain per-track signal, so this forces the scan effects path.
     """
+    from whitebox_tpu.session.bus import session_has_routing
+
     if meters:
         effects_mode = "scan"  # fir's spectral sum never materializes per-track audio
+    has_routing = session_has_routing(session)
+    if has_routing:
+        # buses/groups/sends replace the flat ordered track sum: the routed
+        # finisher (render/routing.py) hosts every chain via the generic
+        # stage machinery + the routing matmul
+        effects_mode = "routed"
     stats = RenderStats(channels=channels, sample_rate=float(sample_rate), tracks=len(session.tracks))
     watch = Stopwatch()
 
@@ -205,7 +213,8 @@ def bounce(
             from whitebox_tpu.ops.automation import session_has_automation
 
             has_midi = _session_has_midi(session)
-            has_fx = session_has_effects(session) or session_has_automation(session) or has_midi or meters
+            has_fx = (session_has_effects(session) or session_has_automation(session)
+                      or has_midi or meters or has_routing)
             if has_fx and len(session.tracks) * channels * plan.n_tiles * plan.tile * 4 > 6 << 30:
                 plan = None  # per-track buffers would blow HBM; chunked XLA path
         if plan is not None:
@@ -214,7 +223,7 @@ def bounce(
             renderer = PallasMixRenderer(table, pool, session, channels=channels, plan=plan,
                                          interp=interp, pool_device=pre_pool_dev)
             if has_fx:
-                if not session_fx_packable(session):
+                if not session_fx_packable(session) and effects_mode != "routed":
                     # nonlinear / long-memory chains (dynamics, delays,
                     # reverb...) finish through the generic pipeline
                     effects_mode = "generic"
@@ -242,6 +251,23 @@ def bounce(
                         if synth_tables:
                             ptr = _add_synth(ptr, synth_tables, 0, F_pad)
                         return fir_finish(ptr)
+                elif effects_mode == "routed":
+                    from whitebox_tpu.render.routing import make_routed_finisher, prepare_routed_fx
+
+                    rfx = prepare_routed_fx(session, sample_rate, channels)
+                    routed_finish = make_routed_finisher(
+                        rfx, plan.num_tracks, channels,
+                        with_meters=meters, valid_frames=plan.total_frames,
+                    )
+                    stats.carve_seconds += watch.lap()
+
+                    def run_fx():
+                        pt = renderer.render_device_per_track()
+                        T = plan.num_tracks
+                        ptr = pt.reshape(T, channels, F_pad)
+                        if synth_tables:
+                            ptr = _add_synth(ptr, synth_tables, 0, F_pad)
+                        return routed_finish(ptr, tg, auto)
                 elif effects_mode == "generic":
                     from whitebox_tpu.render.effects_generic import make_generic_finisher, prepare_generic_fx
 
@@ -334,7 +360,8 @@ def bounce(
     chunk_frames = min(chunk_frames, max(F, 1))
     out = np.empty((channels, F), dtype=np.float32)
 
-    if session_has_effects(session) or session_has_automation(session) or _session_has_midi(session) or meters:
+    if (session_has_effects(session) or session_has_automation(session)
+            or _session_has_midi(session) or meters or has_routing):
         from whitebox_tpu.ops.mix import render_chunk_per_track
         from whitebox_tpu.render.effects_generic import session_fx_packable
         from whitebox_tpu.render.effects_pipeline import (
@@ -349,7 +376,30 @@ def bounce(
             if _session_has_midi(session) else {}
         )
 
-        if not session_fx_packable(session):
+        if has_routing:
+            from whitebox_tpu.render.routing import (
+                init_routed_states, make_routed_chunk_fn, prepare_routed_fx,
+                routed_auto_chunk_frames,
+            )
+
+            rfx = prepare_routed_fx(session, sample_rate, channels)
+            chunk_frames = routed_auto_chunk_frames(rfx, chunk_frames)
+            rstep = make_routed_chunk_fn(rfx, T, channels, chunk=chunk_frames,
+                                         with_meters=meters)
+            rstates = init_routed_states(rfx, channels)
+            # adapt to the (states, mstates) threading below: carry the
+            # routed state triple in `states`, mstates unused
+            states, mstates = rstates, ()
+
+            def fx_chunk(start, states, mstates):
+                pt = render_chunk_per_track(pool_dev, jt, jnp.int32(start), frames=chunk_frames, sinc_bank=sinc_bank, interp=interp)
+                if synth_tables:
+                    pt = _add_synth(pt, synth_tables, start, chunk_frames)
+                res = rstep(pt, states, jnp.int32(start), tg, auto)
+                if meters:
+                    return res[0], res[1], (), res[2]
+                return res[0], res[1], ()
+        elif not session_fx_packable(session):
             from whitebox_tpu.render.effects_generic import (
                 auto_chunk_frames, init_generic_states, make_generic_chunk_fn, prepare_generic_fx,
             )

@@ -422,12 +422,16 @@ def _tv_vals(lanes, params, lane_name: str, raw_key: str, K: int, band: int | No
     return jnp.broadcast_to(base[:, None], (base.shape[0], K))
 
 
-def _apply_stage(kind: str, static: tuple, params, x, state, n0, sample_rate: float):
+def _apply_stage(kind: str, static: tuple, params, x, state, n0, sample_rate: float,
+                 key=None):
     """x [B, C, Fc] -> (y, new_state). ``n0``: absolute start frame (traced).
 
     Stages with an "auto" entry in ``params`` (timed effect-param lanes —
     the param_changes.h analogue) evaluate their lanes here: elementwise
-    params per frame, biquad/EQ coefficients per 512-frame param block."""
+    params per frame, biquad/EQ coefficients per 512-frame param block.
+    ``key`` [B, C, Fc]: external sidechain detector signal, consumed by
+    compressor/gate stages whose static config flags sidechain=True
+    (delivered by the routed pipelines from sidechain sends)."""
     B, C, Fc = x.shape
     col = lambda a: a[:, None]  # [B] -> [B, 1] (broadcast against [B, F])
     lanes = _eval_stage_lanes(kind, params, n0, Fc)
@@ -480,11 +484,14 @@ def _apply_stage(kind: str, static: tuple, params, x, state, n0, sample_rate: fl
             p["attack"] = _time_coef_dev(lanes["attack_s"], sample_rate)
         if "release_s" in lanes:
             p["release"] = _time_coef_dev(lanes["release_s"], sample_rate)
+        if key is None:
+            key = jnp.zeros_like(x)  # sidechain with nothing routed hears silence
         if kind == "compressor":
             from whitebox_tpu.ops.dynamics import compressor_process
 
-            (detector,) = static
-            return compressor_process(x, p, state, detector=detector)
+            detector, sc = static
+            return compressor_process(x, p, state, detector=detector,
+                                      key=key if sc else None)
         if kind == "limiter":
             from whitebox_tpu.ops.dynamics import limiter_process
 
@@ -492,7 +499,8 @@ def _apply_stage(kind: str, static: tuple, params, x, state, n0, sample_rate: fl
             return limiter_process(x, p, state, lookahead=L)
         from whitebox_tpu.ops.dynamics import gate_process
 
-        return gate_process(x, p, state)
+        (sc,) = static
+        return gate_process(x, p, state, key=key if sc else None)
     if kind == "delay":
         from whitebox_tpu.ops.delay import comb_feedback, comb_feedback_pingpong
 
@@ -554,10 +562,10 @@ def _apply_stage(kind: str, static: tuple, params, x, state, n0, sample_rate: fl
     raise ValueError(f"unknown effect kind {kind!r}")
 
 
-def _apply_group(group: _Group, plist, x, states, n0, sample_rate: float):
+def _apply_group(group: _Group, plist, x, states, n0, sample_rate: float, key=None):
     new_states = []
     for (kind, static, _), params, st in zip(group.stages, plist, states):
-        x, ns = _apply_stage(kind, static, params, x, st, n0, sample_rate)
+        x, ns = _apply_stage(kind, static, params, x, st, n0, sample_rate, key=key)
         new_states.append(ns)
     return x, new_states
 
@@ -802,6 +810,157 @@ def _ref_time_coef(t_s: np.ndarray, sample_rate: float) -> np.ndarray:
         return np.where(t <= 0.0, 0.0, np.exp(-1.0 / np.maximum(t * sample_rate, 1e-12)))
 
 
+def reference_run_chain(chain, x, eff_lanes, sample_rate, channels, bd, key=None):
+    """f64 sequential reference for one effect chain on x [C, F]
+    (extracted from reference_generic_finish so routed-bus references
+    can reuse it; supports the full family + timed effect-param lanes).
+    ``key`` [C, F]: sidechain detector signal for sidechain-flagged
+    dynamics stages (silence when None).
+    """
+    from whitebox_tpu.ops import delay as dl
+    from whitebox_tpu.ops import dynamics as dyn
+    from whitebox_tpu.ops.biquad import PARAM_BLOCK, biquad_sequential, biquad_sequential_tv
+
+    from whitebox_tpu.effects.base import EffectChain
+    from whitebox_tpu.effects.delay import Chorus, Delay
+    from whitebox_tpu.effects.dynamics import Compressor, Limiter, NoiseGate
+    from whitebox_tpu.effects.eq import Biquad, ParametricEQ
+    from whitebox_tpu.effects.gain import Gain
+    from whitebox_tpu.effects.reverb import ConvolutionReverb
+    from whitebox_tpu.effects.shape import Saturator, StereoWidth
+
+    if chain is None:
+        return x
+    chain.prepare(sample_rate, channels)
+    effs = chain.effects if isinstance(chain, EffectChain) else list(chain)
+    F = x.shape[-1]
+    gf = np.arange(F, dtype=np.int64)
+    K = max(F // PARAM_BLOCK, 1)
+    gk = np.arange(K, dtype=np.int64) * PARAM_BLOCK
+
+    def lane_vals(pos, name, default, g=None):
+        lane = (eff_lanes or {}).get((pos, name))
+        if lane is None:
+            return None
+        return _ref_lane_values(lane, default, gf if g is None else g, sample_rate, bd)
+
+    def lane_or(pos, name, default, g=None):
+        v = lane_vals(pos, name, default, g)
+        return default if v is None else v
+
+    def coeff_lane(pos, name, default):
+        return np.broadcast_to(
+            np.asarray(lane_or(pos, name, float(default), gk), np.float64), (K,)
+        )
+
+    for pos, e in enumerate(effs):
+        slot_auto = any(s == pos for (s, _) in (eff_lanes or {}).keys())
+        if isinstance(e, Gain):
+            v = lane_vals(pos, "gain_db", e.gain_db)
+            x = x * (_ref_db_to_lin(v) if v is not None else float(e.gain_linear))
+        elif isinstance(e, Biquad):
+            if slot_auto:
+                x, _ = biquad_sequential_tv(
+                    x, e.ftype, coeff_lane(pos, "freq_hz", e.freq_hz),
+                    coeff_lane(pos, "q", e.q), coeff_lane(pos, "gain_db", e.gain_db),
+                    sample_rate, PARAM_BLOCK,
+                )
+            else:
+                x, _ = biquad_sequential(x, e.coeffs)
+        elif isinstance(e, ParametricEQ):
+            if slot_auto:
+                for b, (t, f, q, g_) in enumerate(e.bands):
+                    x, _ = biquad_sequential_tv(
+                        x, t, coeff_lane(pos, f"b{b}.freq_hz", f),
+                        coeff_lane(pos, f"b{b}.q", q),
+                        coeff_lane(pos, f"b{b}.gain_db", g_),
+                        sample_rate, PARAM_BLOCK,
+                    )
+            else:
+                for c in e.coeffs:
+                    x, _ = biquad_sequential(x, c)
+        elif isinstance(e, Compressor):
+            p = e.param_arrays()
+            av = lane_vals(pos, "attack_s", e.attack_s)
+            rv = lane_vals(pos, "release_s", e.release_s)
+            x = dyn.compressor_ref(
+                x,
+                threshold_db=lane_or(pos, "threshold_db", p["threshold_db"]),
+                ratio=lane_or(pos, "ratio", p["ratio"]),
+                knee_db=lane_or(pos, "knee_db", p["knee_db"]),
+                attack=p["attack"] if av is None else _ref_time_coef(av, sample_rate),
+                release=p["release"] if rv is None else _ref_time_coef(rv, sample_rate),
+                makeup_db=lane_or(pos, "makeup_db", p["makeup_db"]),
+                detector=e.detector, det_avg=p["det_avg"],
+                key=(np.zeros_like(x) if key is None else key) if e.sidechain else None,
+            )
+        elif isinstance(e, Limiter):
+            p = e.param_arrays()
+            av = lane_vals(pos, "attack_s", e.attack_s)
+            rv = lane_vals(pos, "release_s", e.release_s)
+            x = dyn.limiter_ref(
+                x, ceiling_db=lane_or(pos, "ceiling_db", p["ceiling_db"]),
+                attack=p["attack"] if av is None else _ref_time_coef(av, sample_rate),
+                release=p["release"] if rv is None else _ref_time_coef(rv, sample_rate),
+                lookahead=e.lookahead,
+            )
+        elif isinstance(e, NoiseGate):
+            p = e.param_arrays()
+            av = lane_vals(pos, "attack_s", e.attack_s)
+            rv = lane_vals(pos, "release_s", e.release_s)
+            x = dyn.gate_ref(
+                x, threshold_db=lane_or(pos, "threshold_db", p["threshold_db"]),
+                range_db=lane_or(pos, "range_db", p["range_db"]),
+                attack=p["attack"] if av is None else _ref_time_coef(av, sample_rate),
+                release=p["release"] if rv is None else _ref_time_coef(rv, sample_rate),
+                key=(np.zeros_like(x) if key is None else key) if e.sidechain else None,
+            )
+        elif isinstance(e, Delay):
+            if e.mode == "pingpong" and x.shape[0] == 2:
+                w = dl.comb_pingpong_ref(x, e.feedback, e.D)
+            else:
+                w = dl.comb_feedback_ref(x, e.feedback, e.D)
+            x = lane_or(pos, "dry", e.dry) * x + lane_or(pos, "wet", e.wet) * w
+        elif isinstance(e, Chorus):  # covers Flanger
+            fs = sample_rate
+            acc = np.zeros_like(x)
+            for v in range(e.voices):
+                taps = []
+                for c in range(x.shape[0]):
+                    ph = 2.0 * np.pi * v / e.voices + c * 0.5 * np.pi
+                    n = np.arange(F, dtype=np.float64)
+                    d = e.center_s * fs + e.depth_s * fs * np.sin(
+                        2.0 * np.pi * e.rate_hz / fs * n + ph
+                    )
+                    taps.append(dl.modulated_tap_ref(x[c], d.astype(np.float32).astype(np.float64)))
+                acc += np.stack(taps)
+            x = lane_or(pos, "dry", e.dry) * x + (lane_or(pos, "wet", e.wet) / e.voices) * acc
+        elif isinstance(e, ConvolutionReverb):
+            ir = np.asarray(e._ir, np.float64)
+            wet = np.stack([np.convolve(x[c], ir[c % ir.shape[0]])[: x.shape[-1]]
+                            for c in range(x.shape[0])])
+            x = lane_or(pos, "dry", e.dry) * x + lane_or(pos, "wet", e.wet) * wet
+        elif isinstance(e, Saturator):
+            p = e.param_arrays()
+            dv = lane_vals(pos, "drive_db", e.drive_db)
+            if dv is not None:
+                drive = 10.0 ** (dv / 20.0)
+                norm = 1.0 / np.tanh(drive)
+            else:
+                drive, norm = p["drive"], p["norm"]
+            m = lane_or(pos, "mix", p["mix"])
+            shaped = np.tanh(drive * x) * norm
+            x = m * shaped + (1.0 - m) * x
+        elif isinstance(e, StereoWidth):
+            if x.shape[0] == 2:
+                mid = 0.5 * (x[0] + x[1])
+                side = 0.5 * (x[0] - x[1]) * lane_or(pos, "width", e.width)
+                x = np.stack([mid + side, mid - side])
+        else:
+            raise TypeError(e)
+    return x
+
+
 def reference_generic_finish(per_track: np.ndarray, session: Session, sample_rate: float,
                              channels: int = 2) -> np.ndarray:
     """Sequential host reference: per-effect f64 reference models, f64
@@ -817,142 +976,7 @@ def reference_generic_finish(per_track: np.ndarray, session: Session, sample_rat
     bd = session.beat_duration
 
     def run_chain(chain, x, eff_lanes=None):
-        from whitebox_tpu.effects.base import EffectChain
-        from whitebox_tpu.effects.delay import Chorus, Delay
-        from whitebox_tpu.effects.dynamics import Compressor, Limiter, NoiseGate
-        from whitebox_tpu.effects.eq import Biquad, ParametricEQ
-        from whitebox_tpu.effects.gain import Gain
-        from whitebox_tpu.effects.reverb import ConvolutionReverb
-        from whitebox_tpu.effects.shape import Saturator, StereoWidth
-
-        if chain is None:
-            return x
-        chain.prepare(sample_rate, channels)
-        effs = chain.effects if isinstance(chain, EffectChain) else list(chain)
-        F = x.shape[-1]
-        gf = np.arange(F, dtype=np.int64)
-        K = max(F // PARAM_BLOCK, 1)
-        gk = np.arange(K, dtype=np.int64) * PARAM_BLOCK
-
-        def lane_vals(pos, name, default, g=None):
-            lane = (eff_lanes or {}).get((pos, name))
-            if lane is None:
-                return None
-            return _ref_lane_values(lane, default, gf if g is None else g, sample_rate, bd)
-
-        def lane_or(pos, name, default, g=None):
-            v = lane_vals(pos, name, default, g)
-            return default if v is None else v
-
-        def coeff_lane(pos, name, default):
-            return np.broadcast_to(
-                np.asarray(lane_or(pos, name, float(default), gk), np.float64), (K,)
-            )
-
-        for pos, e in enumerate(effs):
-            slot_auto = any(s == pos for (s, _) in (eff_lanes or {}).keys())
-            if isinstance(e, Gain):
-                v = lane_vals(pos, "gain_db", e.gain_db)
-                x = x * (_ref_db_to_lin(v) if v is not None else float(e.gain_linear))
-            elif isinstance(e, Biquad):
-                if slot_auto:
-                    x, _ = biquad_sequential_tv(
-                        x, e.ftype, coeff_lane(pos, "freq_hz", e.freq_hz),
-                        coeff_lane(pos, "q", e.q), coeff_lane(pos, "gain_db", e.gain_db),
-                        sample_rate, PARAM_BLOCK,
-                    )
-                else:
-                    x, _ = biquad_sequential(x, e.coeffs)
-            elif isinstance(e, ParametricEQ):
-                if slot_auto:
-                    for b, (t, f, q, g_) in enumerate(e.bands):
-                        x, _ = biquad_sequential_tv(
-                            x, t, coeff_lane(pos, f"b{b}.freq_hz", f),
-                            coeff_lane(pos, f"b{b}.q", q),
-                            coeff_lane(pos, f"b{b}.gain_db", g_),
-                            sample_rate, PARAM_BLOCK,
-                        )
-                else:
-                    for c in e.coeffs:
-                        x, _ = biquad_sequential(x, c)
-            elif isinstance(e, Compressor):
-                p = e.param_arrays()
-                av = lane_vals(pos, "attack_s", e.attack_s)
-                rv = lane_vals(pos, "release_s", e.release_s)
-                x = dyn.compressor_ref(
-                    x,
-                    threshold_db=lane_or(pos, "threshold_db", p["threshold_db"]),
-                    ratio=lane_or(pos, "ratio", p["ratio"]),
-                    knee_db=lane_or(pos, "knee_db", p["knee_db"]),
-                    attack=p["attack"] if av is None else _ref_time_coef(av, sample_rate),
-                    release=p["release"] if rv is None else _ref_time_coef(rv, sample_rate),
-                    makeup_db=lane_or(pos, "makeup_db", p["makeup_db"]),
-                    detector=e.detector, det_avg=p["det_avg"],
-                )
-            elif isinstance(e, Limiter):
-                p = e.param_arrays()
-                av = lane_vals(pos, "attack_s", e.attack_s)
-                rv = lane_vals(pos, "release_s", e.release_s)
-                x = dyn.limiter_ref(
-                    x, ceiling_db=lane_or(pos, "ceiling_db", p["ceiling_db"]),
-                    attack=p["attack"] if av is None else _ref_time_coef(av, sample_rate),
-                    release=p["release"] if rv is None else _ref_time_coef(rv, sample_rate),
-                    lookahead=e.lookahead,
-                )
-            elif isinstance(e, NoiseGate):
-                p = e.param_arrays()
-                av = lane_vals(pos, "attack_s", e.attack_s)
-                rv = lane_vals(pos, "release_s", e.release_s)
-                x = dyn.gate_ref(
-                    x, threshold_db=lane_or(pos, "threshold_db", p["threshold_db"]),
-                    range_db=lane_or(pos, "range_db", p["range_db"]),
-                    attack=p["attack"] if av is None else _ref_time_coef(av, sample_rate),
-                    release=p["release"] if rv is None else _ref_time_coef(rv, sample_rate),
-                )
-            elif isinstance(e, Delay):
-                if e.mode == "pingpong" and x.shape[0] == 2:
-                    w = dl.comb_pingpong_ref(x, e.feedback, e.D)
-                else:
-                    w = dl.comb_feedback_ref(x, e.feedback, e.D)
-                x = lane_or(pos, "dry", e.dry) * x + lane_or(pos, "wet", e.wet) * w
-            elif isinstance(e, Chorus):  # covers Flanger
-                fs = sample_rate
-                acc = np.zeros_like(x)
-                for v in range(e.voices):
-                    taps = []
-                    for c in range(x.shape[0]):
-                        ph = 2.0 * np.pi * v / e.voices + c * 0.5 * np.pi
-                        n = np.arange(F, dtype=np.float64)
-                        d = e.center_s * fs + e.depth_s * fs * np.sin(
-                            2.0 * np.pi * e.rate_hz / fs * n + ph
-                        )
-                        taps.append(dl.modulated_tap_ref(x[c], d.astype(np.float32).astype(np.float64)))
-                    acc += np.stack(taps)
-                x = lane_or(pos, "dry", e.dry) * x + (lane_or(pos, "wet", e.wet) / e.voices) * acc
-            elif isinstance(e, ConvolutionReverb):
-                ir = np.asarray(e._ir, np.float64)
-                wet = np.stack([np.convolve(x[c], ir[c % ir.shape[0]])[: x.shape[-1]]
-                                for c in range(x.shape[0])])
-                x = lane_or(pos, "dry", e.dry) * x + lane_or(pos, "wet", e.wet) * wet
-            elif isinstance(e, Saturator):
-                p = e.param_arrays()
-                dv = lane_vals(pos, "drive_db", e.drive_db)
-                if dv is not None:
-                    drive = 10.0 ** (dv / 20.0)
-                    norm = 1.0 / np.tanh(drive)
-                else:
-                    drive, norm = p["drive"], p["norm"]
-                m = lane_or(pos, "mix", p["mix"])
-                shaped = np.tanh(drive * x) * norm
-                x = m * shaped + (1.0 - m) * x
-            elif isinstance(e, StereoWidth):
-                if x.shape[0] == 2:
-                    mid = 0.5 * (x[0] + x[1])
-                    side = 0.5 * (x[0] - x[1]) * lane_or(pos, "width", e.width)
-                    x = np.stack([mid + side, mid - side])
-            else:
-                raise TypeError(e)
-        return x
+        return reference_run_chain(chain, x, eff_lanes, sample_rate, channels, bd)
 
     from whitebox_tpu.ops.automation import eval_lane_numpy, pack_session_automation, session_has_automation
 

@@ -70,15 +70,28 @@ class PreviewStream:
         self._T = dev.num_tracks
 
         self._has_midi = _session_has_midi(session)
-        self._has_fx = session_has_effects(session) or session_has_automation(session) or self._has_midi
+        from whitebox_tpu.session.bus import session_has_routing
+
+        self._routed = session_has_routing(session)
+        self._has_fx = (session_has_effects(session) or session_has_automation(session)
+                        or self._has_midi or self._routed)
         if self._has_fx:
             from whitebox_tpu.render.effects_generic import session_fx_packable
             from whitebox_tpu.render.effects_pipeline import (
                 init_effect_states, prepare_automation_tables, prepare_effect_tables,
             )
 
-            self._packable = session_fx_packable(session)
-            if self._packable:
+            self._packable = session_fx_packable(session) and not self._routed
+            if self._routed:
+                from whitebox_tpu.render.routing import (
+                    init_routed_states, make_routed_chunk_fn, prepare_routed_fx,
+                )
+
+                rfx = prepare_routed_fx(session, sample_rate, channels)
+                self._rstep = make_routed_chunk_fn(rfx, self._T, channels, chunk=self.lookahead)
+                self._states = init_routed_states(rfx, channels)
+                self._mstates = ()
+            elif self._packable:
                 (self._S, self._coeffs), (self._Sm, self._mcoeffs) = prepare_effect_tables(
                     session, sample_rate, channels
                 )
@@ -117,7 +130,11 @@ class PreviewStream:
                                         interp=self._interp)
             if self._synth:
                 pt = _add_synth(pt, self._synth, start, frames)
-            if self._packable:
+            if self._routed:
+                chunk, self._states = self._rstep(
+                    pt, self._states, jnp.int32(start), self._tg, self._auto
+                )
+            elif self._packable:
                 chunk, self._states, self._mstates = finish_mix_chunk(
                     pt, self._coeffs, self._mcoeffs, self._tg, self._states, self._mstates,
                     jnp.int32(start), self._auto, T=self._T, C=self.channels, S=self._S, Sm=self._Sm,

@@ -185,7 +185,10 @@ def bounce_streamed(
     T = max(table.num_tracks, 1)
 
     has_midi = _session_has_midi(session)
-    has_fx = session_has_effects(session) or session_has_automation(session) or has_midi
+    from whitebox_tpu.session.bus import session_has_routing
+
+    routed = session_has_routing(session)
+    has_fx = session_has_effects(session) or session_has_automation(session) or has_midi or routed
     F = table.total_frames
     out = np.empty((channels, F), dtype=np.float32)
 
@@ -199,14 +202,26 @@ def bounce_streamed(
             prepare_effect_tables,
         )
 
-        packable = session_fx_packable(session)
+        packable = session_fx_packable(session) and not routed
         auto = prepare_automation_tables(session, sample_rate)
         synth_tables = (
             _prepare_synth_tables(session, sample_rate, buffer_size,
                                   max(F // buffer_size, 1))
             if has_midi else {}
         )
-        if packable:
+        if routed:
+            from whitebox_tpu.render.routing import (
+                init_routed_states, make_routed_chunk_fn, prepare_routed_fx,
+                routed_auto_chunk_frames,
+            )
+
+            rfx = prepare_routed_fx(session, sample_rate, channels)
+            wchunk = min(routed_auto_chunk_frames(rfx, window_frames), window_frames)
+            assert window_frames % wchunk == 0, \
+                "window must be a multiple of the generic chunk"
+            rstep = make_routed_chunk_fn(rfx, T, channels, chunk=wchunk)
+            rstates = init_routed_states(rfx, channels)
+        elif packable:
             (S_fx, coeffs), (Sm, mcoeffs) = prepare_effect_tables(session, sample_rate, channels)
             states, mstates = init_effect_states(T, channels, S_fx, Sm)
         else:
@@ -249,7 +264,15 @@ def bounce_streamed(
                                         interp=interp)
             if synth_tables:
                 pt = _add_synth(pt, synth_tables, w0, window_frames)
-            if packable:
+            if routed:
+                pieces = []
+                for off in range(0, window_frames, wchunk):
+                    piece, rstates = rstep(
+                        pt[:, :, off : off + wchunk], rstates,
+                        jnp.int32(w0 + off), tg, auto)
+                    pieces.append(piece)
+                chunk = jnp.concatenate(pieces, axis=-1) if len(pieces) > 1 else pieces[0]
+            elif packable:
                 from whitebox_tpu.render.effects_pipeline import finish_mix_chunk
 
                 chunk, states, mstates = finish_mix_chunk(

@@ -45,20 +45,25 @@ class _TrackSnapshot:
     solo: bool
     name: str
     automation: object = None  # deep copy of TrackAutomation (lanes are tiny)
+    output_bus: Optional[int] = None
+    sends: list = field(default_factory=list)
 
     @staticmethod
     def capture(session: Session, index: int) -> "_TrackSnapshot":
         import copy
+        from dataclasses import replace
 
         t = session.tracks[index]
         return _TrackSnapshot(
             index=index, clips=[c.clone() for c in t.clips],
             volume_db=t.volume_db, pan=t.pan, mute=t.mute, solo=t.solo, name=t.name,
             automation=copy.deepcopy(t.automation),
+            output_bus=t.output_bus, sends=[replace(s) for s in t.sends],
         )
 
     def restore(self, session: Session) -> None:
         import copy
+        from dataclasses import replace
 
         t = session.tracks[self.index]
         t.clips = [c.clone() for c in self.clips]
@@ -66,6 +71,8 @@ class _TrackSnapshot:
             self.volume_db, self.pan, self.mute, self.solo, self.name,
         )
         t.automation = copy.deepcopy(self.automation)
+        t.output_bus = self.output_bus
+        t.sends = [replace(s) for s in self.sends]
 
 
 # ---- clip commands (command.h: ClipMoveCmd, ClipResizeCmd, ClipDeleteCmd,
@@ -431,6 +438,99 @@ class SetEffectAutomation(Command):
         ])
 
 
+# ---- bus / routing commands (extension; session/bus.py) ----
+
+
+@dataclass
+class BusAdd(Command):
+    name = "add bus"
+    bus_name: str = ""
+    volume_db: float = 0.0
+    pan: float = 0.0
+
+    def touched_tracks(self, session):
+        return None  # structural: bus list + track routing snapshots
+
+    def apply(self, session):
+        session.add_bus(self.bus_name, volume_db=self.volume_db, pan=self.pan)
+
+
+@dataclass
+class BusDelete(Command):
+    name = "delete bus"
+    bus_idx: int = 0
+
+    def touched_tracks(self, session):
+        return None
+
+    def apply(self, session):
+        session.delete_bus(self.bus_idx)
+
+
+@dataclass
+class BusSetParam(Command):
+    name = "set bus parameter"
+    bus_idx: int = 0
+    volume_db: Optional[float] = None
+    pan: Optional[float] = None
+    mute: Optional[bool] = None
+
+    def touched_tracks(self, session):
+        return None  # bus state lives in the session snapshot
+
+    def apply(self, session):
+        b = session.buses[self.bus_idx]
+        if self.volume_db is not None:
+            b.volume_db = self.volume_db
+        if self.pan is not None:
+            b.pan = self.pan
+        if self.mute is not None:
+            b.mute = self.mute
+
+
+@dataclass
+class TrackSetOutputBus(Command):
+    name = "route track output"
+    track_idx: int = 0
+    bus: Optional[int] = None  # None = master
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        session.set_track_output(self.track_idx, self.bus)
+
+
+@dataclass
+class SendAdd(Command):
+    name = "add send"
+    track_idx: int = 0
+    bus: int = 0
+    gain_db: float = 0.0
+    pre_fader: bool = False
+    sidechain: bool = False
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        session.add_send(self.track_idx, self.bus, self.gain_db, self.pre_fader,
+                         self.sidechain)
+
+
+@dataclass
+class SendRemove(Command):
+    name = "remove send"
+    track_idx: int = 0
+    send_idx: int = 0
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        session.remove_send(self.track_idx, self.send_idx)
+
+
 # ---- note commands (NoteAddCmd/NoteDeleteCmd/NoteMoveCmd...) operate on a
 #      clip's note buffer; snapshots capture the asset's notes too ----
 
@@ -617,19 +717,31 @@ class _SessionSnapshot:
     track), where per-index snapshots can't survive the index shuffle."""
 
     tracks: list
+    buses: list = field(default_factory=list)
 
     @staticmethod
     def _clone_track(t: Track) -> Track:
         from dataclasses import replace
 
-        return replace(t, clips=[c.clone() for c in t.clips], effects=list(t.effects))
+        return replace(t, clips=[c.clone() for c in t.clips], effects=list(t.effects),
+                       sends=[replace(s) for s in t.sends])
+
+    @staticmethod
+    def _clone_bus(b):
+        from dataclasses import replace
+
+        return replace(b, effects=list(b.effects))
 
     @staticmethod
     def capture(session: Session) -> "_SessionSnapshot":
-        return _SessionSnapshot(tracks=[_SessionSnapshot._clone_track(t) for t in session.tracks])
+        return _SessionSnapshot(
+            tracks=[_SessionSnapshot._clone_track(t) for t in session.tracks],
+            buses=[_SessionSnapshot._clone_bus(b) for b in session.buses],
+        )
 
     def restore(self, session: Session) -> None:
         session.tracks = [self._clone_track(t) for t in self.tracks]
+        session.buses = [self._clone_bus(b) for b in self.buses]
 
 
 @dataclass

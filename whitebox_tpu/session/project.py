@@ -73,13 +73,15 @@ def _effect_to_doc(e) -> dict:
     if isinstance(e, Compressor):
         return {"type": "compressor", "threshold_db": e.threshold_db, "ratio": e.ratio,
                 "knee_db": e.knee_db, "attack_s": e.attack_s, "release_s": e.release_s,
-                "makeup_db": e.makeup_db, "detector": e.detector, "rms_window_s": e.rms_window_s}
+                "makeup_db": e.makeup_db, "detector": e.detector, "rms_window_s": e.rms_window_s,
+                **({"sidechain": True} if e.sidechain else {})}
     if isinstance(e, Limiter):
         return {"type": "limiter", "ceiling_db": e.ceiling_db, "attack_s": e.attack_s,
                 "release_s": e.release_s, "lookahead_s": e.lookahead_s}
     if isinstance(e, NoiseGate):
         return {"type": "gate", "threshold_db": e.threshold_db, "range_db": e.range_db,
-                "attack_s": e.attack_s, "release_s": e.release_s, "hysteresis_db": e.hysteresis_db}
+                "attack_s": e.attack_s, "release_s": e.release_s, "hysteresis_db": e.hysteresis_db,
+                **({"sidechain": True} if e.sidechain else {})}
     if isinstance(e, Delay):
         return {"type": "delay", "time_s": e.time_s, "feedback": e.feedback,
                 "wet": e.wet, "dry": e.dry, "mode": e.mode}
@@ -129,14 +131,16 @@ def _effect_from_doc(d):
                           knee_db=float(d.get("knee_db", 6.0)), attack_s=float(d.get("attack_s", 0.005)),
                           release_s=float(d.get("release_s", 0.1)), makeup_db=float(d.get("makeup_db", 0.0)),
                           detector=_as_str(d.get("detector", "peak")),
-                          rms_window_s=float(d.get("rms_window_s", 0.03)))
+                          rms_window_s=float(d.get("rms_window_s", 0.03)),
+                          sidechain=bool(d.get("sidechain", False)))
     if t == "limiter":
         return Limiter(float(d.get("ceiling_db", -0.3)), attack_s=float(d.get("attack_s", 0.001)),
                        release_s=float(d.get("release_s", 0.05)), lookahead_s=float(d.get("lookahead_s", 0.005)))
     if t == "gate":
         return NoiseGate(float(d.get("threshold_db", -50.0)), range_db=float(d.get("range_db", 80.0)),
                          attack_s=float(d.get("attack_s", 0.001)), release_s=float(d.get("release_s", 0.1)),
-                         hysteresis_db=float(d.get("hysteresis_db", 0.0)))
+                         hysteresis_db=float(d.get("hysteresis_db", 0.0)),
+                         sidechain=bool(d.get("sidechain", False)))
     if t == "delay":
         return Delay(float(d.get("time_s", 0.25)), float(d.get("feedback", 0.35)),
                      wet=float(d.get("wet", 0.35)), dry=float(d.get("dry", 1.0)),
@@ -259,6 +263,14 @@ def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
         extras = {}
         if track.effects:
             extras["fx"] = _chain_to_doc(track.effects)
+        if track.output_bus is not None:
+            extras["out_bus"] = int(track.output_bus)  # extension key (routing)
+        if track.sends:
+            extras["sends"] = [
+                {"bus": int(s.bus), "gain": float(s.gain_db), "pre": bool(s.pre_fader),
+                 **({"sc": True} if s.sidechain else {})}
+                for s in track.sends
+            ]
         if track.automation is not None:
             auto_doc = {}
             if track.automation.volume is not None:
@@ -306,6 +318,18 @@ def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
             "tracks": track_docs,
         }
     }
+    if getattr(session, "buses", None):
+        # extension key: aux buses / track groups (session/bus.py)
+        doc["wbpr"]["buses"] = [
+            {
+                "name": b.name,
+                "vol": float(b.volume_db),
+                "pan": float(b.pan),
+                "mute": bool(b.mute),
+                **({"fx": _chain_to_doc(b.effects)} if b.effects else {}),
+            }
+            for b in session.buses
+        ]
     if session.master_effects:
         doc["wbpr"]["master_fx"] = _chain_to_doc(session.master_effects)
     if getattr(session, "master_automation", None):
@@ -397,6 +421,15 @@ def read_project(path, search_dirs: list | None = None) -> Session:
         session.master_effects = _chain_from_doc(project["master_fx"])
     if project.get("master_auto"):
         session.master_automation = _fx_lanes_from_doc(project["master_auto"])
+    for b in project.get("buses", []) or []:
+        bus = session.add_bus(
+            name=_as_str(b.get("name", "")),
+            volume_db=float(b.get("vol", 0.0)),
+            pan=float(b.get("pan", 0.0)),
+            mute=bool(b.get("mute", False)),
+        )
+        if b.get("fx"):
+            bus.effects = _chain_from_doc(b["fx"])
 
     for t in project.get("tracks", []) or []:
         track = Track(
@@ -411,6 +444,17 @@ def read_project(path, search_dirs: list | None = None) -> Session:
         )
         if t.get("fx"):
             track.effects = _chain_from_doc(t["fx"])
+        if t.get("out_bus") is not None:
+            track.output_bus = int(t["out_bus"])
+        if t.get("sends"):
+            from whitebox_tpu.session.bus import Send
+
+            track.sends = [
+                Send(bus=int(s["bus"]), gain_db=float(s.get("gain", 0.0)),
+                     pre_fader=bool(s.get("pre", False)),
+                     sidechain=bool(s.get("sc", False)))
+                for s in t["sends"]
+            ]
         if t.get("auto"):
             from whitebox_tpu.ops.automation import TrackAutomation
 

@@ -79,6 +79,10 @@ class Session:
         #: TrackAutomation.effects (the plugin param-queue analogue,
         #: param_changes.h:56-115).
         self.master_automation: dict = {}
+        #: aux buses / track groups (session/bus.py) — a routing extension
+        #: over the reference's flat track sum (SURVEY §2.9 "no sends/
+        #: groups"). Buses sum into the master bus in index order.
+        self.buses: list = []
 
     # ---- transport / tempo (engine.cpp:24-41) ----
 
@@ -119,6 +123,60 @@ class Session:
                 continue
             t.solo = False
             t.mute = mute
+
+    # ---- bus / routing CRUD (extension; session/bus.py) ----
+
+    def add_bus(self, name: str = "", **kwargs):
+        """Create an aux bus / track group destination. Returns the Bus."""
+        from whitebox_tpu.session.bus import Bus
+
+        bus = Bus(name=name or f"Bus {len(self.buses) + 1}", **kwargs)
+        self.buses.append(bus)
+        return bus
+
+    def delete_bus(self, index: int):
+        """Remove a bus; tracks grouped to it fall back to the master and
+        sends to it are dropped; higher bus indices shift down."""
+        bus = self.buses.pop(index)
+        for t in self.tracks:
+            if t.output_bus is not None:
+                if t.output_bus == index:
+                    t.output_bus = None
+                elif t.output_bus > index:
+                    t.output_bus -= 1
+            kept = []
+            for s in t.sends:
+                if s.bus == index:
+                    continue
+                if s.bus > index:
+                    s.bus -= 1
+                kept.append(s)
+            t.sends = kept
+        return bus
+
+    def set_track_output(self, track_slot: int, bus: int | None) -> None:
+        """Route a track's finished signal to a bus (group) or the master."""
+        if bus is not None and not (0 <= bus < len(self.buses)):
+            raise IndexError(f"bus {bus} out of range ({len(self.buses)} buses)")
+        self.tracks[track_slot].output_bus = bus
+
+    def add_send(self, track_slot: int, bus: int, gain_db: float = 0.0,
+                 pre_fader: bool = False, sidechain: bool = False):
+        """Add an aux send from a track to a bus. Returns the Send.
+
+        ``sidechain=True`` feeds the bus's KEY input (the detector of
+        sidechain-flagged dynamics on the bus chain) instead of its audio.
+        """
+        from whitebox_tpu.session.bus import Send
+
+        if not (0 <= bus < len(self.buses)):
+            raise IndexError(f"bus {bus} out of range ({len(self.buses)} buses)")
+        send = Send(bus=bus, gain_db=gain_db, pre_fader=pre_fader, sidechain=sidechain)
+        self.tracks[track_slot].sends.append(send)
+        return send
+
+    def remove_send(self, track_slot: int, send_index: int):
+        return self.tracks[track_slot].sends.pop(send_index)
 
     # ---- clip CRUD (engine.cpp:293-569) ----
 
@@ -726,6 +784,10 @@ class Session:
         the point: no edit-API bookkeeping to forget."""
         items: list = [self.bpm, len(self.tracks), len(self.master_effects or []),
                        len(getattr(self, "master_automation", {}) or {})]
+        for b in getattr(self, "buses", []):
+            items.append((b.volume_db, b.pan, b.mute,
+                          id(b.effects) if b.effects else 0,
+                          len(b.effects) if b.effects else 0))
         for t in self.tracks:
             a = t.automation
             def lane_key(lane):
@@ -734,6 +796,8 @@ class Session:
                 return tuple((p.x, p.y, int(p.curve), p.tension) for p in lane.points)
 
             items.append((t.volume_db, t.pan, t.mute, t.solo, len(t.clips),
+                          t.output_bus if t.output_bus is not None else -1,
+                          tuple((s.bus, s.gain_db, s.pre_fader, s.sidechain) for s in t.sends),
                           id(t.effects) if t.effects else 0,
                           len(t.effects) if t.effects else 0,
                           0 if a is None else (lane_key(a.volume), lane_key(a.pan),

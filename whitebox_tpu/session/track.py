@@ -46,6 +46,10 @@ class Track:
     #: extension over the reference, which edits envelopes but never plays
     #: them (SURVEY §2.9).
     automation: object = None
+    #: routing extension (session/bus.py): destination bus index (None =
+    #: master, the reference's only destination) and aux sends.
+    output_bus: Optional[int] = None
+    sends: list = field(default_factory=list)
 
     # ---- audio-thread parameter mapping (track.cpp:608-643) ----
 
