@@ -48,6 +48,7 @@ def _cmd_render(args) -> int:
             interpolation=args.interpolation,
             effects_mode=args.effects_mode,
             meters=args.meters,
+            pdc=args.pdc,
             out_path=args.out,
             out_format=fmt,
         )
@@ -188,6 +189,9 @@ def main(argv=None) -> int:
                    help="effect-chain evaluation: associative scan or FFT-FIR")
     p.add_argument("--meters", action="store_true",
                    help="compute per-track/output level meters (vu_meter equivalent)")
+    p.add_argument("--pdc", action="store_true",
+                   help="plugin-delay compensation: align tracks across chain "
+                        "latency (limiter lookahead); absorbs master latency")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler (xprof) trace of the render into DIR")
     p.add_argument("--json", action="store_true")

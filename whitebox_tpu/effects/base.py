@@ -42,6 +42,11 @@ class Effect:
         """Ring-out length hint (PluginInterface tail queries)."""
         return 0
 
+    def latency_frames(self) -> int:
+        """Processing latency (PluginInterface latency query). Nonzero for
+        lookahead effects (Limiter); drives PDC (bounce(pdc=True))."""
+        return 0
+
 
 class EffectChain(Effect):
     """Sequential composition of effects (the track's effect slots)."""
@@ -75,6 +80,9 @@ class EffectChain(Effect):
 
     def tail_frames(self) -> int:
         return sum(e.tail_frames() for e in self.effects)
+
+    def latency_frames(self) -> int:
+        return sum(e.latency_frames() for e in self.effects)
 
     def __len__(self) -> int:
         return len(self.effects)

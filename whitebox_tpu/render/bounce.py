@@ -92,6 +92,7 @@ def bounce(
     interpolation: str = "linear",
     effects_mode: str = "scan",
     meters: bool = False,
+    pdc: bool = False,
     out_path=None,
     out_format: AudioFormat = AudioFormat.F32,
 ) -> BounceResult:
@@ -125,6 +126,14 @@ def bounce(
     ``meters``: also compute per-track and output level meters
     (vu_meter.h equivalent; see RenderStats.track_peak). Meters need the
     post-chain per-track signal, so this forces the scan effects path.
+
+    ``pdc``: plugin-delay compensation — chains with processing latency
+    (limiter lookahead) get their input fetched that many frames ahead so
+    every track sums timeline-aligned, and master-chain latency is
+    absorbed by rendering further and trimming the head. Off by default:
+    the uncompensated render reproduces each effect's own delay semantics
+    (the per-effect reference behavior). The reference DAW has no PDC —
+    this is an extension (only its lookahead-free native path needed none).
     """
     from whitebox_tpu.session.bus import session_has_routing
 
@@ -257,7 +266,7 @@ def bounce(
                     rfx = prepare_routed_fx(session, sample_rate, channels)
                     routed_finish = make_routed_finisher(
                         rfx, plan.num_tracks, channels,
-                        with_meters=meters, valid_frames=plan.total_frames,
+                        with_meters=meters, valid_frames=plan.total_frames, pdc=pdc,
                     )
                     stats.carve_seconds += watch.lap()
 
@@ -274,7 +283,7 @@ def bounce(
                     fx = prepare_generic_fx(session, sample_rate, channels)
                     gen_finish = make_generic_finisher(
                         fx, plan.num_tracks, channels,
-                        with_meters=meters, valid_frames=plan.total_frames,
+                        with_meters=meters, valid_frames=plan.total_frames, pdc=pdc,
                     )
                     stats.carve_seconds += watch.lap()
 
@@ -376,13 +385,47 @@ def bounce(
             if _session_has_midi(session) else {}
         )
 
+        # PDC fetch-ahead (streaming form): rows in groups with chain
+        # latency are re-rendered ``lat`` frames ahead, so chains emit
+        # timeline-aligned output; master latency trims the head below.
+        pdc_rows: list = []  # [(lat, row indices)]
+        mlat = 0
+
+        def _pdc_setup(fx):
+            nonlocal mlat
+            from whitebox_tpu.render.effects_generic import fx_latencies
+
+            glat, mlat = fx_latencies(fx)
+            by_lat: dict = {}
+            for g, lat in zip(fx.groups, glat):
+                if lat > 0:
+                    by_lat.setdefault(lat, []).extend(np.asarray(g.track_idx).tolist())
+            pdc_rows.extend((lat, jnp.asarray(rows)) for lat, rows in by_lat.items())
+
+        def _render_pt(start):
+            pt = render_chunk_per_track(pool_dev, jt, jnp.int32(start), frames=chunk_frames, sinc_bank=sinc_bank, interp=interp)
+            if synth_tables:
+                pt = _add_synth(pt, synth_tables, start, chunk_frames)
+            for lat, rows in pdc_rows:
+                ahead = render_chunk_per_track(pool_dev, jt, jnp.int32(start + lat), frames=chunk_frames, sinc_bank=sinc_bank, interp=interp)
+                if synth_tables:
+                    ahead = _add_synth(ahead, synth_tables, start + lat, chunk_frames)
+                pt = pt.at[rows].set(ahead[rows])
+            return pt
+
         if has_routing:
+            from whitebox_tpu.render.effects_generic import stage_latency_frames
             from whitebox_tpu.render.routing import (
                 init_routed_states, make_routed_chunk_fn, prepare_routed_fx,
                 routed_auto_chunk_frames,
             )
 
             rfx = prepare_routed_fx(session, sample_rate, channels)
+            if pdc:
+                if any(stage_latency_frames(g.stages) > 0 for g in rfx.bus_groups):
+                    raise ValueError("PDC cannot compensate bus-chain latency; "
+                                     "move lookahead limiters to tracks or master")
+                _pdc_setup(rfx.fx)
             chunk_frames = routed_auto_chunk_frames(rfx, chunk_frames)
             rstep = make_routed_chunk_fn(rfx, T, channels, chunk=chunk_frames,
                                          with_meters=meters)
@@ -392,9 +435,7 @@ def bounce(
             states, mstates = rstates, ()
 
             def fx_chunk(start, states, mstates):
-                pt = render_chunk_per_track(pool_dev, jt, jnp.int32(start), frames=chunk_frames, sinc_bank=sinc_bank, interp=interp)
-                if synth_tables:
-                    pt = _add_synth(pt, synth_tables, start, chunk_frames)
+                pt = _render_pt(start)
                 res = rstep(pt, states, jnp.int32(start), tg, auto)
                 if meters:
                     return res[0], res[1], (), res[2]
@@ -405,6 +446,8 @@ def bounce(
             )
 
             gfx = prepare_generic_fx(session, sample_rate, channels)
+            if pdc:
+                _pdc_setup(gfx)
             # heavy chains compile superlinearly with chunk length — cap it
             # (more dispatches beats a >9-minute trace; see auto_chunk_frames)
             chunk_frames = auto_chunk_frames(gfx, chunk_frames)
@@ -412,9 +455,7 @@ def bounce(
             states, mstates = init_generic_states(gfx, channels)
 
             def fx_chunk(start, states, mstates):
-                pt = render_chunk_per_track(pool_dev, jt, jnp.int32(start), frames=chunk_frames, sinc_bank=sinc_bank, interp=interp)
-                if synth_tables:
-                    pt = _add_synth(pt, synth_tables, start, chunk_frames)
+                pt = _render_pt(start)
                 return gstep(pt, states, mstates, jnp.int32(start), tg, auto)
         else:
             (S, coeffs), (Sm, mcoeffs) = prepare_effect_tables(session, sample_rate, channels)
@@ -431,17 +472,21 @@ def bounce(
         stats.compile_seconds = watch.lap()
         device_chunks = []
         meter_chunks = []
-        for start in range(0, F, chunk_frames):
+        F_loop = F + mlat  # master latency: render further, trim the head
+        buf = out if mlat == 0 else np.empty((channels, F_loop), dtype=np.float32)
+        for start in range(0, F_loop, chunk_frames):
             res = fx_chunk(start, states, mstates)
             chunk, states, mstates = res[0], res[1], res[2]
             if meters:
-                meter_chunks.append((min(chunk_frames, F - start), res[3]))
+                meter_chunks.append((min(chunk_frames, F_loop - start), res[3]))
             device_chunks.append((start, chunk))
         float(device_chunks[-1][1].sum())  # all dispatched; force completion
         stats.device_seconds = watch.lap()
         for start, chunk in device_chunks:
-            n = min(chunk_frames, F - start)
-            out[:, start : start + n] = np.asarray(chunk)[:, :n]
+            n = min(chunk_frames, F_loop - start)
+            buf[:, start : start + n] = np.asarray(chunk)[:, :n]
+        if mlat:
+            out[:, :] = buf[:, mlat : mlat + F]
         if meters:
             # aggregate chunk partials; final (ragged) chunk is rendered at
             # full chunk_frames, so weight sumsq by the rendered length and

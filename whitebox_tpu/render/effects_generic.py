@@ -629,6 +629,34 @@ def auto_chunk_frames(fx: GenericFX, requested: int = 1 << 16) -> int:
     return max(min(requested, cap), PARAM_BLOCK_MIN)
 
 
+def stage_latency_frames(stages) -> int:
+    """Chain processing latency from the stage list: the lookahead of every
+    limiter stage (static[0]); all other native stages are zero-latency
+    (plugin_interface latency query, aggregated per chain)."""
+    return sum(int(static[0]) for (kind, static, _) in stages if kind == "limiter")
+
+
+def fx_latencies(fx: GenericFX) -> tuple[list[int], int]:
+    """(per-group chain latency, master-chain latency) in frames. Chains
+    grouped by signature share static configs, so latency is uniform
+    within a group."""
+    glat = [stage_latency_frames(g.stages) for g in fx.groups]
+    mlat = stage_latency_frames(fx.master.stages) if fx.master is not None else 0
+    return glat, mlat
+
+
+def _pdc_preshift(fx: GenericFX, xall, glat: list[int]):
+    """Advance each group's rows by that chain's latency (PDC fetch-ahead):
+    a causal stateful chain fed input advanced by L emits output aligned to
+    timeline time. Pure row shift with zero fill — one op outside the scan."""
+    for g, lat in zip(fx.groups, glat):
+        if lat > 0:
+            rows = xall[g.track_idx]
+            shifted = jnp.pad(rows[:, :, lat:], ((0, 0), (0, 0), (0, lat)))
+            xall = xall.at[g.track_idx].set(shifted)
+    return xall
+
+
 def _chunk_step(fx: GenericFX, xc, g_states, m_states, gparams, mparams, start,
                 track_gain, auto, T: int, C: int, with_meters: bool, Fv):
     """Process one [T, C, chunk] slice: chains -> gains -> ordered sum ->
@@ -736,20 +764,31 @@ def make_generic_stems_finisher(fx: GenericFX, T: int, C: int, *, chunk: int | N
 
 
 def make_generic_finisher(fx: GenericFX, T: int, C: int, *, chunk: int | None = None,
-                          with_meters: bool = False, valid_frames: int | None = None):
+                          with_meters: bool = False, valid_frames: int | None = None,
+                          pdc: bool = False):
     """Build fn(per_track [T, C, F], track_gain, auto) -> mixed [C, F]
     (or (mixed, meters)). One jitted lax.scan over frame chunks; ``chunk``
-    defaults to the compile-cost-bounded auto_chunk_frames."""
+    defaults to the compile-cost-bounded auto_chunk_frames.
+
+    ``pdc=True`` enables latency compensation: each chain's input rows are
+    advanced by that chain's latency (limiter lookahead) so all tracks sum
+    timeline-aligned, and master-chain latency is absorbed by rendering
+    that much further and trimming the head. Default off — the
+    uncompensated path reproduces the effect family's delay semantics the
+    per-effect references use."""
     if chunk is None:
         chunk = auto_chunk_frames(fx)
+    glat, mlat = fx_latencies(fx) if pdc else ([0] * len(fx.groups), 0)
     gp0, mp0 = device_params(fx)
 
     def finish(per_track, track_gain, gparams, mparams, auto=None):
         F = per_track.shape[-1]
         Fv = F if valid_frames is None else int(valid_frames)
-        n_chunks = -(-F // chunk)
+        n_chunks = -(-(F + mlat) // chunk)
         Fp = n_chunks * chunk
         xall = jnp.pad(per_track, ((0, 0), (0, 0), (0, Fp - F)))
+        if pdc:
+            xall = _pdc_preshift(fx, xall, glat)
         gparams, mparams = _with_ir_ffts(fx, gparams, mparams, chunk)
         init = init_generic_states(fx, C)
 
@@ -768,7 +807,7 @@ def make_generic_finisher(fx: GenericFX, T: int, C: int, *, chunk: int | None = 
         _, outs = jax.lax.scan(body, init, jnp.arange(n_chunks))
         if with_meters:
             outs, (pk, sq, opk, osq) = outs
-            mixed = outs.transpose(1, 0, 2).reshape(C, Fp)[:, :F]
+            mixed = outs.transpose(1, 0, 2).reshape(C, Fp)[:, mlat:mlat + F]
             denom = jnp.float32(max(Fv, 1))
             meters = (
                 jnp.max(pk, axis=0),
@@ -777,7 +816,7 @@ def make_generic_finisher(fx: GenericFX, T: int, C: int, *, chunk: int | None = 
                 jnp.sqrt(jnp.sum(osq, axis=0) / denom),
             )
             return mixed, meters
-        return outs.transpose(1, 0, 2).reshape(C, Fp)[:, :F]
+        return outs.transpose(1, 0, 2).reshape(C, Fp)[:, mlat:mlat + F]
 
     jfinish = jax.jit(finish)
     return lambda per_track, track_gain, auto=None: jfinish(per_track, track_gain, gp0, mp0, auto)
@@ -962,12 +1001,16 @@ def reference_run_chain(chain, x, eff_lanes, sample_rate, channels, bd, key=None
 
 
 def reference_generic_finish(per_track: np.ndarray, session: Session, sample_rate: float,
-                             channels: int = 2) -> np.ndarray:
+                             channels: int = 2, pdc: bool = False) -> np.ndarray:
     """Sequential host reference: per-effect f64 reference models, f64
     gains/sum, hard clip. Mirrors reference_finish_mix but supports the
     full effect family, including timed effect-param lanes (per-frame for
     elementwise params; per-PARAM_BLOCK coefficient redesign for
-    biquad/EQ, TDF2 state carried across changes)."""
+    biquad/EQ, TDF2 state carried across changes).
+
+    ``pdc=True`` mirrors the device PDC: each track's chain input is
+    advanced by that chain's latency; master latency is absorbed by
+    extending the mix and trimming the head."""
     from whitebox_tpu.ops import delay as dl
     from whitebox_tpu.ops import dynamics as dyn
     from whitebox_tpu.ops.biquad import PARAM_BLOCK, biquad_sequential, biquad_sequential_tv
@@ -986,8 +1029,17 @@ def reference_generic_finish(per_track: np.ndarray, session: Session, sample_rat
         a = session.tracks[t].automation
         return a.effects if (a is not None and a.effects) else None
 
+    def chain_input(t):
+        x = per_track[t].astype(np.float64)
+        if pdc and chains[t] is not None:
+            chains[t].prepare(sample_rate, channels)
+            lat = chains[t].latency_frames()
+            if lat > 0:  # PDC fetch-ahead: advance the chain input by lat
+                x = np.pad(x[:, lat:], ((0, 0), (0, lat)))
+        return x
+
     processed = np.stack([
-        run_chain(chains[t], per_track[t].astype(np.float64), track_lanes(t)) for t in range(T)
+        run_chain(chains[t], chain_input(t), track_lanes(t)) for t in range(T)
     ])
 
     g = np.arange(F, dtype=np.int64)
@@ -1011,5 +1063,14 @@ def reference_generic_finish(per_track: np.ndarray, session: Session, sample_rat
             for ch in range(C):
                 total[ch] += processed[t][ch] * float(np.float32(vol * np.float32(pan[ch % 2])))
     mlanes = dict(getattr(session, "master_automation", {}) or {}) or None
-    total = run_chain(master, total, mlanes) if master is not None else total
+    if master is not None:
+        mlat = 0
+        if pdc:
+            master.prepare(sample_rate, channels)
+            mlat = master.latency_frames()
+        if mlat > 0:  # absorb master latency: render further, trim the head
+            total = np.pad(total, ((0, 0), (0, mlat)))
+            total = run_chain(master, total, mlanes)[:, mlat:]
+        else:
+            total = run_chain(master, total, mlanes)
     return np.clip(total, -1.0, 1.0).astype(np.float32)

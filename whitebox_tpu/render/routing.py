@@ -226,19 +226,36 @@ def _routed_chunk_step(rfx: RoutedFX, xc, states, params, routing, start,
 
 
 def make_routed_finisher(rfx: RoutedFX, T: int, C: int, *, chunk: int | None = None,
-                         with_meters: bool = False, valid_frames: int | None = None):
+                         with_meters: bool = False, valid_frames: int | None = None,
+                         pdc: bool = False):
     """fn(per_track [T, C, F], track_gain, auto) -> mixed [C, F]
-    (or (mixed, meters)) — one jitted lax.scan over frame chunks."""
+    (or (mixed, meters)) — one jitted lax.scan over frame chunks.
+
+    ``pdc=True``: track-chain latency compensated by input fetch-ahead,
+    master latency by head trim (see make_generic_finisher). Bus-chain
+    latency cannot be compensated (bus inputs are produced in-step) —
+    a latent bus chain raises; put limiters on tracks or the master."""
+    from whitebox_tpu.render.effects_generic import (
+        _pdc_preshift, fx_latencies, stage_latency_frames,
+    )
+
     if chunk is None:
         chunk = routed_auto_chunk_frames(rfx)
+    glat, mlat = fx_latencies(rfx.fx) if pdc else ([0] * len(rfx.fx.groups), 0)
+    if pdc and any(stage_latency_frames(g.stages) > 0 for g in rfx.bus_groups):
+        raise ValueError("PDC cannot compensate bus-chain latency (bus inputs "
+                         "are produced in-step); move lookahead limiters to "
+                         "tracks or the master chain")
     gp0, bp0, mp0, routing0 = routed_device_params(rfx)
 
     def finish(per_track, track_gain, gparams, bparams, mparams, routing, auto=None):
         F = per_track.shape[-1]
         Fv = F if valid_frames is None else int(valid_frames)
-        n_chunks = -(-F // chunk)
+        n_chunks = -(-(F + mlat) // chunk)
         Fp = n_chunks * chunk
         xall = jnp.pad(per_track, ((0, 0), (0, 0), (0, Fp - F)))
+        if pdc:
+            xall = _pdc_preshift(rfx.fx, xall, glat)
         gparams, bparams, mparams = _with_ir_ffts_routed(rfx, gparams, bparams, mparams, chunk)
         init = init_routed_states(rfx, C)
 
@@ -256,7 +273,7 @@ def make_routed_finisher(rfx: RoutedFX, T: int, C: int, *, chunk: int | None = N
         _, outs = jax.lax.scan(body, init, jnp.arange(n_chunks))
         if with_meters:
             outs, (pk, sq, opk, osq) = outs
-            mixed = outs.transpose(1, 0, 2).reshape(C, Fp)[:, :F]
+            mixed = outs.transpose(1, 0, 2).reshape(C, Fp)[:, mlat:mlat + F]
             denom = jnp.float32(max(Fv, 1))
             meters = (
                 jnp.max(pk, axis=0),
@@ -265,7 +282,7 @@ def make_routed_finisher(rfx: RoutedFX, T: int, C: int, *, chunk: int | None = N
                 jnp.sqrt(jnp.sum(osq, axis=0) / denom),
             )
             return mixed, meters
-        return outs.transpose(1, 0, 2).reshape(C, Fp)[:, :F]
+        return outs.transpose(1, 0, 2).reshape(C, Fp)[:, mlat:mlat + F]
 
     jfinish = jax.jit(finish)
     return lambda per_track, track_gain, auto=None: jfinish(
@@ -323,9 +340,11 @@ def _ref_track_gains(session: Session, t: int, C: int, g: np.ndarray, auto_table
 
 
 def reference_routed_finish(per_track: np.ndarray, session: Session,
-                            sample_rate: float, channels: int = 2) -> np.ndarray:
+                            sample_rate: float, channels: int = 2,
+                            pdc: bool = False) -> np.ndarray:
     """Sequential f64 host ground truth for the routed pipeline: per-effect
-    reference models, f64 gains/routing/sums, hard clip."""
+    reference models, f64 gains/routing/sums, hard clip. ``pdc`` mirrors
+    the device PDC (track-chain fetch-ahead + master head trim)."""
     from whitebox_tpu.ops.automation import pack_session_automation, session_has_automation
 
     from whitebox_tpu.render.effects_generic import _chains_of
@@ -341,8 +360,22 @@ def reference_routed_finish(per_track: np.ndarray, session: Session,
         a = session.tracks[t].automation
         return a.effects if (a is not None and a.effects) else None
 
+    def chain_input(t):
+        x = per_track[t].astype(np.float64)
+        if pdc and chains[t] is not None:
+            chains[t].prepare(sample_rate, channels)
+            lat = chains[t].latency_frames()
+            if lat > 0:
+                x = np.pad(x[:, lat:], ((0, 0), (0, lat)))
+        return x
+
+    if pdc:
+        for c in bus_chains:
+            if c is not None and c.prepare(sample_rate, channels).latency_frames() > 0:
+                raise ValueError("PDC cannot compensate bus-chain latency")
+
     pre = np.stack([
-        reference_run_chain(chains[t], per_track[t].astype(np.float64), track_lanes(t),
+        reference_run_chain(chains[t], chain_input(t), track_lanes(t),
                             sample_rate, channels, bd)
         for t in range(T)
     ])
@@ -370,5 +403,13 @@ def reference_routed_finish(per_track: np.ndarray, session: Session,
         total = total + bus_out * bg.astype(np.float64)[:, None]
     mlanes = dict(getattr(session, "master_automation", {}) or {}) or None
     if master is not None:
-        total = reference_run_chain(master, total, mlanes, sample_rate, channels, bd)
+        mlat = 0
+        if pdc:
+            master.prepare(sample_rate, channels)
+            mlat = master.latency_frames()
+        if mlat > 0:
+            total = np.pad(total, ((0, 0), (0, mlat)))
+            total = reference_run_chain(master, total, mlanes, sample_rate, channels, bd)[:, mlat:]
+        else:
+            total = reference_run_chain(master, total, mlanes, sample_rate, channels, bd)
     return np.clip(total, -1.0, 1.0).astype(np.float32)
