@@ -11,7 +11,7 @@ clip.
 
 from whitebox_tpu.effects.base import Effect, EffectChain  # noqa: F401
 from whitebox_tpu.effects.gain import Gain  # noqa: F401
-from whitebox_tpu.effects.eq import Biquad, ParametricEQ  # noqa: F401
+from whitebox_tpu.effects.eq import Biquad, LinearPhaseEQ, ParametricEQ  # noqa: F401
 from whitebox_tpu.effects.dynamics import Compressor, Limiter, NoiseGate  # noqa: F401
 from whitebox_tpu.effects.delay import Chorus, Delay, Flanger  # noqa: F401
 from whitebox_tpu.effects.reverb import ConvolutionReverb, design_room_ir  # noqa: F401

@@ -396,6 +396,11 @@ def stage_shard(kind: str, static: tuple, params, x, axis_name: str, fp: int,
         wetsig = convreverb_shard(x, dict(params, dry=jnp.zeros_like(params["dry"]),
                                           wet=jnp.ones_like(params["wet"])), axis_name, fp, L)
         return mix_coef("dry") * x + mix_coef("wet") * wetsig
+    if kind == "linphase":
+        (L,) = static
+        one = jnp.ones((x.shape[0],), jnp.float32)
+        return convreverb_shard(x, dict(params, dry=jnp.zeros_like(one), wet=one),
+                                axis_name, fp, L)
     if kind == "saturator":
         if "drive_db" in lanes:
             from whitebox_tpu.render.effects_generic import _LN10_20

@@ -147,7 +147,7 @@ def _stage_params(e, kind: str, auto: tuple = ()) -> dict[str, np.ndarray]:
         assert e.coeffs, "effect not prepared"
         return {"pa": np.stack([coeffs_device_arrays(c) for c in e.coeffs])}  # [nb, 9]
     p = {k: np.asarray(v, np.float32) for k, v in e.param_arrays().items()}
-    if kind == "convreverb":
+    if kind in ("convreverb", "linphase"):
         p["ir"] = np.asarray(e._ir, np.float32)  # [C, L]
     return p
 
@@ -302,7 +302,7 @@ def _with_ir_ffts(fx: GenericFX, gparams, mparams, chunk: int):
     def xform(stages, plist):
         out = []
         for (kind, static, _), params in zip(stages, plist):
-            if kind == "convreverb":
+            if kind in ("convreverb", "linphase"):
                 (L,) = static
                 params = dict(params, ir_f=_conv_ir_f(params, L, chunk))
             out.append(params)
@@ -340,7 +340,7 @@ def _init_stage_state(kind: str, static: tuple, params, B: int, C: int):
     if kind in ("chorus", "flanger"):
         voices, MT = static
         return {"xtail": z(B, C, MT)}
-    if kind == "convreverb":
+    if kind in ("convreverb", "linphase"):
         (L,) = static
         return {"carry": z(B, C, L - 1)}
     raise ValueError(f"unknown effect kind {kind!r}")
@@ -542,6 +542,13 @@ def _apply_stage(kind: str, static: tuple, params, x, state, n0, sample_rate: fl
         wetsig, carry = fft_convolve_chunk(x, ir_f, L, state["carry"])
         y = mix_coef("dry") * x + mix_coef("wet") * wetsig
         return y, {"carry": carry}
+    if kind == "linphase":
+        from whitebox_tpu.effects.reverb import fft_convolve_chunk
+
+        (L,) = static
+        ir_f = params["ir_f"] if "ir_f" in params else _conv_ir_f(params, L, Fc)
+        y, carry = fft_convolve_chunk(x, ir_f, L, state["carry"])
+        return y, {"carry": carry}
     if kind == "saturator":
         if "drive_db" in lanes:
             drive = jnp.exp(jnp.float32(_LN10_20) * lanes["drive_db"])[:, None, :]
@@ -594,7 +601,7 @@ def init_generic_states(fx: GenericFX, C: int):
 #: compile time; memoryless kinds are ~free.
 _COMPILE_WEIGHT = {
     "gain": 0, "saturator": 0, "width": 0,
-    "biquad": 1, "eq": 1, "convreverb": 1,
+    "biquad": 1, "eq": 1, "convreverb": 1, "linphase": 1,
     "delay": 2, "chorus": 2, "flanger": 2,
     "compressor": 4, "limiter": 5, "gate": 4,
 }
@@ -630,10 +637,17 @@ def auto_chunk_frames(fx: GenericFX, requested: int = 1 << 16) -> int:
 
 
 def stage_latency_frames(stages) -> int:
-    """Chain processing latency from the stage list: the lookahead of every
-    limiter stage (static[0]); all other native stages are zero-latency
-    (plugin_interface latency query, aggregated per chain)."""
-    return sum(int(static[0]) for (kind, static, _) in stages if kind == "limiter")
+    """Chain processing latency from the stage list: limiter lookahead
+    (static[0]) + linear-phase EQ group delay ((taps-1)/2); all other
+    native stages are zero-latency (plugin_interface latency query,
+    aggregated per chain)."""
+    lat = 0
+    for (kind, static, _) in stages:
+        if kind == "limiter":
+            lat += int(static[0])
+        elif kind == "linphase":
+            lat += (int(static[0]) - 1) // 2
+    return lat
 
 
 def fx_latencies(fx: GenericFX) -> tuple[list[int], int]:
@@ -863,7 +877,7 @@ def reference_run_chain(chain, x, eff_lanes, sample_rate, channels, bd, key=None
     from whitebox_tpu.effects.base import EffectChain
     from whitebox_tpu.effects.delay import Chorus, Delay
     from whitebox_tpu.effects.dynamics import Compressor, Limiter, NoiseGate
-    from whitebox_tpu.effects.eq import Biquad, ParametricEQ
+    from whitebox_tpu.effects.eq import Biquad, LinearPhaseEQ, ParametricEQ
     from whitebox_tpu.effects.gain import Gain
     from whitebox_tpu.effects.reverb import ConvolutionReverb
     from whitebox_tpu.effects.shape import Saturator, StereoWidth
@@ -918,6 +932,11 @@ def reference_run_chain(chain, x, eff_lanes, sample_rate, channels, bd, key=None
             else:
                 for c in e.coeffs:
                     x, _ = biquad_sequential(x, c)
+        elif isinstance(e, LinearPhaseEQ):
+            # causal linear FIR (the device overlap-save path trimmed to F)
+            ir = np.asarray(e._ir, np.float64)
+            x = np.stack([np.convolve(x[c], ir[c % ir.shape[0]])[: x.shape[-1]]
+                          for c in range(x.shape[0])])
         elif isinstance(e, Compressor):
             p = e.param_arrays()
             av = lane_vals(pos, "attack_s", e.attack_s)

@@ -59,7 +59,7 @@ def find_file_recursive(root, filename: str, max_depth: int = 8):
 def _effect_to_doc(e) -> dict:
     from whitebox_tpu.effects.delay import Chorus, Delay, Flanger
     from whitebox_tpu.effects.dynamics import Compressor, Limiter, NoiseGate
-    from whitebox_tpu.effects.eq import Biquad, ParametricEQ
+    from whitebox_tpu.effects.eq import Biquad, LinearPhaseEQ, ParametricEQ
     from whitebox_tpu.effects.gain import Gain
     from whitebox_tpu.effects.reverb import ConvolutionReverb
     from whitebox_tpu.effects.shape import Saturator, StereoWidth
@@ -70,6 +70,9 @@ def _effect_to_doc(e) -> dict:
         return {"type": "biquad", "ftype": e.ftype.value, "freq": e.freq_hz, "q": e.q, "gain_db": e.gain_db}
     if isinstance(e, ParametricEQ):
         return {"type": "eq", "bands": [[t.value, f, q, g] for (t, f, q, g) in e.bands]}
+    if isinstance(e, LinearPhaseEQ):
+        return {"type": "linphase", "taps": e.taps,
+                "bands": [[t.value, f, q, g] for (t, f, q, g) in e.bands]}
     if isinstance(e, Compressor):
         return {"type": "compressor", "threshold_db": e.threshold_db, "ratio": e.ratio,
                 "knee_db": e.knee_db, "attack_s": e.attack_s, "release_s": e.release_s,
@@ -113,7 +116,7 @@ def _effect_to_doc(e) -> dict:
 def _effect_from_doc(d):
     from whitebox_tpu.effects.delay import Chorus, Delay, Flanger
     from whitebox_tpu.effects.dynamics import Compressor, Limiter, NoiseGate
-    from whitebox_tpu.effects.eq import Biquad, ParametricEQ
+    from whitebox_tpu.effects.eq import Biquad, LinearPhaseEQ, ParametricEQ
     from whitebox_tpu.effects.gain import Gain
     from whitebox_tpu.effects.reverb import ConvolutionReverb
     from whitebox_tpu.effects.shape import Saturator, StereoWidth
@@ -126,6 +129,10 @@ def _effect_from_doc(d):
                       float(d.get("q", 0.7071067811865476)), float(d.get("gain_db", 0.0)))
     if t == "eq":
         return ParametricEQ([(_as_str(b[0]), float(b[1]), float(b[2]), float(b[3])) for b in d.get("bands", [])])
+    if t == "linphase":
+        return LinearPhaseEQ(
+            [(_as_str(b[0]), float(b[1]), float(b[2]), float(b[3])) for b in d.get("bands", [])],
+            taps=int(d.get("taps", 2047)))
     if t == "compressor":
         return Compressor(float(d.get("threshold_db", -18.0)), float(d.get("ratio", 4.0)),
                           knee_db=float(d.get("knee_db", 6.0)), attack_s=float(d.get("attack_s", 0.005)),
