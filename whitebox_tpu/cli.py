@@ -49,10 +49,16 @@ def _cmd_render(args) -> int:
             effects_mode=args.effects_mode,
             meters=args.meters,
             pdc=args.pdc,
+            loudness=args.loudness,
             out_path=args.out,
             out_format=fmt,
         )
     print(result.stats.summary())
+    if args.loudness and result.stats.loudness is not None:
+        lu = result.stats.loudness
+        print(f"  loudness: I {lu.integrated_lufs:+.1f} LUFS  "
+              f"M max {lu.momentary_max_lufs:+.1f}  S max {lu.shortterm_max_lufs:+.1f}  "
+              f"LRA {lu.lra_lu:.1f} LU  TP {lu.true_peak_dbtp:+.1f} dBTP")
     if args.meters and result.stats.track_peak is not None:
         from whitebox_tpu.core.math import linear_to_db
 
@@ -66,8 +72,11 @@ def _cmd_render(args) -> int:
         print(f"  output{'':28s} peak {db(result.stats.output_peak.max()):+7.1f} dB  "
               f"rms {db(result.stats.output_rms.max()):+7.1f} dB")
     if args.json:
-        print(json.dumps({"frames": result.frames, "rtf": result.stats.rtf,
-                          "msamples_per_sec": result.stats.msamples_per_sec}))
+        blob = {"frames": result.frames, "rtf": result.stats.rtf,
+                "msamples_per_sec": result.stats.msamples_per_sec}
+        if result.stats.loudness is not None:
+            blob["loudness"] = result.stats.loudness.as_dict()
+        print(json.dumps(blob))
     return 0
 
 
@@ -192,6 +201,9 @@ def main(argv=None) -> int:
     p.add_argument("--pdc", action="store_true",
                    help="plugin-delay compensation: align tracks across chain "
                         "latency (limiter lookahead); absorbs master latency")
+    p.add_argument("--loudness", action="store_true",
+                   help="EBU R128 measurement of the output (integrated LUFS, "
+                        "momentary/short-term max, LRA, true peak dBTP)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler (xprof) trace of the render into DIR")
     p.add_argument("--json", action="store_true")

@@ -1,0 +1,228 @@
+"""ITU-R BS.1770-4 / EBU R128 loudness measurement.
+
+The reference DAW meters only instantaneous peak/RMS (src/engine/vu_meter.h);
+broadcast loudness (the delivery spec every master is checked against) has
+no equivalent there. This module measures:
+
+- **Integrated loudness** (LUFS): K-weighted, 400 ms blocks at 75 % overlap,
+  −70 LUFS absolute gate then −10 LU relative gate (BS.1770-4 §2).
+- **Momentary / short-term maxima** (400 ms / 3 s windows, 100 ms hop).
+- **Loudness range** (LRA, EBU Tech 3342): short-term distribution gated at
+  −70 absolute / −20 relative, 10th→95th percentile spread.
+- **True peak** (dBTP): 4× oversampled peak via a polyphase windowed-sinc
+  interpolator (BS.1770-4 Annex 2).
+
+TPU split: the K-filter (two biquad sections over [C, F]) and the 4×
+oversampling ride the device's log-depth biquad scan / FFT convolution;
+gating works on the tiny per-block power arrays on host (numpy f64).
+K-filter coefficients follow the BS.1770 analog prototype de-normalized to
+the session rate (the spec tabulates 48 kHz; the prototype parameters
+reproduce that table to 1e-6 and generalize to any fs).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from whitebox_tpu.ops.biquad import BiquadCoeffs
+
+# BS.1770 K-weighting analog prototype (de-normalization constants that
+# reproduce the spec's 48 kHz coefficient table):
+_SHELF_F0 = 1681.9744509555319
+_SHELF_GAIN_DB = 3.99984385397
+_SHELF_Q = 0.7071752369554193
+_HP_F0 = 38.13547087613982
+_HP_Q = 0.5003270373253953
+
+#: BS.1770-4 channel weights: L/R/C = 1.0, Ls/Rs = 1.41 (we meter the
+#: session's stereo/mono buses; >5 channels fall back to 1.0)
+_ABS_GATE_LUFS = -70.0
+
+
+_SHELF_VB_EXP = 0.4996667741545416  # band coefficient exponent of the prototype
+
+
+def k_weighting_coeffs(sample_rate: float) -> tuple[BiquadCoeffs, BiquadCoeffs]:
+    """(high-shelf, high-pass) K-weighting sections at ``sample_rate``.
+
+    Bilinear transform of the BS.1770 analog prototype (the published
+    de-normalization that reproduces the spec's 48 kHz table to ~1e-9 and
+    generalizes to any rate). The high-pass numerator is exactly
+    ``[1, -2, 1]`` — the spec leaves it un-normalized.
+    """
+    fs = float(sample_rate)
+
+    # stage 1: high-frequency shelf
+    K = math.tan(math.pi * _SHELF_F0 / fs)
+    Vh = 10.0 ** (_SHELF_GAIN_DB / 20.0)
+    Vb = Vh ** _SHELF_VB_EXP
+    a0 = 1.0 + K / _SHELF_Q + K * K
+    shelf = BiquadCoeffs(
+        (Vh + Vb * K / _SHELF_Q + K * K) / a0,
+        2.0 * (K * K - Vh) / a0,
+        (Vh - Vb * K / _SHELF_Q + K * K) / a0,
+        2.0 * (K * K - 1.0) / a0,
+        (1.0 - K / _SHELF_Q + K * K) / a0,
+    )
+
+    # stage 2: high-pass
+    K = math.tan(math.pi * _HP_F0 / fs)
+    a0 = 1.0 + K / _HP_Q + K * K
+    hp = BiquadCoeffs(
+        1.0, -2.0, 1.0,
+        2.0 * (K * K - 1.0) / a0,
+        (1.0 - K / _HP_Q + K * K) / a0,
+    )
+    return shelf, hp
+
+
+def channel_weights(C: int) -> np.ndarray:
+    w = np.ones(C, np.float64)
+    if C >= 5:
+        w[3:5] = 1.41  # Ls/Rs in L R C Ls Rs ordering
+    return w
+
+
+def _block_powers(z_hop: np.ndarray, hops_per_win: int) -> np.ndarray:
+    """Windowed mean power from per-hop channel-weighted power sums.
+
+    z_hop: [n_hops] mean power per hop; returns [n_windows] mean power per
+    overlapping window of ``hops_per_win`` consecutive hops."""
+    n = z_hop.shape[0] - hops_per_win + 1
+    if n <= 0:
+        return np.empty((0,), np.float64)
+    cs = np.concatenate([[0.0], np.cumsum(z_hop, dtype=np.float64)])
+    return (cs[hops_per_win:hops_per_win + n] - cs[:n]) / hops_per_win
+
+
+def _lufs(power: np.ndarray | float) -> np.ndarray:
+    return -0.691 + 10.0 * np.log10(np.maximum(power, 1e-30))
+
+
+@dataclass
+class LoudnessStats:
+    """EBU R128 measurement of one rendered bus."""
+
+    integrated_lufs: float
+    momentary_max_lufs: float
+    shortterm_max_lufs: float
+    lra_lu: float
+    true_peak_dbtp: float
+
+    def as_dict(self) -> dict:
+        return {
+            "integrated_lufs": self.integrated_lufs,
+            "momentary_max_lufs": self.momentary_max_lufs,
+            "shortterm_max_lufs": self.shortterm_max_lufs,
+            "lra_lu": self.lra_lu,
+            "true_peak_dbtp": self.true_peak_dbtp,
+        }
+
+
+def _true_peak_ir(phases: int = 4, taps_per_phase: int = 12) -> np.ndarray:
+    """Polyphase windowed-sinc interpolator IR (BS.1770-4 Annex 2 style)."""
+    n = phases * taps_per_phase
+    t = (np.arange(n, dtype=np.float64) - (n - 1) / 2.0) / phases
+    h = np.sinc(t) * np.hamming(n)
+    return h  # gain 1 per phase (sinc zero crossings at integer t)
+
+
+def measure_loudness(audio: np.ndarray, sample_rate: float, *,
+                     device: bool = True) -> LoudnessStats:
+    """Measure a finished bus [C, F] (f32/f64 in ±1.0 full scale).
+
+    ``device=True`` runs the K-filter + oversampled peak on the JAX device
+    (log-depth biquad scans; one FFT convolution); False keeps everything
+    in host f64 (the test reference path).
+    """
+    audio = np.atleast_2d(np.asarray(audio))
+    C, F = audio.shape
+    fs = float(sample_rate)
+    shelf, hp = k_weighting_coeffs(fs)
+    hop = max(int(round(0.1 * fs)), 1)
+
+    if device:
+        import jax.numpy as jnp
+
+        from whitebox_tpu.ops.biquad import biquad_scan
+
+        x = jnp.asarray(audio, jnp.float32)
+        y, _ = biquad_scan(x, shelf)
+        y, _ = biquad_scan(y, hp)
+        n_hops = F // hop
+        if n_hops:
+            sq = jnp.square(y[:, : n_hops * hop]).reshape(C, n_hops, hop)
+            zh = np.asarray(jnp.sum(sq, axis=-1), np.float64)  # [C, n_hops]
+        else:
+            zh = np.zeros((C, 0), np.float64)
+        # true peak: the 4 interpolator phases are 4 short FIRs over the
+        # original-rate signal — one shared FFT of x, 4 spectral products
+        ir = _true_peak_ir()
+        K = ir.size // 4
+        nf = 1
+        while nf < F + K - 1:
+            nf <<= 1
+        Xf = jnp.fft.rfft(x, nf, axis=-1)
+        tp = jnp.float32(0.0)
+        for p in range(4):
+            Hf = jnp.fft.rfft(jnp.asarray(ir[p::4], jnp.float32), nf)
+            yp = jnp.fft.irfft(Xf * Hf[None, :], nf, axis=-1)
+            tp = jnp.maximum(tp, jnp.max(jnp.abs(yp[:, : F + K - 1])))
+        tp = float(tp)
+    else:
+        from whitebox_tpu.ops.biquad import biquad_sequential
+
+        y, _ = biquad_sequential(audio, shelf)
+        y, _ = biquad_sequential(y, hp)
+        n_hops = F // hop
+        zh = (np.square(y[:, : n_hops * hop]).reshape(C, n_hops, hop).sum(-1)
+              if n_hops else np.zeros((C, 0), np.float64))
+        ir = _true_peak_ir()
+        tp = 0.0
+        for p in range(4):
+            yp = np.stack([np.convolve(audio[c].astype(np.float64), ir[p::4])
+                           for c in range(C)])
+            tp = max(tp, float(np.max(np.abs(yp))))
+
+    w = channel_weights(C)
+    z_hop = (w[:, None] * zh).sum(0) / hop  # [n_hops] weighted mean power/hop
+
+    mom = _lufs(_block_powers(z_hop, 4))    # 400 ms, 100 ms hop
+    st = _lufs(_block_powers(z_hop, 30))    # 3 s, 100 ms hop
+
+    # integrated: gate the 400 ms blocks (abs -70, then relative -10 LU)
+    if mom.size:
+        p_mom = 10.0 ** ((mom + 0.691) / 10.0)
+        keep = mom > _ABS_GATE_LUFS
+        if keep.any():
+            rel = _lufs(p_mom[keep].mean()) - 10.0
+            keep &= mom > rel
+        integrated = float(_lufs(p_mom[keep].mean())) if keep.any() else -np.inf
+        momentary_max = float(mom.max())
+    else:
+        integrated, momentary_max = -math.inf, -math.inf
+
+    # LRA (EBU Tech 3342): short-term, abs -70 then relative -20 LU gates
+    if st.size:
+        p_st = 10.0 ** ((st + 0.691) / 10.0)
+        keep = st > _ABS_GATE_LUFS
+        if keep.any():
+            rel = _lufs(p_st[keep].mean()) - 20.0
+            kept = st[keep & (st > rel)]
+            lra = float(np.percentile(kept, 95) - np.percentile(kept, 10)) if kept.size else 0.0
+        else:
+            lra = 0.0
+        shortterm_max = float(st.max())
+    else:
+        lra, shortterm_max = 0.0, -math.inf
+
+    return LoudnessStats(
+        integrated_lufs=integrated,
+        momentary_max_lufs=momentary_max,
+        shortterm_max_lufs=shortterm_max,
+        lra_lu=lra,
+        true_peak_dbtp=20.0 * math.log10(max(tp, 1e-30)),
+    )

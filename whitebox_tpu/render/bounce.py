@@ -93,6 +93,7 @@ def bounce(
     effects_mode: str = "scan",
     meters: bool = False,
     pdc: bool = False,
+    loudness: bool = False,
     out_path=None,
     out_format: AudioFormat = AudioFormat.F32,
 ) -> BounceResult:
@@ -336,6 +337,10 @@ def bounce(
                 out = out[:, :trim_frames]
             stats.frames = out.shape[1]
             stats.wall_seconds = stats.carve_seconds + stats.device_seconds
+            if loudness:
+                from whitebox_tpu.ops.loudness import measure_loudness
+
+                stats.loudness = measure_loudness(out, sample_rate)
             if out_path is not None:
                 _write_audio(out_path, out, int(sample_rate), out_format)
             return BounceResult(audio=out, stats=stats)
@@ -520,6 +525,11 @@ def bounce(
         out = out[:, :trim_frames]
     stats.frames = out.shape[1]
     stats.wall_seconds = stats.carve_seconds + stats.device_seconds
+
+    if loudness:
+        from whitebox_tpu.ops.loudness import measure_loudness
+
+        stats.loudness = measure_loudness(out, sample_rate)
 
     if out_path is not None:
         _write_audio(out_path, out, int(sample_rate), out_format)

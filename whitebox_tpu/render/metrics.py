@@ -35,6 +35,9 @@ class RenderStats:
     track_rms: object = None
     output_peak: object = None
     output_rms: object = None
+    #: EBU R128 measurement of the finished output (ops/loudness.py
+    #: LoudnessStats). Filled when bounce(..., loudness=True).
+    loudness: object = None
 
     @property
     def audio_seconds(self) -> float:
