@@ -92,3 +92,67 @@ class TestSample:
     def test_channel_wraparound(self):
         s = Sample.from_planar(np.zeros((2, 10), dtype=np.float32), 48000, AudioFormat.F32)
         assert s.channel(3) is s.data[1]
+
+
+class TestDither:
+    """TPDF export dither (core.buffers.tpdf_dither + write_wav(dither=))."""
+
+    def test_tpdf_statistics(self):
+        from whitebox_tpu.core.buffers import tpdf_dither
+
+        x = np.zeros((1, 200000), np.float32)
+        lsb = 2.0 ** -15
+        for hp in (False, True):
+            d = tpdf_dither(x, 16, highpass=hp) / lsb
+            assert abs(float(d.mean())) < 0.01           # zero mean
+            assert float(np.abs(d).max()) <= 1.0 + 1e-6  # bounded at 1 LSB
+            # TPDF variance = 1/6 (sum/difference of two uniforms)
+            assert abs(float(d.var()) - 1.0 / 6.0) < 0.01
+
+    def test_highpass_tilt(self):
+        """HF-weighted dither: first-difference noise has ~2x the variance
+        above fs/4 than below (white TPDF is flat)."""
+        from whitebox_tpu.core.buffers import tpdf_dither
+
+        x = np.zeros((1, 1 << 17), np.float32)
+        d = tpdf_dither(x, 16, highpass=True)[0]
+        D = np.abs(np.fft.rfft(d)) ** 2
+        n = D.size
+        lo, hi = D[: n // 2].mean(), D[n // 2 :].mean()
+        assert hi / lo > 2.0
+
+    def test_dither_linearizes_low_level(self):
+        """A -96 dBFS sine (~0.5 LSB) truncates to digital zero at 16-bit;
+        with TPDF dither its fundamental survives quantization."""
+        from whitebox_tpu.core.buffers import f32_to_i16, quantize_round, tpdf_dither
+
+        n = 1 << 16
+        t = np.arange(n) / 48000.0
+        a = 10 ** (-96 / 20.0)  # ~0.5 LSB amplitude
+        x = (a * np.sin(2 * np.pi * 997.0 * t)).astype(np.float32)[None, :]
+        bare = f32_to_i16(x).astype(np.float64) / 32768.0
+        dith = quantize_round(np.clip(tpdf_dither(x, 16), -1, 1), 16).astype(np.float64) / 32768.0
+        k = int(round(997.0 / 48000.0 * n))
+        w = np.hanning(n)
+
+        def bin_mag(y):
+            return np.abs(np.fft.rfft(y[0] * w))[k]
+
+        ref = bin_mag(x.astype(np.float64))
+        assert bin_mag(bare) < 0.05 * ref         # truncation: digital zero
+        assert bin_mag(dith) > 0.7 * ref          # dither preserves it
+
+    def test_write_wav_dither_roundtrip(self, tmp_path):
+        from whitebox_tpu.io.wav import read_wav, write_wav
+
+        rng = np.random.default_rng(1)
+        x = (0.5 * rng.standard_normal((2, 48000))).astype(np.float32).clip(-1, 1)
+        p = tmp_path / "d.wav"
+        write_wav(p, x, 48000, AudioFormat.I16, dither="tpdf-hp")
+        y, info = read_wav(p)
+        assert info.format == AudioFormat.I16
+        # dither adds at most ~2 LSB of deviation on top of quantization
+        err = np.abs(y.astype(np.float64) / 32768.0 - x)
+        assert float(err.max()) < 3.5 / 32768.0
+        with pytest.raises(ValueError):
+            write_wav(p, x, 48000, AudioFormat.I16, dither="bogus")

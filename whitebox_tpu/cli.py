@@ -52,6 +52,7 @@ def _cmd_render(args) -> int:
             loudness=args.loudness,
             out_path=args.out,
             out_format=fmt,
+            out_dither=None if args.dither == "none" else args.dither,
         )
     print(result.stats.summary())
     if args.loudness and result.stats.loudness is not None:
@@ -204,6 +205,9 @@ def main(argv=None) -> int:
     p.add_argument("--loudness", action="store_true",
                    help="EBU R128 measurement of the output (integrated LUFS, "
                         "momentary/short-term max, LRA, true peak dBTP)")
+    p.add_argument("--dither", choices=["none", "tpdf", "tpdf-hp"], default="none",
+                   help="±1 LSB TPDF dither before integer quantization "
+                        "(tpdf-hp: high-passed, recommended for 16-bit)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler (xprof) trace of the render into DIR")
     p.add_argument("--json", action="store_true")

@@ -34,6 +34,45 @@ def deinterleave(interleaved: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(interleaved.T)
 
 
+def tpdf_dither(x: np.ndarray, bits: int, *, highpass: bool = True,
+                seed: int = 0) -> np.ndarray:
+    """Add ±1 LSB TPDF dither before integer quantization (extension — the
+    reference truncates, audio_format_conv.cpp:5-20, which correlates the
+    quantization error with the signal at low levels).
+
+    ``highpass=True`` uses high-passed TPDF (first difference of uniform
+    noise): the same triangular amplitude density per sample, but with a
+    +6 dB/oct tilt that pushes dither energy toward inaudible highs and
+    guarantees zero DC. Deterministic per ``seed`` (reproducible exports).
+    Returns f32; the result still needs the engine's exact converter.
+    """
+    x = np.asarray(x, dtype=np.float32)
+    lsb = np.float32(2.0 ** (1 - bits))  # full-scale ±1.0 -> 1 LSB
+    rng = np.random.default_rng(seed)
+    if highpass:
+        u = rng.random(size=(x.shape[0], x.shape[-1] + 1), dtype=np.float32)
+        d = u[:, 1:] - u[:, :-1]  # TPDF in (-1, 1), zero mean, HF-tilted
+    else:
+        d = (rng.random(size=x.shape, dtype=np.float32)
+             + rng.random(size=x.shape, dtype=np.float32) - np.float32(1.0))
+    return x + d * lsb
+
+
+def quantize_round(x: np.ndarray, bits: int) -> np.ndarray:
+    """Round-to-nearest quantization with the engine's asymmetric ± scale.
+
+    The reference converters truncate toward zero (audio_format_conv.cpp) —
+    correct for parity, but truncation's signal-correlated ±0.5 LSB offset
+    (a square wave in phase with the signal) defeats TPDF dither, so the
+    dithered export path quantizes by rounding instead. Returns int32
+    codes in the target bit depth's range (int16-ranged for bits=16)."""
+    x = np.asarray(x, dtype=np.float32)
+    pos = np.float32(2.0 ** (bits - 1) - 1)
+    neg = np.float32(2.0 ** (bits - 1))
+    scaled = np.where(x > 0.0, x * pos, x * neg).astype(np.float64)
+    return np.clip(np.rint(scaled), -float(neg), float(pos)).astype(np.int64).astype(np.int32)
+
+
 def f32_to_i16(x: np.ndarray) -> np.ndarray:
     """audio_format_conv.cpp:5-20 — f32 * (pos ? 32767 : 32768), trunc."""
     x = np.asarray(x, dtype=np.float32)

@@ -100,15 +100,34 @@ def read_wav(path_or_bytes) -> tuple[np.ndarray, WavInfo]:
     return planar, WavInfo(channels=channels, sample_rate=rate, count=frames, format=fmt)
 
 
-def write_wav(path, planar: np.ndarray, sample_rate: int, fmt: AudioFormat = AudioFormat.F32) -> None:
+def write_wav(path, planar: np.ndarray, sample_rate: int, fmt: AudioFormat = AudioFormat.F32,
+              *, dither: str | None = None) -> None:
     """Write planar audio [channels, frames] to a WAV file.
 
     f32 input is converted with the engine's exact converters
     (audio_format_conv.cpp semantics) when an integer format is requested.
     Native integer input of the matching format passes through untouched.
+
+    ``dither``: None (reference truncation), "tpdf" (white ±1 LSB TPDF) or
+    "tpdf-hp" (high-passed TPDF, recommended for 16-bit masters) — applied
+    to float input before integer conversion, hard-clipped back to ±1.
     """
     planar = np.atleast_2d(np.asarray(planar))
     channels, frames = planar.shape
+
+    if dither and fmt != AudioFormat.F32 and planar.dtype.kind == "f":
+        from whitebox_tpu.core.buffers import quantize_round, tpdf_dither
+
+        bits = {AudioFormat.I16: 16, AudioFormat.I24: 24, AudioFormat.I24_X8: 24,
+                AudioFormat.I32: 32}[fmt]
+        if dither not in ("tpdf", "tpdf-hp"):
+            raise ValueError(f"dither {dither!r} (want 'tpdf' or 'tpdf-hp')")
+        dithered = np.clip(tpdf_dither(planar, bits, highpass=dither == "tpdf-hp"),
+                           -1.0, 1.0).astype(np.float32)
+        # rounding quantization: truncation would re-correlate the error
+        # with the signal and defeat the dither (see quantize_round)
+        codes = quantize_round(dithered, bits)
+        planar = codes.astype(np.int16) if fmt == AudioFormat.I16 else codes
 
     if fmt == AudioFormat.F32:
         inter = buffers.interleave(planar.astype(np.float32, copy=False))

@@ -54,7 +54,8 @@ def _add_synth(per_track, synth_tables, chunk_start, frames):
     return per_track
 
 
-def _write_audio(out_path, out: np.ndarray, sample_rate: int, out_format: AudioFormat) -> None:
+def _write_audio(out_path, out: np.ndarray, sample_rate: int, out_format: AudioFormat,
+                 dither: str | None = None) -> None:
     """WAV by default; .mp3/.ogg/.flac route through the native codec
     runtime (compressed export — extends the reference's export stub)."""
     p = str(out_path).lower()
@@ -65,7 +66,7 @@ def _write_audio(out_path, out: np.ndarray, sample_rate: int, out_format: AudioF
         return
     from whitebox_tpu.io.wav import write_wav
 
-    write_wav(out_path, out, int(sample_rate), out_format)
+    write_wav(out_path, out, int(sample_rate), out_format, dither=dither)
 
 
 @dataclass
@@ -96,6 +97,7 @@ def bounce(
     loudness: bool = False,
     out_path=None,
     out_format: AudioFormat = AudioFormat.F32,
+    out_dither: str | None = None,
 ) -> BounceResult:
     """Render the whole session timeline at once.
 
@@ -135,6 +137,10 @@ def bounce(
     the uncompensated render reproduces each effect's own delay semantics
     (the per-effect reference behavior). The reference DAW has no PDC —
     this is an extension (only its lookahead-free native path needed none).
+
+    ``out_dither``: dither mode for integer WAV export (None keeps the
+    reference's plain truncation; "tpdf" / "tpdf-hp" add ±1 LSB TPDF noise
+    before quantization — see core.buffers.tpdf_dither).
     """
     from whitebox_tpu.session.bus import session_has_routing
 
@@ -342,7 +348,7 @@ def bounce(
 
                 stats.loudness = measure_loudness(out, sample_rate)
             if out_path is not None:
-                _write_audio(out_path, out, int(sample_rate), out_format)
+                _write_audio(out_path, out, int(sample_rate), out_format, dither=out_dither)
             return BounceResult(audio=out, stats=stats)
 
     from whitebox_tpu.ops.automation import session_has_automation
@@ -532,6 +538,6 @@ def bounce(
         stats.loudness = measure_loudness(out, sample_rate)
 
     if out_path is not None:
-        _write_audio(out_path, out, int(sample_rate), out_format)
+        _write_audio(out_path, out, int(sample_rate), out_format, dither=out_dither)
 
     return BounceResult(audio=out, stats=stats)
