@@ -136,3 +136,40 @@ class TestBounceIntegration:
         assert set(d) == {"integrated_lufs", "momentary_max_lufs",
                           "shortterm_max_lufs", "lra_lu", "true_peak_dbtp"}
         assert all(isinstance(v, float) for v in d.values())
+
+
+class TestNormalize:
+    def test_lufs_normalize(self):
+        from tests.test_carve import random_session
+        from whitebox_tpu.core.formats import AudioFormat
+        from whitebox_tpu.render.bounce import bounce
+
+        s = random_session(37, rate=RATE, bpm=120.0, n_tracks=2,
+                           formats=(AudioFormat.F32,), n_clips=2)
+        res = bounce(s, RATE, engine="xla", loudness=True,
+                     normalize=("lufs", -20.0))
+        assert abs(res.stats.loudness.integrated_lufs + 20.0) < 0.2
+
+    def test_peak_normalize(self):
+        from tests.test_carve import random_session
+        from whitebox_tpu.core.formats import AudioFormat
+        from whitebox_tpu.render.bounce import bounce
+
+        s = random_session(38, rate=RATE, bpm=120.0, n_tracks=2,
+                           formats=(AudioFormat.F32,), n_clips=2)
+        res = bounce(s, RATE, engine="xla", loudness=True,
+                     normalize=("peak", -3.0))
+        assert abs(res.stats.loudness.true_peak_dbtp + 3.0) < 0.15
+
+    def test_silence_noop_and_bad_mode(self):
+        import pytest as _pytest
+
+        from whitebox_tpu.render.bounce import _finalize_output
+        from whitebox_tpu.render.metrics import RenderStats
+
+        st = RenderStats()
+        silent = np.zeros((2, 48000), np.float32)
+        out = _finalize_output(silent, st, RATE, False, ("lufs", -14.0))
+        assert not out.any()
+        with _pytest.raises(ValueError):
+            _finalize_output(silent, st, RATE, False, ("bogus", -1.0))

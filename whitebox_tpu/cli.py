@@ -50,6 +50,9 @@ def _cmd_render(args) -> int:
             meters=args.meters,
             pdc=args.pdc,
             loudness=args.loudness,
+            normalize=(("lufs", args.normalize_lufs) if args.normalize_lufs is not None
+                       else ("peak", args.normalize_peak) if args.normalize_peak is not None
+                       else None),
             out_path=args.out,
             out_format=fmt,
             out_dither=None if args.dither == "none" else args.dither,
@@ -208,6 +211,12 @@ def main(argv=None) -> int:
     p.add_argument("--dither", choices=["none", "tpdf", "tpdf-hp"], default="none",
                    help="±1 LSB TPDF dither before integer quantization "
                         "(tpdf-hp: high-passed, recommended for 16-bit)")
+    p.add_argument("--normalize-lufs", type=float, default=None, metavar="LUFS",
+                   help="scale the output to an integrated-loudness target "
+                        "(delivery-spec normalization, e.g. -14)")
+    p.add_argument("--normalize-peak", type=float, default=None, metavar="DBTP",
+                   help="scale the output so the oversampled TRUE peak hits "
+                        "the target (e.g. -1.0)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler (xprof) trace of the render into DIR")
     p.add_argument("--json", action="store_true")

@@ -54,6 +54,38 @@ def _add_synth(per_track, synth_tables, chunk_start, frames):
     return per_track
 
 
+def _finalize_output(out: np.ndarray, stats, sample_rate: float,
+                     loudness: bool, normalize) -> np.ndarray:
+    """Optional output normalization + loudness measurement (extension —
+    the reference's export dialog stubs both).
+
+    ``normalize``: None, ("peak", target_dbtp) — scale so the 4x-oversampled
+    TRUE peak hits the target — or ("lufs", target_lufs) — scale so
+    integrated loudness hits the target (delivery-spec normalization, e.g.
+    -14 LUFS streaming). Gain is applied then hard-clipped to ±1 (the
+    engine's output ceiling); stats.loudness measures the FINAL audio."""
+    if normalize is not None:
+        from whitebox_tpu.ops.loudness import measure_loudness
+
+        mode, target = normalize
+        pre = measure_loudness(out, sample_rate)
+        if mode == "peak":
+            gain = 10.0 ** ((float(target) - pre.true_peak_dbtp) / 20.0)
+        elif mode == "lufs":
+            if not np.isfinite(pre.integrated_lufs):
+                gain = 1.0  # silence: nothing to normalize
+            else:
+                gain = 10.0 ** ((float(target) - pre.integrated_lufs) / 20.0)
+        else:
+            raise ValueError(f"normalize mode {mode!r} (want 'peak' or 'lufs')")
+        out = np.clip(out * np.float32(gain), -1.0, 1.0)
+    if loudness:
+        from whitebox_tpu.ops.loudness import measure_loudness
+
+        stats.loudness = measure_loudness(out, sample_rate)
+    return out
+
+
 def _write_audio(out_path, out: np.ndarray, sample_rate: int, out_format: AudioFormat,
                  dither: str | None = None) -> None:
     """WAV by default; .mp3/.ogg/.flac route through the native codec
@@ -95,6 +127,7 @@ def bounce(
     meters: bool = False,
     pdc: bool = False,
     loudness: bool = False,
+    normalize: tuple | None = None,
     out_path=None,
     out_format: AudioFormat = AudioFormat.F32,
     out_dither: str | None = None,
@@ -141,6 +174,9 @@ def bounce(
     ``out_dither``: dither mode for integer WAV export (None keeps the
     reference's plain truncation; "tpdf" / "tpdf-hp" add ±1 LSB TPDF noise
     before quantization — see core.buffers.tpdf_dither).
+
+    ``normalize``: ("lufs", target) or ("peak", target_dbtp) output
+    normalization — see _finalize_output.
     """
     from whitebox_tpu.session.bus import session_has_routing
 
@@ -343,10 +379,7 @@ def bounce(
                 out = out[:, :trim_frames]
             stats.frames = out.shape[1]
             stats.wall_seconds = stats.carve_seconds + stats.device_seconds
-            if loudness:
-                from whitebox_tpu.ops.loudness import measure_loudness
-
-                stats.loudness = measure_loudness(out, sample_rate)
+            out = _finalize_output(out, stats, sample_rate, loudness, normalize)
             if out_path is not None:
                 _write_audio(out_path, out, int(sample_rate), out_format, dither=out_dither)
             return BounceResult(audio=out, stats=stats)
@@ -532,10 +565,7 @@ def bounce(
     stats.frames = out.shape[1]
     stats.wall_seconds = stats.carve_seconds + stats.device_seconds
 
-    if loudness:
-        from whitebox_tpu.ops.loudness import measure_loudness
-
-        stats.loudness = measure_loudness(out, sample_rate)
+    out = _finalize_output(out, stats, sample_rate, loudness, normalize)
 
     if out_path is not None:
         _write_audio(out_path, out, int(sample_rate), out_format, dither=out_dither)
