@@ -127,6 +127,21 @@ def _cmd_convert(args) -> int:
     return 0
 
 
+def _cmd_freeze(args) -> int:
+    from whitebox_tpu.session.project import read_project, write_project
+
+    session = read_project(args.project)
+    for slot in args.track:
+        if args.unfreeze:
+            session.unfreeze_track(slot)
+            print(f"unfroze track {slot} ({session.tracks[slot].name})")
+        else:
+            session.freeze_track(slot, float(args.rate))
+            print(f"froze track {slot} ({session.tracks[slot].name})")
+    write_project(session, args.out or args.project)
+    return 0
+
+
 def _cmd_peaks(args) -> int:
     from whitebox_tpu.ops.peaks import build_mipmaps
     from whitebox_tpu.session.sample import Sample
@@ -239,6 +254,15 @@ def main(argv=None) -> int:
     p.add_argument("--format", choices=["f32", "i16", "i24", "i32"], default="f32",
                    help="WAV PCM format (compressed outputs pick their own)")
     p.set_defaults(fn=_cmd_convert)
+
+    p = sub.add_parser("freeze", help="freeze (bounce-in-place) or unfreeze tracks")
+    p.add_argument("project")
+    p.add_argument("--track", type=int, action="append", required=True,
+                   help="track slot to (un)freeze; repeatable")
+    p.add_argument("--unfreeze", action="store_true")
+    p.add_argument("--rate", type=float, default=48000.0)
+    p.add_argument("--out", default=None, help="output .wb (default: in place)")
+    p.set_defaults(fn=_cmd_freeze)
 
     p = sub.add_parser("peaks", help="build waveform min/max peak mipmaps")
     p.add_argument("audio")

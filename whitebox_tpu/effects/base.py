@@ -86,3 +86,6 @@ class EffectChain(Effect):
 
     def __len__(self) -> int:
         return len(self.effects)
+
+    def __iter__(self):
+        return iter(self.effects)

@@ -531,6 +531,34 @@ class SendRemove(Command):
         session.remove_send(self.track_idx, self.send_idx)
 
 
+# ---- freeze / bounce-in-place commands (extension; session/session.py) ----
+
+
+@dataclass
+class FreezeTrack(Command):
+    name = "freeze track"
+    track_idx: int = 0
+    sample_rate: float = 48000.0
+
+    def touched_tracks(self, session):
+        return None  # clips + effects + lanes: needs the session snapshot
+
+    def apply(self, session):
+        session.freeze_track(self.track_idx, self.sample_rate)
+
+
+@dataclass
+class UnfreezeTrack(Command):
+    name = "unfreeze track"
+    track_idx: int = 0
+
+    def touched_tracks(self, session):
+        return None
+
+    def apply(self, session):
+        session.unfreeze_track(self.track_idx)
+
+
 # ---- note commands (NoteAddCmd/NoteDeleteCmd/NoteMoveCmd...) operate on a
 #      clip's note buffer; snapshots capture the asset's notes too ----
 
@@ -720,17 +748,28 @@ class _SessionSnapshot:
     buses: list = field(default_factory=list)
 
     @staticmethod
+    def _clone_fx(effects):
+        """Shallow-copy an effect container, preserving its type (a plain
+        list or an EffectChain)."""
+        from whitebox_tpu.effects.base import EffectChain
+
+        if isinstance(effects, EffectChain):
+            return EffectChain(list(effects.effects))
+        return list(effects)
+
+    @staticmethod
     def _clone_track(t: Track) -> Track:
         from dataclasses import replace
 
-        return replace(t, clips=[c.clone() for c in t.clips], effects=list(t.effects),
+        return replace(t, clips=[c.clone() for c in t.clips],
+                       effects=_SessionSnapshot._clone_fx(t.effects),
                        sends=[replace(s) for s in t.sends])
 
     @staticmethod
     def _clone_bus(b):
         from dataclasses import replace
 
-        return replace(b, effects=list(b.effects))
+        return replace(b, effects=_SessionSnapshot._clone_fx(b.effects))
 
     @staticmethod
     def capture(session: Session) -> "_SessionSnapshot":

@@ -212,7 +212,92 @@ def _fx_lanes_from_doc(doc: dict) -> dict:
     return out
 
 
+def _clip_to_doc(clip, sample_index: dict, midi_index: dict) -> dict:
+    doc = {
+        "type": int(clip.type),
+        "name": clip.name,
+        "col": clip.color,
+        "active": bool(clip.active),
+        "start": clip.min_time,
+        "end": clip.max_time,
+        "ofs": clip.start_offset,
+    }
+    if clip.is_audio():
+        doc["data"] = {
+            "asset_id": sample_index.get(id(clip.audio.asset), 0xFFFFFFFF),
+            "fstart": clip.audio.fade_start,
+            "fend": clip.audio.fade_end,
+            "gain": float(clip.audio.gain),
+            "speed": float(clip.audio.speed),  # extension key (see module doc)
+        }
+        if clip.audio.mode != ClipMode.ONE_SHOT:
+            doc["data"]["mode"] = int(clip.audio.mode)  # extension key
+    elif clip.is_midi():
+        doc["data"] = {
+            "asset_id": midi_index.get(id(clip.midi.asset), 0xFFFFFFFF),
+            "trans": clip.midi.transpose,
+            "rate": clip.midi.rate,
+        }
+    return doc
+
+
+def _clip_from_doc(c: dict, j: int, sample_assets: list, midi_assets: list):
+    ctype = ClipType(int(c.get("type", 0)))
+    clip = Clip(
+        id=j,
+        type=ctype,
+        name=_as_str(c.get("name", "")),
+        color=int(c.get("col", 0)),
+        active=bool(c.get("active", True)),
+        min_time=float(c.get("start", 0.0)),
+        max_time=float(c.get("end", 0.0)),
+        start_offset=float(c.get("ofs", 0.0)),
+    )
+    data = c.get("data") or {}
+    asset_id = int(data.get("asset_id", 0xFFFFFFFF))
+    if ctype == ClipType.AUDIO and asset_id != 0xFFFFFFFF and sample_assets[asset_id] is not None:
+        clip.audio = AudioClipData(
+            asset=sample_assets[asset_id],
+            fade_start=float(data.get("fstart", 0.0)),
+            fade_end=float(data.get("fend", 0.0)),
+            speed=float(data.get("speed", 1.0)),
+            gain=float(data.get("gain", 0.0)),
+            mode=ClipMode(int(data.get("mode", 0))),
+        )
+    elif ctype == ClipType.MIDI and asset_id != 0xFFFFFFFF:
+        clip.midi = MidiClipData(
+            asset=midi_assets[asset_id],
+            transpose=int(data.get("trans", 0)),
+            rate=int(data.get("rate", 1)),
+            length=clip.max_time - clip.min_time,
+        )
+    return clip
+
+
+def _persist_memory_samples(session: Session, path) -> None:
+    """Memory-only samples (frozen renders, recorded takes not yet saved)
+    get sidecar WAVs next to the project so the .wb survives a reload —
+    the reference assumes every asset already lives on disk."""
+    import re
+
+    import numpy as np
+
+    from whitebox_tpu.io.wav import write_wav
+
+    proj = Path(path)
+    for idx, asset in enumerate(session.sample_table.samples.values()):
+        s = asset.sample
+        if s.path:
+            continue
+        safe = re.sub(r"[^A-Za-z0-9_.-]+", "_", s.name or "sample") or "sample"
+        side = proj.parent / f"{proj.stem}_{safe}_{idx}.wav"
+        write_wav(side, np.stack(s.data), int(s.sample_rate), s.format)
+        s.path = str(side)
+        _log.info("persisted in-memory sample %r -> %s", s.name, side)
+
+
 def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
+    _persist_memory_samples(session, path)
     sample_index: dict[int, int] = {}
     sample_paths: list[str] = []
     for idx, (key, asset) in enumerate(session.sample_table.samples.items()):
@@ -238,38 +323,23 @@ def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
 
     track_docs = []
     for track in session.tracks:
-        clip_docs = []
-        for clip in track.clips:
-            doc = {
-                "type": int(clip.type),
-                "name": clip.name,
-                "col": clip.color,
-                "active": bool(clip.active),
-                "start": clip.min_time,
-                "end": clip.max_time,
-                "ofs": clip.start_offset,
-            }
-            if clip.is_audio():
-                doc["data"] = {
-                    "asset_id": sample_index.get(id(clip.audio.asset), 0xFFFFFFFF),
-                    "fstart": clip.audio.fade_start,
-                    "fend": clip.audio.fade_end,
-                    "gain": float(clip.audio.gain),
-                    "speed": float(clip.audio.speed),  # extension key (see module doc)
-                }
-                if clip.audio.mode != ClipMode.ONE_SHOT:
-                    doc["data"]["mode"] = int(clip.audio.mode)  # extension key
-            elif clip.is_midi():
-                doc["data"] = {
-                    "asset_id": midi_index.get(id(clip.midi.asset), 0xFFFFFFFF),
-                    "trans": clip.midi.transpose,
-                    "rate": clip.midi.rate,
-                }
-            clip_docs.append(doc)
+        clip_docs = [_clip_to_doc(clip, sample_index, midi_index) for clip in track.clips]
 
         extras = {}
         if track.effects:
             extras["fx"] = _chain_to_doc(track.effects)
+        if track.frozen is not None:
+            # extension key: freeze stash (Session.freeze_track) — original
+            # clips/chain/effect-lanes so unfreeze works after a reload
+            extras["frozen"] = {
+                "clips": [_clip_to_doc(c, sample_index, midi_index)
+                          for c in track.frozen["clips"]],
+                "fx": _chain_to_doc(track.frozen["effects"]) if track.frozen["effects"] else [],
+                "auto_fx": {
+                    f"{slot}:{param}": _lane_to_doc(lane)
+                    for (slot, param), lane in sorted(track.frozen["eff_lanes"].items())
+                },
+            }
         if track.output_bus is not None:
             extras["out_bus"] = int(track.output_bus)  # extension key (routing)
         if track.sends:
@@ -472,36 +542,16 @@ def read_project(path, search_dirs: list | None = None) -> Session:
                 effects=_fx_lanes_from_doc(a.get("fx") or {}),
             )
         for j, c in enumerate(t.get("clips", []) or []):
-            ctype = ClipType(int(c.get("type", 0)))
-            clip = Clip(
-                id=j,
-                type=ctype,
-                name=_as_str(c.get("name", "")),
-                color=int(c.get("col", 0)),
-                active=bool(c.get("active", True)),
-                min_time=float(c.get("start", 0.0)),
-                max_time=float(c.get("end", 0.0)),
-                start_offset=float(c.get("ofs", 0.0)),
-            )
-            data = c.get("data") or {}
-            asset_id = int(data.get("asset_id", 0xFFFFFFFF))
-            if ctype == ClipType.AUDIO and asset_id != 0xFFFFFFFF and sample_assets[asset_id] is not None:
-                clip.audio = AudioClipData(
-                    asset=sample_assets[asset_id],
-                    fade_start=float(data.get("fstart", 0.0)),
-                    fade_end=float(data.get("fend", 0.0)),
-                    speed=float(data.get("speed", 1.0)),
-                    gain=float(data.get("gain", 0.0)),
-                    mode=ClipMode(int(data.get("mode", 0))),
-                )
-            elif ctype == ClipType.MIDI and asset_id != 0xFFFFFFFF:
-                clip.midi = MidiClipData(
-                    asset=midi_assets[asset_id],
-                    transpose=int(data.get("trans", 0)),
-                    rate=int(data.get("rate", 1)),
-                    length=clip.max_time - clip.min_time,
-                )
-            track.clips.append(clip)
+            track.clips.append(_clip_from_doc(c, j, sample_assets, midi_assets))
+        if t.get("frozen"):
+            fz = t["frozen"]
+            track.frozen = {
+                "clips": [_clip_from_doc(c, j, sample_assets, midi_assets)
+                          for j, c in enumerate(fz.get("clips", []) or [])],
+                "effects": _chain_from_doc(fz["fx"]) if fz.get("fx") else [],
+                "eff_lanes": _fx_lanes_from_doc(fz.get("auto_fx") or {}),
+                "asset_key": "",
+            }
         session.tracks.append(track)
 
     return session

@@ -178,6 +178,90 @@ class Session:
     def remove_send(self, track_slot: int, send_index: int):
         return self.tracks[track_slot].sends.pop(send_index)
 
+    # ---- track freeze / bounce-in-place (extension; no upstream equiv) ----
+
+    def freeze_track(self, slot: int, sample_rate: float = 48000.0, *,
+                     buffer_size: int = 512, engine: str = "auto") -> None:
+        """Bounce-in-place: render the track's clips through its effect
+        chain (and effect-param lanes) into a new sample asset, swap the
+        clips for one speed-1 audio clip of that render, and clear the
+        baked chain/lanes. The fader (volume/pan/mute), fader automation,
+        sends, and bus routing stay LIVE — exactly what freezing means in
+        a production mixer. ``unfreeze_track`` restores the original state.
+
+        The capture point is post-chain / pre-fader: the temp render runs
+        the track at volume 0 dB, pan center (exactly unity under the
+        -3 dB constant-power law's sqrt(2) normalization), no master bus.
+        """
+        from dataclasses import replace as _replace
+
+        import numpy as np
+
+        from whitebox_tpu.core.formats import AudioFormat
+        from whitebox_tpu.render.bounce import bounce
+        from whitebox_tpu.session.sample import Sample
+
+        track = self.tracks[slot]
+        if track.frozen is not None:
+            raise ValueError(f"track {slot} is already frozen")
+        if not track.clips:
+            raise ValueError(f"track {slot} has no clips to freeze")
+
+        eff_lanes = dict(track.automation.effects) if (
+            track.automation is not None and track.automation.effects) else {}
+
+        tmp = Session(bpm=self.bpm)
+        tmp.sample_table = self.sample_table
+        tmp.midi_table = self.midi_table
+        rt = _replace(track, volume_db=0.0, pan=0.0, mute=False, solo=False,
+                      output_bus=None, sends=[], frozen=None,
+                      clips=[c.clone() for c in track.clips])
+        if eff_lanes:
+            from whitebox_tpu.ops.automation import TrackAutomation
+
+            rt.automation = TrackAutomation(effects=dict(eff_lanes))
+        else:
+            rt.automation = None
+        tmp.tracks = [rt]
+        res = bounce(tmp, sample_rate, buffer_size=buffer_size, engine=engine)
+
+        asset = self.sample_table.add_sample(
+            Sample.from_planar(np.ascontiguousarray(res.audio), int(sample_rate),
+                               AudioFormat.F32, name=f"{track.name} (frozen)"),
+            key=f"frozen:{track.name}:{slot}:{id(res.audio)}",
+        )
+        track.frozen = {
+            "clips": track.clips,
+            "effects": track.effects,
+            "eff_lanes": eff_lanes,
+            "asset_key": asset.key,
+        }
+        end_beats = max(c.max_time for c in track.clips)
+        track.clips = []
+        # +1 beat of margin: playback simply stops at the sample's end, and
+        # the margin keeps beat->sample rounding from shaving the last frame
+        self.add_audio_clip(track, f"{track.name} (frozen)", 0.0,
+                            end_beats + 1.0, asset=asset)
+        track.effects = []
+        if track.automation is not None:
+            track.automation.effects = {}
+
+    def unfreeze_track(self, slot: int) -> None:
+        """Restore the pre-freeze clips, chain, and effect lanes."""
+        track = self.tracks[slot]
+        if track.frozen is None:
+            raise ValueError(f"track {slot} is not frozen")
+        st = track.frozen
+        track.clips = st["clips"]
+        track.effects = st["effects"]
+        if st["eff_lanes"]:
+            from whitebox_tpu.ops.automation import TrackAutomation
+
+            if track.automation is None:
+                track.automation = TrackAutomation()
+            track.automation.effects = dict(st["eff_lanes"])
+        track.frozen = None
+
     # ---- clip CRUD (engine.cpp:293-569) ----
 
     def add_audio_clip(
@@ -796,6 +880,7 @@ class Session:
                 return tuple((p.x, p.y, int(p.curve), p.tension) for p in lane.points)
 
             items.append((t.volume_db, t.pan, t.mute, t.solo, len(t.clips),
+                          t.frozen is not None,
                           t.output_bus if t.output_bus is not None else -1,
                           tuple((s.bus, s.gain_db, s.pre_fader, s.sidechain) for s in t.sends),
                           id(t.effects) if t.effects else 0,

@@ -50,6 +50,10 @@ class Track:
     #: master, the reference's only destination) and aux sends.
     output_bus: Optional[int] = None
     sends: list = field(default_factory=list)
+    #: freeze / bounce-in-place stash (Session.freeze_track): the original
+    #: clips, effect chain, and effect-param lanes, kept so
+    #: unfreeze_track restores the live track. None == not frozen.
+    frozen: object = None
 
     # ---- audio-thread parameter mapping (track.cpp:608-643) ----
 
