@@ -531,6 +531,25 @@ class SendRemove(Command):
         session.remove_send(self.track_idx, self.send_idx)
 
 
+# ---- clip time-stretch command (extension; session/session.py) ----
+
+
+@dataclass
+class StretchClip(Command):
+    name = "stretch clip"
+    track_idx: int = 0
+    clip_idx: int = 0
+    ratio: float = 1.0
+    preserve_pitch: bool = True
+
+    def touched_tracks(self, session):
+        return [self.track_idx]
+
+    def apply(self, session):
+        session.stretch_clip(self.track_idx, self.clip_idx, self.ratio,
+                             preserve_pitch=self.preserve_pitch)
+
+
 # ---- freeze / bounce-in-place commands (extension; session/session.py) ----
 
 

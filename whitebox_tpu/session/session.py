@@ -262,6 +262,58 @@ class Session:
             track.automation.effects = dict(st["eff_lanes"])
         track.frozen = None
 
+    # ---- clip time-stretch (extension; the reference only resamples,
+    #      sampler.cpp:34-59 — duration and pitch always move together) ----
+
+    def stretch_clip(self, track_slot: int, clip_index: int, ratio: float, *,
+                     preserve_pitch: bool = True) -> None:
+        """Stretch an audio clip's duration by ``ratio``.
+
+        ``preserve_pitch=True`` renders the source through the phase
+        vocoder (ops/stretch.py) into a new sample asset — duration scales,
+        pitch stays. ``preserve_pitch=False`` is the classic resample move:
+        the clip's playback speed drops by ``ratio`` (pitch follows), no
+        new audio. Either way the clip's span scales in place, trimming
+        neighbors it now overlaps (reserve_track_region semantics).
+        """
+        import numpy as np
+
+        track = self.tracks[track_slot]
+        clip = track.clips[clip_index]
+        if not clip.is_audio() or clip.audio.asset is None:
+            raise ValueError("stretch_clip needs an audio clip")
+        ratio = float(ratio)
+        if ratio <= 0:
+            raise ValueError("ratio must be positive")
+
+        length = clip.max_time - clip.min_time
+        if preserve_pitch:
+            from whitebox_tpu.core.formats import AudioFormat, normalize_unclamped
+            from whitebox_tpu.ops.stretch import time_stretch
+            from whitebox_tpu.session.sample import Sample
+
+            src = clip.audio.asset.sample
+            f32 = np.asarray(normalize_unclamped(np.stack(src.data), src.format),
+                             np.float32)
+            stretched = time_stretch(f32, ratio)
+            asset = self.sample_table.add_sample(
+                Sample.from_planar(stretched, int(src.sample_rate), AudioFormat.F32,
+                                   name=f"{src.name or clip.name} (x{ratio:g})"),
+                key=f"stretch:{clip.name}:{id(stretched)}",
+            )
+            clip.audio.asset = asset
+            clip.start_offset = clip.start_offset * ratio
+        else:
+            clip.audio.speed = clip.audio.speed / ratio
+            clip.start_offset = clip.start_offset * ratio
+        # fades keep their relative musical position within the clip
+        clip.audio.fade_start *= ratio
+        clip.audio.fade_end *= ratio
+        # re-reserve the (possibly longer) span, trimming overlapped clips
+        track.clips.pop(clip_index)
+        clip.max_time = clip.min_time + length * ratio
+        self._add_to_cliplist(track, clip)
+
     # ---- clip CRUD (engine.cpp:293-569) ----
 
     def add_audio_clip(
