@@ -139,3 +139,29 @@ class TestFreezePersistence:
         n = min(live.shape[1], live2.shape[1])
         err = rms(live2[:, :n] - live[:, :n]) / max(rms(live[:, :n]), 1e-9)
         assert err < 1e-6
+
+
+class TestReviewRegressions:
+    def test_unfreeze_evicts_render_asset(self):
+        s = _fx_session()
+        n0 = len(s.sample_table.samples)
+        s.freeze_track(0, RATE)
+        assert len(s.sample_table.samples) == n0 + 1
+        s.unfreeze_track(0)
+        assert len(s.sample_table.samples) == n0  # no orphaned render
+
+    def test_snapshot_isolates_frozen_stash(self):
+        """Edits made after a session snapshot must not leak into the
+        snapshot's freeze stash (undo would restore corrupted clips)."""
+        from whitebox_tpu.session.history import BusAdd, CommandManager
+
+        s = _fx_session()
+        s.freeze_track(0, RATE)
+        mgr = CommandManager(s)
+        mgr.execute(BusAdd(bus_name="aux"))  # session snapshot while frozen
+        s.unfreeze_track(0)
+        orig = s.tracks[0].clips[0].min_time
+        s.tracks[0].clips[0].min_time = orig + 7.0  # post-snapshot edit
+        mgr.undo()  # back to frozen state
+        assert s.tracks[0].frozen is not None
+        assert s.tracks[0].frozen["clips"][0].min_time == pytest.approx(orig)

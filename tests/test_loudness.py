@@ -135,7 +135,10 @@ class TestBounceIntegration:
         d = lu.as_dict()
         assert set(d) == {"integrated_lufs", "momentary_max_lufs",
                           "shortterm_max_lufs", "lra_lu", "true_peak_dbtp"}
-        assert all(isinstance(v, float) for v in d.values())
+        # JSON-safe: finite floats, or None where the window never filled
+        # (a <3 s render has no short-term blocks)
+        assert all(v is None or isinstance(v, float) for v in d.values())
+        assert d["integrated_lufs"] is not None
 
 
 class TestNormalize:
@@ -173,3 +176,22 @@ class TestNormalize:
         assert not out.any()
         with _pytest.raises(ValueError):
             _finalize_output(silent, st, RATE, False, ("bogus", -1.0))
+
+
+class TestReviewRegressions:
+    def test_true_peak_at_least_sample_peak(self):
+        """BS.1770: true peak >= sample peak — an impulse landing ON a
+        sample must not under-read through the between-sample phases."""
+        x = np.zeros((2, 48000), np.float32)
+        x[:, 24000] = 1.0
+        for device in (False, True):
+            st = measure_loudness(x, RATE, device=device)
+            assert st.true_peak_dbtp >= -1e-6, (device, st.true_peak_dbtp)
+
+    def test_as_dict_json_safe_on_silence(self):
+        import json
+
+        st = measure_loudness(np.zeros((2, 4800), np.float32), RATE, device=False)
+        d = st.as_dict()
+        s = json.dumps(d, allow_nan=False)  # raises on inf/nan
+        assert json.loads(s)["integrated_lufs"] is None

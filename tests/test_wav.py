@@ -156,3 +156,16 @@ class TestDither:
         assert float(err.max()) < 3.5 / 32768.0
         with pytest.raises(ValueError):
             write_wav(p, x, 48000, AudioFormat.I16, dither="bogus")
+
+    def test_quantize_round_full_scale_i32(self):
+        """+1.0 samples must quantize to +2^31-1, not wrap to -2^31
+        (float32 scale constants round 2^31-1 UP to 2^31)."""
+        from whitebox_tpu.core.buffers import quantize_round
+
+        x = np.array([[1.0, -1.0, 0.999999, 0.0]], np.float32)
+        codes = quantize_round(x, 32)
+        assert codes[0, 0] == 2**31 - 1
+        assert codes[0, 1] == -(2**31)
+        assert codes[0, 2] > 0
+        c16 = quantize_round(x, 16)
+        assert c16[0, 0] == 32767 and c16[0, 1] == -32768

@@ -66,11 +66,13 @@ def quantize_round(x: np.ndarray, bits: int) -> np.ndarray:
     (a square wave in phase with the signal) defeats TPDF dither, so the
     dithered export path quantizes by rounding instead. Returns int32
     codes in the target bit depth's range (int16-ranged for bits=16)."""
-    x = np.asarray(x, dtype=np.float32)
-    pos = np.float32(2.0 ** (bits - 1) - 1)
-    neg = np.float32(2.0 ** (bits - 1))
-    scaled = np.where(x > 0.0, x * pos, x * neg).astype(np.float64)
-    return np.clip(np.rint(scaled), -float(neg), float(pos)).astype(np.int64).astype(np.int32)
+    x = np.asarray(x, dtype=np.float32).astype(np.float64)
+    # f64 scales: float32(2**31-1) would round UP to 2**31 and overflow
+    # int32 at full scale (a +1.0 sample must quantize to +2^31-1, not wrap)
+    pos = float(2 ** (bits - 1) - 1)
+    neg = float(2 ** (bits - 1))
+    scaled = np.where(x > 0.0, x * pos, x * neg)
+    return np.clip(np.rint(scaled), -neg, pos).astype(np.int64).astype(np.int32)
 
 
 def f32_to_i16(x: np.ndarray) -> np.ndarray:

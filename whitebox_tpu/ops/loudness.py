@@ -113,12 +113,15 @@ class LoudnessStats:
     true_peak_dbtp: float
 
     def as_dict(self) -> dict:
+        """JSON-safe dict: non-finite readings (silence) become None —
+        json.dumps would otherwise emit the non-standard -Infinity token."""
+        fin = lambda v: float(v) if math.isfinite(v) else None
         return {
-            "integrated_lufs": self.integrated_lufs,
-            "momentary_max_lufs": self.momentary_max_lufs,
-            "shortterm_max_lufs": self.shortterm_max_lufs,
-            "lra_lu": self.lra_lu,
-            "true_peak_dbtp": self.true_peak_dbtp,
+            "integrated_lufs": fin(self.integrated_lufs),
+            "momentary_max_lufs": fin(self.momentary_max_lufs),
+            "shortterm_max_lufs": fin(self.shortterm_max_lufs),
+            "lra_lu": fin(self.lra_lu),
+            "true_peak_dbtp": fin(self.true_peak_dbtp),
         }
 
 
@@ -166,7 +169,9 @@ def measure_loudness(audio: np.ndarray, sample_rate: float, *,
         while nf < F + K - 1:
             nf <<= 1
         Xf = jnp.fft.rfft(x, nf, axis=-1)
-        tp = jnp.float32(0.0)
+        # floor at the raw sample peak: the interpolator phases sit between
+        # samples, so BS.1770's true-peak >= sample-peak needs the max
+        tp = jnp.max(jnp.abs(x))
         for p in range(4):
             Hf = jnp.fft.rfft(jnp.asarray(ir[p::4], jnp.float32), nf)
             yp = jnp.fft.irfft(Xf * Hf[None, :], nf, axis=-1)
@@ -181,7 +186,7 @@ def measure_loudness(audio: np.ndarray, sample_rate: float, *,
         zh = (np.square(y[:, : n_hops * hop]).reshape(C, n_hops, hop).sum(-1)
               if n_hops else np.zeros((C, 0), np.float64))
         ir = _true_peak_ir()
-        tp = 0.0
+        tp = float(np.max(np.abs(audio))) if audio.size else 0.0
         for p in range(4):
             yp = np.stack([np.convolve(audio[c].astype(np.float64), ir[p::4])
                            for c in range(C)])

@@ -432,7 +432,10 @@ def bounce(
         # PDC fetch-ahead (streaming form): rows in groups with chain
         # latency are re-rendered ``lat`` frames ahead, so chains emit
         # timeline-aligned output; master latency trims the head below.
-        pdc_rows: list = []  # [(lat, row indices)]
+        # Each latency class renders through a ROW-SUBSET of the packed
+        # tables (every leaf is per-track), so the extra pass costs only
+        # the affected tracks, not the full session width.
+        pdc_rows: list = []  # [(lat, rows, jt_subset, {row_pos: synth})]
         mlat = 0
 
         def _pdc_setup(fx):
@@ -444,17 +447,22 @@ def bounce(
             for g, lat in zip(fx.groups, glat):
                 if lat > 0:
                     by_lat.setdefault(lat, []).extend(np.asarray(g.track_idx).tolist())
-            pdc_rows.extend((lat, jnp.asarray(rows)) for lat, rows in by_lat.items())
+            for lat, rows in by_lat.items():
+                rows_np = np.asarray(sorted(rows))
+                jt_sub = {k: v[jnp.asarray(rows_np)] for k, v in jt.items()}
+                synth_sub = {pos: synth_tables[t] for pos, t in enumerate(rows_np)
+                             if t in synth_tables}
+                pdc_rows.append((lat, jnp.asarray(rows_np), jt_sub, synth_sub))
 
         def _render_pt(start):
             pt = render_chunk_per_track(pool_dev, jt, jnp.int32(start), frames=chunk_frames, sinc_bank=sinc_bank, interp=interp)
             if synth_tables:
                 pt = _add_synth(pt, synth_tables, start, chunk_frames)
-            for lat, rows in pdc_rows:
-                ahead = render_chunk_per_track(pool_dev, jt, jnp.int32(start + lat), frames=chunk_frames, sinc_bank=sinc_bank, interp=interp)
-                if synth_tables:
-                    ahead = _add_synth(ahead, synth_tables, start + lat, chunk_frames)
-                pt = pt.at[rows].set(ahead[rows])
+            for lat, rows, jt_sub, synth_sub in pdc_rows:
+                ahead = render_chunk_per_track(pool_dev, jt_sub, jnp.int32(start + lat), frames=chunk_frames, sinc_bank=sinc_bank, interp=interp)
+                if synth_sub:
+                    ahead = _add_synth(ahead, synth_sub, start + lat, chunk_frames)
+                pt = pt.at[rows].set(ahead)
             return pt
 
         if has_routing:

@@ -778,11 +778,23 @@ class _SessionSnapshot:
 
     @staticmethod
     def _clone_track(t: Track) -> Track:
+        import copy
         from dataclasses import replace
 
+        frozen = t.frozen
+        if frozen is not None:
+            # the stash's clips become LIVE objects again on unfreeze, so
+            # sharing them by reference would let post-snapshot edits leak
+            # into history (and back out through a later unfreeze)
+            frozen = {
+                "clips": [c.clone() for c in frozen["clips"]],
+                "effects": _SessionSnapshot._clone_fx(frozen["effects"]),
+                "eff_lanes": copy.deepcopy(frozen["eff_lanes"]),
+                "asset_key": frozen["asset_key"],
+            }
         return replace(t, clips=[c.clone() for c in t.clips],
                        effects=_SessionSnapshot._clone_fx(t.effects),
-                       sends=[replace(s) for s in t.sends])
+                       sends=[replace(s) for s in t.sends], frozen=frozen)
 
     @staticmethod
     def _clone_bus(b):

@@ -252,6 +252,8 @@ class Session:
         if track.frozen is None:
             raise ValueError(f"track {slot} is not frozen")
         st = track.frozen
+        render_asset = (track.clips[0].audio.asset
+                        if track.clips and track.clips[0].is_audio() else None)
         track.clips = st["clips"]
         track.effects = st["effects"]
         if st["eff_lanes"]:
@@ -261,6 +263,12 @@ class Session:
                 track.automation = TrackAutomation()
             track.automation.effects = dict(st["eff_lanes"])
         track.frozen = None
+        # drop the now-unreferenced frozen render so repeated freeze cycles
+        # don't accumulate multi-MB orphans (and sidecar WAVs on save);
+        # the render asset is read off the frozen clip so this also works
+        # after a .wb reload (where the stash's asset_key is not persisted)
+        if render_asset is not None:
+            self.sample_table._evict(render_asset.key)
 
     # ---- clip time-stretch (extension; the reference only resamples,
     #      sampler.cpp:34-59 — duration and pitch always move together) ----
