@@ -423,3 +423,119 @@ class TestRoutingPersistence:
         assert st2 != st1
         s.tracks[0].sends[0].gain_db = -9.0  # direct field mutation
         assert s.edit_stamp() != st2
+
+
+class TestBusAutomation:
+    """Bus fader lanes + bus-chain effect-param lanes (Bus.automation)."""
+
+    def _session(self, fx_lane=False):
+        from whitebox_tpu.ops.automation import AutomationLane, TrackAutomation
+
+        s = random_session(51, rate=RATE, bpm=120.0, n_tracks=3,
+                           formats=(AudioFormat.F32,), n_clips=2)
+        b = s.add_bus("ride", volume_db=-2.0)
+        b.effects = EffectChain([Biquad("lowpass", 4000.0)])
+        s.set_track_output(0, 0)
+        s.add_send(1, 0, gain_db=-3.0)
+        lanes = TrackAutomation(
+            volume=AutomationLane().add(0.0, 1.0).add(2.0, 0.1),
+            pan=AutomationLane().add(0.0, -0.6).add(2.0, 0.6),
+        )
+        if fx_lane:
+            lanes.effects = {(0, "freq_hz"): AutomationLane().add(0.0, 500.0).add(2.0, 9000.0)}
+        b.automation = lanes
+        return s
+
+    def _tg(self, s, C=2):
+        return np.stack([
+            np.array([np.float32((np.float32(0.0) if t.mute else t.volume_linear)
+                                 * np.float32(t.pan_coeffs[c % 2])) for c in range(C)])
+            for t in s.tracks])
+
+    @pytest.mark.parametrize("fx_lane", [False, True])
+    def test_device_matches_reference(self, fx_lane):
+        s = self._session(fx_lane=fx_lane)
+        pt = _per_track(s)
+        T, C, F = pt.shape
+        rfx = prepare_routed_fx(s, RATE, C)
+        assert rfx.bus_auto is not None
+        fin = make_routed_finisher(rfx, T, C, chunk=4096)
+        got = np.asarray(fin(jnp.asarray(pt), jnp.asarray(self._tg(s, C))))
+        ref = reference_routed_finish(pt, s, RATE, C)
+        err = rms(got - ref) / max(rms(ref), 1e-9)
+        assert err < 5e-5, f"relative rms err {err}"
+        # the lanes actually move the mix vs the static fader
+        s.buses[0].automation = None
+        rfx0 = prepare_routed_fx(s, RATE, C)
+        fin0 = make_routed_finisher(rfx0, T, C, chunk=4096)
+        got0 = np.asarray(fin0(jnp.asarray(pt), jnp.asarray(self._tg(s, C))))
+        assert rms(got0 - got) / max(rms(got), 1e-9) > 1e-3
+
+    def test_chunked_equals_oneshot(self):
+        s = self._session(fx_lane=True)
+        pt = _per_track(s).astype(np.float32)
+        T, C, F = pt.shape
+        Fc = 2048
+        F = (F // Fc) * Fc
+        pt = pt[:, :, :F]
+        rfx = prepare_routed_fx(s, RATE, C)
+        tg = self._tg(s, C)
+        one = np.asarray(make_routed_finisher(rfx, T, C, chunk=F)(
+            jnp.asarray(pt), jnp.asarray(tg)))
+        step = make_routed_chunk_fn(rfx, T, C, chunk=Fc)
+        states = init_routed_states(rfx, C)
+        pieces = []
+        for start in range(0, F, Fc):
+            piece, states = step(jnp.asarray(pt[:, :, start:start + Fc]), states,
+                                 jnp.int32(start), jnp.asarray(tg))
+            pieces.append(np.asarray(piece))
+        assert np.max(np.abs(np.concatenate(pieces, -1) - one)) < 1e-6
+
+    @pytest.mark.slow
+    def test_sharded_matches_single_chip(self):
+        import jax
+
+        from whitebox_tpu.parallel.mesh import make_render_mesh
+        from whitebox_tpu.parallel.render_sharded import bounce_sharded
+        from whitebox_tpu.render.bounce import bounce
+
+        assert len(jax.devices()) == 8
+        s = self._session(fx_lane=True)
+        single = bounce(s, RATE, engine="xla", chunk_frames=8192).audio
+        for tp, fp_ in ((1, 8), (2, 4)):
+            mesh = make_render_mesh(tracks_parallel=tp, frames_parallel=fp_)
+            multi = bounce_sharded(s, RATE, mesh)
+            n = min(single.shape[1], multi.shape[1])
+            np.testing.assert_allclose(multi[:, :n], single[:, :n], atol=3e-6, rtol=1e-4)
+
+    def test_wb_roundtrip_and_undo(self, tmp_path):
+        from whitebox_tpu.io import wav
+        from whitebox_tpu.session.history import CommandManager, SetBusAutomation
+        from whitebox_tpu.session.project import read_project, write_project
+
+        s = self._session(fx_lane=True)
+        for k, a in s.sample_table.samples.items():
+            p = tmp_path / f"{k}.wav"
+            wav.write_wav(p, np.stack(a.sample.data), a.sample.sample_rate, AudioFormat.F32)
+            a.sample.path = str(p)
+        path = tmp_path / "bauto.wb"
+        write_project(s, path)
+        s2 = read_project(path)
+        a2 = s2.buses[0].automation
+        assert a2 is not None and a2.volume is not None and a2.pan is not None
+        assert (0, "freq_hz") in a2.effects
+        assert [(p.x, p.y) for p in a2.volume.points] == \
+               [(p.x, p.y) for p in s.buses[0].automation.volume.points]
+
+        mgr = CommandManager(s2)
+        st0 = s2.edit_stamp()
+        mgr.execute(SetBusAutomation(bus_idx=0, target="volume",
+                                     points=[(0.0, 0.5, 1, 0.0)]))
+        assert len(s2.buses[0].automation.volume.points) == 1
+        assert s2.edit_stamp() != st0
+        mgr.undo()
+        assert len(s2.buses[0].automation.volume.points) == 2
+        mgr.execute(SetBusAutomation(bus_idx=0, target=(0, "freq_hz"), points=None))
+        assert not s2.buses[0].automation.effects
+        mgr.undo()
+        assert (0, "freq_hz") in s2.buses[0].automation.effects

@@ -350,11 +350,14 @@ def _bounce_sharded_fx_2d(session, sample_rate: float, mesh: Mesh, *,
         routing_spec = (P(None, "tracks"), P(None, "tracks"), P(),
                         P(None, "tracks"), P(None, "tracks"))
         has_key = rfx.has_key
+        bauto = rfx.bus_auto
     else:
         routing_dev, routing_spec = (), ()
         has_key = False
+        bauto = None
+    bauto_spec = None if bauto is None else jax.tree.map(lambda _: P(), bauto)
 
-    def finish_tile(contribs_l, tg_l, auto_l, bpar, mpar, routing_c):
+    def finish_tile(contribs_l, tg_l, auto_l, bpar, mpar, routing_c, bauto_l):
         base_f = jax.lax.axis_index("frames") * f_local
         gidx = base_f + jnp.arange(f_local, dtype=jnp.int32)
         gains = _frame_gains(auto_l, tg_l, gidx, T_local, channels)
@@ -384,7 +387,9 @@ def _bounce_sharded_fx_2d(session, sample_rate: float, mesh: Mesh, *,
                 yb = chain_shard(list(stages), pl, bus_sig[idx], "frames", fp, rate,
                                  key=None if key_sig is None else key_sig[idx])
                 bus_sig = bus_sig.at[idx].set(yb)
-            total = total + jnp.sum(bus_sig * bus_gain[:, :, None], axis=0)
+            B = bus_sig.shape[0]
+            total = total + jnp.sum(
+                bus_sig * _frame_gains(bauto_l, bus_gain, gidx, B, channels), axis=0)
         else:
             def add(acc, row):
                 return acc + row, None
@@ -405,9 +410,9 @@ def _bounce_sharded_fx_2d(session, sample_rate: float, mesh: Mesh, *,
     out = jax.jit(shard_map(
         finish_tile, mesh=mesh,
         in_specs=(track_spec, P("tracks", None), auto_spec, rep(bparams),
-                  rep(mparams), routing_spec),
+                  rep(mparams), routing_spec, bauto_spec),
         out_specs=P(None, "frames"),
-    ))(contribs, tables["track_gain"], auto, bparams, mparams, routing_dev)
+    ))(contribs, tables["track_gain"], auto, bparams, mparams, routing_dev, bauto)
     return np.asarray(out)[:, : table.total_frames]
 
 
@@ -486,7 +491,7 @@ def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
                         if routed else [])
     bus_group_idx = [jnp.asarray(g.track_idx) for g in rfx.bus_groups] if routed else []
 
-    def tile(pool, tables, gpar, bpar, mpar, auto_t, synth_t, routing_c):
+    def tile(pool, tables, gpar, bpar, mpar, auto_t, synth_t, routing_c, bauto_t):
         from whitebox_tpu.midi.synth import render_synth_chunk
 
         base = jax.lax.axis_index("frames") * f_local
@@ -525,7 +530,9 @@ def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
                 yb = chain_shard(list(stages), pl, bus_sig[idx], "frames", fp, rate,
                                  key=None if key_sig is None else key_sig[idx])
                 bus_sig = bus_sig.at[idx].set(yb)
-            total = total + jnp.sum(bus_sig * bus_gain[:, :, None], axis=0)
+            B = bus_sig.shape[0]
+            total = total + jnp.sum(
+                bus_sig * _frame_gains(bauto_t, bus_gain, gidx, B, channels), axis=0)
         else:
             def add(acc, row):
                 return acc + row, None
@@ -540,12 +547,14 @@ def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
         total = jnp.where(total < -1.0, jnp.float32(-1.0), total)
         return total
 
+    bauto = rfx.bus_auto if routed else None
     rep = lambda tree: jax.tree.map(lambda _: P(), tree)
     fn = shard_map(
         tile, mesh=mesh,
         in_specs=(P(), _TABLE_SPECS, rep(gparams), rep(bparams), rep(mparams),
-                  rep(auto), rep(synth_tables), rep(routing_dev)),
+                  rep(auto), rep(synth_tables), rep(routing_dev), rep(bauto)),
         out_specs=P(None, "frames"),
     )
-    out = jax.jit(fn)(pool_dev, tables, gparams, bparams, mparams, auto, synth_tables, routing_dev)
+    out = jax.jit(fn)(pool_dev, tables, gparams, bparams, mparams, auto, synth_tables,
+                      routing_dev, bauto)
     return np.asarray(out)[:, : table.total_frames]

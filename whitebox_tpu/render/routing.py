@@ -69,12 +69,53 @@ class RoutedFX:
     k_post: np.ndarray | None = None  # [B, T] f32 sidechain key sends
     k_pre: np.ndarray | None = None  # [B, T] f32
     num_buses: int = 0
+    #: packed per-bus fader lanes (pack_bus_automation) or None — same
+    #: (vol, pan, mute, use_auto) layout _frame_gains consumes for tracks
+    bus_auto: object = None
 
     @property
     def has_key(self) -> bool:
         """True when any sidechain send exists (key einsum is needed)."""
         return bool((self.k_post is not None and self.k_post.any())
                     or (self.k_pre is not None and self.k_pre.any()))
+
+
+def pack_bus_automation(session: Session, sample_rate: float):
+    """Per-bus fader lanes -> the (vol, pan, mute, use_auto) jnp tuple
+    ``_frame_gains`` consumes (None when no bus has fader lanes). Mirrors
+    ops.automation.pack_session_automation over ``session.buses``."""
+    from whitebox_tpu.ops.automation import lane_frame_table
+
+    buses = getattr(session, "buses", [])
+    lanes_of = lambda b: getattr(b, "automation", None)
+    if not any(lanes_of(b) is not None and lanes_of(b).has_track_lanes() for b in buses):
+        return None
+    bd = session.beat_duration
+    P = 1
+    for b in buses:
+        a = lanes_of(b)
+        if a is not None:
+            for lane in (a.volume, a.pan):
+                if lane is not None:
+                    P = max(P, len(lane.points))
+    vol = {k: [] for k in ("xs", "ys", "cv", "tn")}
+    pan = {k: [] for k in ("xs", "ys", "cv", "tn")}
+    for b in buses:
+        a = lanes_of(b)
+        vl = a.volume if a is not None else None
+        pl = a.pan if a is not None else None
+        vx, vy, vc, vt = lane_frame_table(vl, sample_rate, bd, P, float(b.volume_linear))
+        px, py, pc, pt_ = lane_frame_table(pl, sample_rate, bd, P, float(b.pan))
+        for k, v in zip(("xs", "ys", "cv", "tn"), (vx, vy, vc, vt)):
+            vol[k].append(v)
+        for k, v in zip(("xs", "ys", "cv", "tn"), (px, py, pc, pt_)):
+            pan[k].append(v)
+    mute = np.array([0.0 if b.mute else 1.0 for b in buses], np.float32)
+    use_auto = np.array([lanes_of(b) is not None and lanes_of(b).has_track_lanes()
+                         for b in buses], bool)
+    volj = {k: jnp.asarray(np.stack(v)) for k, v in vol.items()}
+    panj = {k: jnp.asarray(np.stack(v)) for k, v in pan.items()}
+    return (volj, panj, jnp.asarray(mute), jnp.asarray(use_auto))
 
 
 def routed_auto_chunk_frames(rfx: RoutedFX, requested: int = 1 << 16) -> int:
@@ -100,28 +141,43 @@ def _bus_chains_of(session: Session):
 
 
 def prepare_routed_fx(session: Session, sample_rate: float, channels: int = 2) -> RoutedFX:
+    from whitebox_tpu.render.effects_generic import _slot_auto_names
+
     fx = prepare_generic_fx(session, sample_rate, channels)
     bus_chains = _bus_chains_of(session)
     for c in bus_chains:
         if c is not None:
             c.prepare(sample_rate, channels)
+
+    def bus_lanes(b: int) -> dict:
+        a = getattr(session.buses[b], "automation", None)
+        return a.effects if (a is not None and a.effects) else {}
+
     by_sig: dict[tuple, list[int]] = {}
     for b, c in enumerate(bus_chains):
         stages_b = _chain_stages(c) if c is not None else []
+        eff_lanes = bus_lanes(b)
+        bad = [s for (s, _) in eff_lanes.keys() if s >= len(stages_b)]
+        if bad:
+            raise ValueError(
+                f"bus {b} automates effect slot(s) {sorted(set(bad))} but its "
+                f"chain has {len(stages_b)} effect(s)")
         if not stages_b:
             continue
-        sig = tuple(_stage_sig_entry(e, kind, static, ())
-                    for (e, kind, static) in stages_b)
+        sig = tuple(_stage_sig_entry(e, kind, static,
+                                     _slot_auto_names(eff_lanes, pos, kind, static, e))
+                    for pos, (e, kind, static) in enumerate(stages_b))
         by_sig.setdefault(sig, []).append(b)
     bus_groups = [
         _Group(np.asarray(buses, np.int64),
-               _group_stages(session, bus_chains, sig, buses, sample_rate, lambda _b: {}))
+               _group_stages(session, bus_chains, sig, buses, sample_rate, bus_lanes))
         for sig, buses in by_sig.items()
     ]
     m = build_routing_matrices(session, channels)
     return RoutedFX(fx=fx, bus_groups=bus_groups, r_post=m.r_post, r_pre=m.r_pre,
                     bus_gain=m.bus_gain, k_post=m.k_post, k_pre=m.k_pre,
-                    num_buses=len(session.buses))
+                    num_buses=len(session.buses),
+                    bus_auto=pack_bus_automation(session, sample_rate))
 
 
 def routed_device_params(rfx: RoutedFX):
@@ -154,7 +210,8 @@ def _with_ir_ffts_routed(rfx: RoutedFX, gparams, bparams, mparams, chunk: int):
 
 
 def _routed_chunk_step(rfx: RoutedFX, xc, states, params, routing, start,
-                       track_gain, auto, T: int, C: int, with_meters: bool, Fv):
+                       track_gain, auto, T: int, C: int, with_meters: bool, Fv,
+                       bauto=None):
     """One [T, C, chunk] slice: track chains -> gains -> routing matmul ->
     bus chains -> bus gains -> master chain -> clip."""
     fx = rfx.fx
@@ -196,7 +253,9 @@ def _routed_chunk_step(rfx: RoutedFX, xc, states, params, routing, start,
                                   key=None if key_in is None else key_in[g.track_idx])
             bus_in = bus_in.at[g.track_idx].set(yb)
             new_b.append(ns)
-        bus_out = bus_in * bus_gain[:, :, None]
+        # per-frame bus fader (lanes where present, constants elsewhere —
+        # _frame_gains is generic over the leading axis)
+        bus_out = bus_in * _frame_gains(bauto, bus_gain, gidx, B, C)
         total = direct + jnp.sum(bus_out, axis=0)
     else:
         new_b = b_states
@@ -248,7 +307,8 @@ def make_routed_finisher(rfx: RoutedFX, T: int, C: int, *, chunk: int | None = N
                          "tracks or the master chain")
     gp0, bp0, mp0, routing0 = routed_device_params(rfx)
 
-    def finish(per_track, track_gain, gparams, bparams, mparams, routing, auto=None):
+    def finish(per_track, track_gain, gparams, bparams, mparams, routing, auto=None,
+               bauto=None):
         F = per_track.shape[-1]
         Fv = F if valid_frames is None else int(valid_frames)
         n_chunks = -(-(F + mlat) // chunk)
@@ -264,7 +324,7 @@ def make_routed_finisher(rfx: RoutedFX, T: int, C: int, *, chunk: int | None = N
             xc = jax.lax.dynamic_slice_in_dim(xall, start, chunk, axis=2)
             total, new_states, meters = _routed_chunk_step(
                 rfx, xc, carry, (gparams, bparams, mparams), routing, start,
-                track_gain, auto, T, C, with_meters, Fv,
+                track_gain, auto, T, C, with_meters, Fv, bauto=bauto,
             )
             if with_meters:
                 return new_states, (total, meters)
@@ -286,7 +346,7 @@ def make_routed_finisher(rfx: RoutedFX, T: int, C: int, *, chunk: int | None = N
 
     jfinish = jax.jit(finish)
     return lambda per_track, track_gain, auto=None: jfinish(
-        per_track, track_gain, gp0, bp0, mp0, routing0, auto)
+        per_track, track_gain, gp0, bp0, mp0, routing0, auto, rfx.bus_auto)
 
 
 def make_routed_chunk_fn(rfx: RoutedFX, T: int, C: int, *, chunk: int,
@@ -297,17 +357,19 @@ def make_routed_chunk_fn(rfx: RoutedFX, T: int, C: int, *, chunk: int,
     gp, bp, mp = jax.jit(lambda a, b, c: _with_ir_ffts_routed(rfx, a, b, c, chunk))(gp0, bp0, mp0)
 
     @jax.jit
-    def step(pt_chunk, states, start, track_gain, gparams, bparams, mparams, routing, auto=None):
+    def step(pt_chunk, states, start, track_gain, gparams, bparams, mparams, routing,
+             auto=None, bauto=None):
         total, new_states, meters = _routed_chunk_step(
             rfx, pt_chunk, states, (gparams, bparams, mparams), routing, start,
-            track_gain, auto, T, C, with_meters, None,
+            track_gain, auto, T, C, with_meters, None, bauto=bauto,
         )
         if with_meters:
             return total, new_states, meters
         return total, new_states
 
     def call(pt_chunk, states, start, track_gain, auto=None):
-        return step(pt_chunk, states, start, track_gain, gp, bp, mp, routing0, auto)
+        return step(pt_chunk, states, start, track_gain, gp, bp, mp, routing0, auto,
+                    rfx.bus_auto)
 
     return call
 
@@ -337,6 +399,31 @@ def _ref_track_gains(session: Session, t: int, C: int, g: np.ndarray, auto_table
     vol = np.float32(0.0) if track.mute else track.volume_linear
     pan = track.pan_coeffs
     return [float(np.float32(vol * np.float32(pan[ch % 2]))) for ch in range(C)]
+
+
+def _ref_bus_gains(bus, C: int, g: np.ndarray, sample_rate: float, bd: float):
+    """Per-channel f64 bus fader gains (arrays when lanes exist, scalars
+    otherwise), mirroring _frame_gains' f32 math exactly."""
+    a = getattr(bus, "automation", None)
+    if a is None or not a.has_track_lanes():
+        bg = bus.gain(C)
+        return [float(bg[ch]) for ch in range(C)]
+    from whitebox_tpu.ops.automation import eval_lane_numpy, lane_frame_table
+
+    P = max(len(a.volume.points) if a.volume is not None else 1,
+            len(a.pan.points) if a.pan is not None else 1, 1)
+    vx, vy, vc, vt = lane_frame_table(a.volume, sample_rate, bd, P, float(bus.volume_linear))
+    px, py, pc, pt_ = lane_frame_table(a.pan, sample_rate, bd, P, float(bus.pan))
+    volv = eval_lane_numpy(vx, vy, vc, vt, g)
+    panv = eval_lane_numpy(px, py, pc, pt_, g)
+    mute = np.float32(0.0 if bus.mute else 1.0)
+    out = []
+    for ch in range(C):
+        coef = (np.sin(np.float32(0.5 * np.pi)
+                       * ((1.0 - 0.5 * (panv + 1.0)) if ch == 0 else 0.5 * (panv + 1.0)).astype(np.float32))
+                * np.float32(np.sqrt(2.0))).astype(np.float32)
+        out.append(((volv * coef) * mute).astype(np.float64))
+    return out
 
 
 def reference_routed_finish(per_track: np.ndarray, session: Session,
@@ -397,10 +484,13 @@ def reference_routed_finish(per_track: np.ndarray, session: Session,
         if m.k_post[b].any() or m.k_pre[b].any():
             key = (np.einsum("t,tcf->cf", m.k_post[b].astype(np.float64), post)
                    + np.einsum("t,tcf->cf", m.k_pre[b].astype(np.float64), pre))
-        bus_out = reference_run_chain(bus_chains[b], bus_in, None, sample_rate, channels, bd,
+        ab = getattr(session.buses[b], "automation", None)
+        blanes = ab.effects if (ab is not None and ab.effects) else None
+        bus_out = reference_run_chain(bus_chains[b], bus_in, blanes, sample_rate, channels, bd,
                                       key=key)
-        bg = session.buses[b].gain(C)
-        total = total + bus_out * bg.astype(np.float64)[:, None]
+        bg = _ref_bus_gains(session.buses[b], C, g, sample_rate, bd)
+        for ch in range(C):
+            total[ch] = total[ch] + bus_out[ch] * bg[ch]
     mlanes = dict(getattr(session, "master_automation", {}) or {}) or None
     if master is not None:
         mlat = 0

@@ -75,6 +75,10 @@ class Bus:
     #: effect chain (list of effects.base.Effect / EffectChain), same
     #: surface as Track.effects.
     effects: list = field(default_factory=list)
+    #: ops.automation.TrackAutomation: volume/pan lanes ride the bus fader
+    #: per frame; ``effects`` lanes target the bus chain's params (same
+    #: machinery as track chains). None == static fader.
+    automation: object = None
 
     @property
     def volume_linear(self) -> np.float32:

@@ -531,6 +531,45 @@ class SendRemove(Command):
         session.remove_send(self.track_idx, self.send_idx)
 
 
+@dataclass
+class SetBusAutomation(Command):
+    """Set or clear a bus fader lane ("volume"/"pan") or a bus-chain
+    effect-param lane ((slot, param)) — SetEffectAutomation's bus twin."""
+
+    name = "set bus automation"
+    bus_idx: int = 0
+    target: object = "volume"  # "volume" | "pan" | (slot, param)
+    points: Optional[list] = None  # [(x, y, curve, tension), ...] or None
+
+    def touched_tracks(self, session):
+        return None  # bus state lives in the session snapshot
+
+    def apply(self, session):
+        from whitebox_tpu.ops.automation import (
+            AutomationLane, CurveType, EnvelopePoint, TrackAutomation,
+        )
+
+        b = session.buses[self.bus_idx]
+        if b.automation is None:
+            b.automation = TrackAutomation()
+        lane = None
+        if self.points is not None:
+            lane = AutomationLane([
+                EnvelopePoint(float(x), float(y), CurveType(int(c)), float(tn))
+                for (x, y, c, tn) in self.points
+            ])
+        if self.target == "volume":
+            b.automation.volume = lane
+        elif self.target == "pan":
+            b.automation.pan = lane
+        else:
+            slot, param = self.target
+            if lane is None:
+                b.automation.effects.pop((int(slot), str(param)), None)
+            else:
+                b.automation.effects[(int(slot), str(param))] = lane
+
+
 # ---- clip time-stretch command (extension; session/session.py) ----
 
 
@@ -798,9 +837,11 @@ class _SessionSnapshot:
 
     @staticmethod
     def _clone_bus(b):
+        import copy
         from dataclasses import replace
 
-        return replace(b, effects=_SessionSnapshot._clone_fx(b.effects))
+        return replace(b, effects=_SessionSnapshot._clone_fx(b.effects),
+                       automation=copy.deepcopy(b.automation))
 
     @staticmethod
     def capture(session: Session) -> "_SessionSnapshot":

@@ -397,6 +397,20 @@ def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
     }
     if getattr(session, "buses", None):
         # extension key: aux buses / track groups (session/bus.py)
+        def _bus_auto_doc(b):
+            a = getattr(b, "automation", None)
+            if a is None:
+                return {}
+            d = {}
+            if a.volume is not None:
+                d["vol"] = _lane_to_doc(a.volume)
+            if a.pan is not None:
+                d["pan"] = _lane_to_doc(a.pan)
+            if a.effects:
+                d["fx"] = {f"{slot}:{param}": _lane_to_doc(lane)
+                           for (slot, param), lane in sorted(a.effects.items())}
+            return {"auto": d} if d else {}
+
         doc["wbpr"]["buses"] = [
             {
                 "name": b.name,
@@ -404,6 +418,7 @@ def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
                 "pan": float(b.pan),
                 "mute": bool(b.mute),
                 **({"fx": _chain_to_doc(b.effects)} if b.effects else {}),
+                **_bus_auto_doc(b),
             }
             for b in session.buses
         ]
@@ -507,6 +522,15 @@ def read_project(path, search_dirs: list | None = None) -> Session:
         )
         if b.get("fx"):
             bus.effects = _chain_from_doc(b["fx"])
+        if b.get("auto"):
+            from whitebox_tpu.ops.automation import TrackAutomation
+
+            a = b["auto"]
+            bus.automation = TrackAutomation(
+                volume=_lane_from_doc(a["vol"]) if a.get("vol") else None,
+                pan=_lane_from_doc(a["pan"]) if a.get("pan") else None,
+                effects=_fx_lanes_from_doc(a.get("fx") or {}),
+            )
 
     for t in project.get("tracks", []) or []:
         track = Track(

@@ -928,27 +928,31 @@ class Session:
         the point: no edit-API bookkeeping to forget."""
         items: list = [self.bpm, len(self.tracks), len(self.master_effects or []),
                        len(getattr(self, "master_automation", {}) or {})]
+
+        def lane_key(lane):
+            if lane is None:
+                return 0
+            return tuple((p.x, p.y, int(p.curve), p.tension) for p in lane.points)
+
+        def auto_key(a):
+            return 0 if a is None else (lane_key(a.volume), lane_key(a.pan),
+                                        tuple(sorted((k, lane_key(l))
+                                                     for k, l in a.effects.items())))
+
         for b in getattr(self, "buses", []):
             items.append((b.volume_db, b.pan, b.mute,
                           id(b.effects) if b.effects else 0,
-                          len(b.effects) if b.effects else 0))
+                          len(b.effects) if b.effects else 0,
+                          auto_key(getattr(b, "automation", None))))
         for t in self.tracks:
             a = t.automation
-            def lane_key(lane):
-                if lane is None:
-                    return 0
-                return tuple((p.x, p.y, int(p.curve), p.tension) for p in lane.points)
-
             items.append((t.volume_db, t.pan, t.mute, t.solo, len(t.clips),
                           t.frozen is not None,
                           t.output_bus if t.output_bus is not None else -1,
                           tuple((s.bus, s.gain_db, s.pre_fader, s.sidechain) for s in t.sends),
                           id(t.effects) if t.effects else 0,
                           len(t.effects) if t.effects else 0,
-                          0 if a is None else (lane_key(a.volume), lane_key(a.pan),
-                                               tuple(sorted(
-                                                   (k, lane_key(l))
-                                                   for k, l in a.effects.items())))))
+                          auto_key(a)))
             for c in t.clips:
                 base = (c.min_time, c.max_time, c.start_offset, bool(c.active), int(c.type))
                 if c.is_audio() and c.audio is not None:
