@@ -355,3 +355,34 @@ class TestGenericPipeline:
         assert session_fx_packable(s)
         s.tracks[1].effects = EffectChain([Compressor(-20.0, 2.0)])
         assert not session_fx_packable(s)
+
+
+class TestGateHysteresis:
+    def test_device_matches_ref_with_hysteresis(self):
+        """The hysteresis ramp (gate_open_gain) must agree between the f32
+        device scan and the f64 sequential reference — previously the ref
+        silently ignored hysteresis_db."""
+        import jax.numpy as jnp
+
+        from whitebox_tpu.ops import dynamics as dyn
+
+        rng = np.random.default_rng(7)
+        # sweep straight through the hysteresis band around -40 dB
+        n = 48000
+        env = 10 ** (np.linspace(-60, -20, n) / 20.0)
+        x = (env * rng.standard_normal(n) * 0.5).astype(np.float32)[None, :]
+        p = {"threshold_db": jnp.float32(-40.0), "range_db": jnp.float32(80.0),
+             "attack": jnp.float32(np.exp(-1 / (0.001 * 48000))),
+             "release": jnp.float32(np.exp(-1 / (0.05 * 48000))),
+             "hyst_db": jnp.float32(6.0)}
+        state = {"open": jnp.zeros(()), "att": jnp.zeros(())}
+        y, _ = dyn.gate_process(jnp.asarray(x), p, state)
+        ref = dyn.gate_ref(x, threshold_db=-40.0, range_db=80.0,
+                           attack=float(p["attack"]), release=float(p["release"]),
+                           hysteresis_db=6.0)
+        err = np.max(np.abs(np.asarray(y) - ref))
+        assert err < 2e-5, err
+        # and hysteresis genuinely changes the response
+        ref0 = dyn.gate_ref(x, threshold_db=-40.0, range_db=80.0,
+                            attack=float(p["attack"]), release=float(p["release"]))
+        assert np.max(np.abs(ref - ref0)) > 1e-4

@@ -127,6 +127,28 @@ def _cmd_convert(args) -> int:
     return 0
 
 
+def _cmd_loudness(args) -> int:
+    """EBU R128 measurement of an audio FILE (the render-side measurement
+    is ``render --loudness``)."""
+    import numpy as _np
+
+    from whitebox_tpu.core.formats import normalize_unclamped
+    from whitebox_tpu.io.wav import load_audio_file
+    from whitebox_tpu.ops.loudness import measure_loudness
+
+    planar, info = load_audio_file(args.src)
+    f32 = _np.asarray(normalize_unclamped(_np.asarray(planar), info.format), _np.float32)
+    st = measure_loudness(f32, float(info.sample_rate), device=not args.host)
+    if args.json:
+        print(json.dumps({"file": str(args.src), "sample_rate": info.sample_rate,
+                          "channels": info.channels, **st.as_dict()}))
+    else:
+        print(f"{args.src}: I {st.integrated_lufs:+.1f} LUFS  "
+              f"M max {st.momentary_max_lufs:+.1f}  S max {st.shortterm_max_lufs:+.1f}  "
+              f"LRA {st.lra_lu:.1f} LU  TP {st.true_peak_dbtp:+.1f} dBTP")
+    return 0
+
+
 def _cmd_freeze(args) -> int:
     from whitebox_tpu.session.project import read_project, write_project
 
@@ -254,6 +276,13 @@ def main(argv=None) -> int:
     p.add_argument("--format", choices=["f32", "i16", "i24", "i32"], default="f32",
                    help="WAV PCM format (compressed outputs pick their own)")
     p.set_defaults(fn=_cmd_convert)
+
+    p = sub.add_parser("loudness", help="EBU R128 measurement of an audio file")
+    p.add_argument("src")
+    p.add_argument("--host", action="store_true",
+                   help="measure on host f64 instead of the device")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=_cmd_loudness)
 
     p = sub.add_parser("freeze", help="freeze (bounce-in-place) or unfreeze tracks")
     p.add_argument("project")

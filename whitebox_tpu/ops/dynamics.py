@@ -312,18 +312,25 @@ def limiter_ref(x: np.ndarray, *, ceiling_db, attack, release, lookahead=0) -> n
     return y
 
 
-def gate_ref(x: np.ndarray, *, threshold_db, range_db, attack, release, key=None) -> np.ndarray:
+def gate_ref(x: np.ndarray, *, threshold_db, range_db, attack, release,
+             hysteresis_db=0.0, key=None) -> np.ndarray:
     x = np.asarray(x, np.float64)
     C, F = x.shape
     det_src = x if key is None else np.asarray(key, np.float64)
     thr, rng = _per_frame(threshold_db, F), _per_frame(range_db, F)
     atk, rel = _per_frame(attack, F), _per_frame(release, F)
+    hyst = _per_frame(hysteresis_db, F)
     opn = att = 0.0
     y = np.empty_like(x)
     for n in range(F):
         floor = 10.0 ** (-abs(rng[n]) / 20.0)
         lvl = np.max(np.abs(det_src[:, n]))
-        tgt = 1.0 if _level_db_np(lvl) >= thr[n] else floor
+        ldb = _level_db_np(lvl)
+        if hyst[n] > 0.0:  # linear ramp just below threshold (gate_open_gain)
+            t = min(max((ldb - (thr[n] - hyst[n])) / max(hyst[n], 1e-6), 0.0), 1.0)
+            tgt = floor + (1.0 - floor) * t
+        else:
+            tgt = 1.0 if ldb >= thr[n] else floor
         opn = max(tgt, rel[n] * opn)
         o = max(opn, floor)
         att = atk[n] * att + (1.0 - atk[n]) * o

@@ -971,6 +971,7 @@ def reference_run_chain(chain, x, eff_lanes, sample_rate, channels, bd, key=None
                 range_db=lane_or(pos, "range_db", p["range_db"]),
                 attack=p["attack"] if av is None else _ref_time_coef(av, sample_rate),
                 release=p["release"] if rv is None else _ref_time_coef(rv, sample_rate),
+                hysteresis_db=p.get("hyst_db", 0.0),
                 key=(np.zeros_like(x) if key is None else key) if e.sidechain else None,
             )
         elif isinstance(e, Delay):
