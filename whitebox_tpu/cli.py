@@ -127,6 +127,20 @@ def _cmd_convert(args) -> int:
     return 0
 
 
+def _cmd_stretch(args) -> int:
+    from whitebox_tpu.session.project import read_project, write_project
+
+    session = read_project(args.project)
+    session.stretch_clip(args.track, args.clip, args.ratio,
+                         preserve_pitch=not args.resample)
+    c = session.tracks[args.track].clips[args.clip]
+    mode = "resample (pitch follows)" if args.resample else "phase vocoder (pitch constant)"
+    print(f"stretched track {args.track} clip {args.clip} x{args.ratio:g} "
+          f"[{mode}] -> [{c.min_time:g}, {c.max_time:g}] beats")
+    write_project(session, args.out or args.project)
+    return 0
+
+
 def _cmd_loudness(args) -> int:
     """EBU R128 measurement of an audio FILE (the render-side measurement
     is ``render --loudness``)."""
@@ -276,6 +290,17 @@ def main(argv=None) -> int:
     p.add_argument("--format", choices=["f32", "i16", "i24", "i32"], default="f32",
                    help="WAV PCM format (compressed outputs pick their own)")
     p.set_defaults(fn=_cmd_convert)
+
+    p = sub.add_parser("stretch", help="time-stretch a clip (phase vocoder or resample)")
+    p.add_argument("project")
+    p.add_argument("--track", type=int, required=True)
+    p.add_argument("--clip", type=int, required=True)
+    p.add_argument("--ratio", type=float, required=True,
+                   help="duration scale (>1 = longer)")
+    p.add_argument("--resample", action="store_true",
+                   help="classic resample move: pitch follows duration")
+    p.add_argument("--out", default=None, help="output .wb (default: in place)")
+    p.set_defaults(fn=_cmd_stretch)
 
     p = sub.add_parser("loudness", help="EBU R128 measurement of an audio file")
     p.add_argument("src")
