@@ -539,3 +539,54 @@ class TestBusAutomation:
         assert not s2.buses[0].automation.effects
         mgr.undo()
         assert (0, "freq_hz") in s2.buses[0].automation.effects
+
+
+class TestRoutingFuzz:
+    @pytest.mark.parametrize("seed", [101, 202, 303])
+    def test_random_topology_matches_reference(self, seed):
+        """Random routing surfaces (groups/sends/pre/post/sidechain/bus
+        chains/bus fader lanes) must match the f64 reference — the
+        routing matrices are pure data, so the property should hold for
+        any topology the edit API can build."""
+        from whitebox_tpu.ops.automation import AutomationLane, TrackAutomation
+
+        rng = np.random.default_rng(seed)
+        T = int(rng.integers(3, 7))
+        s = random_session(seed, rate=RATE, bpm=120.0, n_tracks=T,
+                           formats=(AudioFormat.F32,), n_clips=2)
+        B = int(rng.integers(1, 4))
+        for b in range(B):
+            bus = s.add_bus(f"b{b}", volume_db=float(rng.uniform(-9, 3)),
+                            pan=float(rng.uniform(-0.8, 0.8)))
+            kind = rng.integers(4)
+            if kind == 1:
+                bus.effects = EffectChain([Biquad("lowpass", float(rng.uniform(800, 12000)))])
+            elif kind == 2:
+                bus.effects = EffectChain([Gain(float(rng.uniform(-6, 3))),
+                                           Biquad("highpass", float(rng.uniform(40, 400)))])
+            elif kind == 3:
+                bus.effects = EffectChain([Compressor(-25.0, 4.0, sidechain=bool(rng.random() < 0.5))])
+            if rng.random() < 0.4:
+                bus.automation = TrackAutomation(
+                    volume=AutomationLane().add(0.0, float(rng.uniform(0.3, 1.0)))
+                                           .add(2.0, float(rng.uniform(0.1, 1.0))))
+        for t in range(T):
+            if rng.random() < 0.5:
+                s.set_track_output(t, int(rng.integers(B)))
+            for _ in range(int(rng.integers(0, 3))):
+                s.add_send(t, int(rng.integers(B)),
+                           gain_db=float(rng.uniform(-12, 0)),
+                           pre_fader=bool(rng.random() < 0.3),
+                           sidechain=bool(rng.random() < 0.25))
+        pt = _per_track(s)
+        C = pt.shape[1]
+        rfx = prepare_routed_fx(s, RATE, C)
+        tg = np.stack([
+            np.array([np.float32((np.float32(0.0) if t.mute else t.volume_linear)
+                                 * np.float32(t.pan_coeffs[c % 2])) for c in range(C)])
+            for t in s.tracks])
+        fin = make_routed_finisher(rfx, T, C, chunk=4096)
+        got = np.asarray(fin(jnp.asarray(pt), jnp.asarray(tg)))
+        ref = reference_routed_finish(pt, s, RATE, C)
+        err = rms(got - ref) / max(rms(ref), 1e-9)
+        assert err < 5e-5, f"seed {seed}: relative rms err {err}"
