@@ -590,3 +590,25 @@ class TestRoutingFuzz:
         ref = reference_routed_finish(pt, s, RATE, C)
         err = rms(got - ref) / max(rms(ref), 1e-9)
         assert err < 5e-5, f"seed {seed}: relative rms err {err}"
+
+
+class TestMultichannelRouting:
+    def test_routed_four_channel_matches_reference(self):
+        """channels=4: routing matrices, bus gains (pan wraps c%2), and
+        chains must stay shape-consistent beyond stereo."""
+        s = _routed_session(generic=False)
+        C = 4
+        pt4 = np.concatenate([_per_track(s)] * 2, axis=1)  # [T, 4, F]
+        T = pt4.shape[0]
+        rfx = prepare_routed_fx(s, RATE, C)
+        assert rfx.bus_gain.shape == (2, C)
+        tg = np.stack([
+            np.array([np.float32((np.float32(0.0) if t.mute else t.volume_linear)
+                                 * np.float32(t.pan_coeffs[c % 2])) for c in range(C)])
+            for t in s.tracks])
+        fin = make_routed_finisher(rfx, T, C, chunk=4096)
+        got = np.asarray(fin(jnp.asarray(pt4), jnp.asarray(tg)))
+        ref = reference_routed_finish(pt4, s, RATE, C)
+        assert got.shape[0] == 4 and ref.shape[0] == 4
+        err = rms(got - ref) / max(rms(ref), 1e-9)
+        assert err < 2e-5, f"relative rms err {err}"
