@@ -612,3 +612,32 @@ class TestMultichannelRouting:
         assert got.shape[0] == 4 and ref.shape[0] == 4
         err = rms(got - ref) / max(rms(ref), 1e-9)
         assert err < 2e-5, f"relative rms err {err}"
+
+
+class TestBusStems:
+    def test_components_reconstruct_mix(self):
+        """direct + sum(bus stems) -> master chain -> clip == full bounce."""
+        from whitebox_tpu.effects.base import EffectChain as _EC
+        from whitebox_tpu.render.bounce import bounce
+        from whitebox_tpu.render.stems import render_bus_stems
+
+        s = _routed_session(generic=False)
+        direct, bus, names = render_bus_stems(s, RATE)
+        assert names == ["drums", "fx"] and bus.shape[0] == 2
+        total = jnp.asarray(direct + bus.sum(axis=0))
+        master = s.master_effects if isinstance(s.master_effects, _EC) else _EC(list(s.master_effects))
+        master.prepare(RATE, 2)
+        total, _ = master.process(total, master.init_state(2))
+        recon = np.clip(np.asarray(total), -1.0, 1.0)
+        full = bounce(s, RATE, engine="xla", chunk_frames=8192).audio
+        n = min(recon.shape[1], full.shape[1])
+        err = rms(recon[:, :n] - full[:, :n]) / max(rms(full[:, :n]), 1e-9)
+        assert err < 2e-5, f"relative rms err {err}"
+
+    def test_requires_routing(self):
+        from whitebox_tpu.render.stems import render_bus_stems
+
+        s = random_session(61, rate=RATE, bpm=120.0, n_tracks=2,
+                           formats=(AudioFormat.F32,), n_clips=1)
+        with pytest.raises(ValueError, match="buses/sends"):
+            render_bus_stems(s, RATE)

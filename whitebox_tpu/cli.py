@@ -93,13 +93,30 @@ def _cmd_stems(args) -> int:
     from whitebox_tpu.session.project import read_project
 
     session = read_project(args.project)
-    stems, names = render_stems(session, sample_rate=args.rate, buffer_size=args.buffer_size,
-                                interpolation=args.interpolation)
     os.makedirs(args.outdir, exist_ok=True)
     fmt = {"f32": AudioFormat.F32, "i16": AudioFormat.I16, "i24": AudioFormat.I24, "i32": AudioFormat.I32}[args.format]
-    safe = [("".join(c if c.isalnum() or c in "-_" else "_" for c in n) or "track") for n in names]
-    for i, name in enumerate(safe):
-        path = os.path.join(args.outdir, f"{i:02d}_{name}.{args.ext}")
+
+    def sanitize(n, fallback):
+        return "".join(c if c.isalnum() or c in "-_" else "_" for c in n) or fallback
+
+    if args.buses:
+        from whitebox_tpu.render.stems import render_bus_stems
+
+        direct, bus, names = render_bus_stems(
+            session, sample_rate=args.rate, buffer_size=args.buffer_size,
+            interpolation=args.interpolation)
+        _write_audio(os.path.join(args.outdir, f"00_direct.{args.ext}"),
+                     direct, int(args.rate), fmt)
+        for i, name in enumerate(names):
+            path = os.path.join(args.outdir, f"{i + 1:02d}_{sanitize(name, 'bus')}.{args.ext}")
+            _write_audio(path, bus[i], int(args.rate), fmt)
+        print(f"wrote direct + {len(names)} bus stems ({direct.shape[1]} frames) -> {args.outdir}")
+        return 0
+
+    stems, names = render_stems(session, sample_rate=args.rate, buffer_size=args.buffer_size,
+                                interpolation=args.interpolation)
+    for i, name in enumerate(names):
+        path = os.path.join(args.outdir, f"{i:02d}_{sanitize(name, 'track')}.{args.ext}")
         _write_audio(path, stems[i], int(args.rate), fmt)
     print(f"wrote {len(names)} stems ({stems.shape[2]} frames) -> {args.outdir}")
     return 0
@@ -281,6 +298,9 @@ def main(argv=None) -> int:
     p.add_argument("--format", choices=["f32", "i16", "i24", "i32"], default="f32")
     p.add_argument("--ext", choices=["wav", "flac", "mp3", "ogg"], default="wav")
     p.add_argument("--interpolation", choices=["linear", "catmull", "sinc"], default="linear")
+    p.add_argument("--buses", action="store_true",
+                   help="export bus stems (pre-master routed components: "
+                        "direct track sum + each bus post-chain/post-fader)")
     p.set_defaults(fn=_cmd_stems)
 
     p = sub.add_parser("convert", help="convert between audio containers (wav/aiff/mp3/ogg/flac)")

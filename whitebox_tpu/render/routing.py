@@ -211,7 +211,7 @@ def _with_ir_ffts_routed(rfx: RoutedFX, gparams, bparams, mparams, chunk: int):
 
 def _routed_chunk_step(rfx: RoutedFX, xc, states, params, routing, start,
                        track_gain, auto, T: int, C: int, with_meters: bool, Fv,
-                       bauto=None):
+                       bauto=None, emit_parts: bool = False):
     """One [T, C, chunk] slice: track chains -> gains -> routing matmul ->
     bus chains -> bus gains -> master chain -> clip."""
     fx = rfx.fx
@@ -256,10 +256,15 @@ def _routed_chunk_step(rfx: RoutedFX, xc, states, params, routing, start,
         # per-frame bus fader (lanes where present, constants elsewhere —
         # _frame_gains is generic over the leading axis)
         bus_out = bus_in * _frame_gains(bauto, bus_gain, gidx, B, C)
+        if emit_parts:  # bus-stem export: pre-master components
+            return (direct, bus_out), (new_g, new_b, m_states), None
         total = direct + jnp.sum(bus_out, axis=0)
     else:
         new_b = b_states
         total = direct
+        if emit_parts:
+            return (direct, jnp.zeros((0, C, chunk), jnp.float32)), \
+                (new_g, new_b, m_states), None
 
     new_m = m_states
     if fx.master is not None:
@@ -372,6 +377,46 @@ def make_routed_chunk_fn(rfx: RoutedFX, T: int, C: int, *, chunk: int,
                     rfx.bus_auto)
 
     return call
+
+
+def make_routed_stems_finisher(rfx: RoutedFX, T: int, C: int, *,
+                               chunk: int | None = None):
+    """fn(per_track [T, C, F], track_gain, auto) -> (direct [C, F],
+    bus_out [B, C, F]) — the PRE-MASTER routed components for bus-stem
+    export (stem-delivery workflows): ``direct`` is the master-direct track
+    sum, ``bus_out`` each bus post-chain/post-fader. direct + sum(bus_out)
+    then master chain == the full mix."""
+    if chunk is None:
+        chunk = routed_auto_chunk_frames(rfx)
+    gp0, bp0, mp0, routing0 = routed_device_params(rfx)
+
+    def finish(per_track, track_gain, gparams, bparams, mparams, routing, auto=None,
+               bauto=None):
+        F = per_track.shape[-1]
+        n_chunks = -(-F // chunk)
+        Fp = n_chunks * chunk
+        xall = jnp.pad(per_track, ((0, 0), (0, 0), (0, Fp - F)))
+        gparams, bparams, mparams = _with_ir_ffts_routed(rfx, gparams, bparams, mparams, chunk)
+        init = init_routed_states(rfx, C)
+
+        def body(carry, i):
+            start = i * chunk
+            xc = jax.lax.dynamic_slice_in_dim(xall, start, chunk, axis=2)
+            parts, new_states, _ = _routed_chunk_step(
+                rfx, xc, carry, (gparams, bparams, mparams), routing, start,
+                track_gain, auto, T, C, False, None, bauto=bauto, emit_parts=True,
+            )
+            return new_states, parts
+
+        _, (direct, bus) = jax.lax.scan(body, init, jnp.arange(n_chunks))
+        direct = direct.transpose(1, 0, 2).reshape(C, Fp)[:, :F]
+        B = bus.shape[1]
+        bus = bus.transpose(1, 2, 0, 3).reshape(B, C, Fp)[:, :, :F]
+        return direct, bus
+
+    jfinish = jax.jit(finish)
+    return lambda per_track, track_gain, auto=None: jfinish(
+        per_track, track_gain, gp0, bp0, mp0, routing0, auto, rfx.bus_auto)
 
 
 # ---------------------------------------------------------------------------

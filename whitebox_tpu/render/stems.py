@@ -123,3 +123,72 @@ def render_stems(
         stems = make_generic_stems_finisher(gfx, T, channels)(per_track, track_gain, auto)
     names = [t.name or f"track{i}" for i, t in enumerate(session.tracks)]
     return np.asarray(stems)[:, :, :total], names
+
+
+def render_bus_stems(
+    session: Session,
+    sample_rate: float = 48000.0,
+    *,
+    buffer_size: int = 512,
+    channels: int = 2,
+    interpolation: str = "linear",
+) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    """Bus-stem export (stem-delivery workflows): returns
+    ``(direct [C, F], bus_out [B, C, F], bus_names)`` — the PRE-MASTER
+    routed components. ``direct`` is the master-direct track sum,
+    ``bus_out`` each bus post-chain/post-fader (sends, sidechain keys, and
+    bus automation all applied); ``direct + bus_out.sum(0)`` through the
+    master chain reproduces the full mix. Requires a session with routing
+    (session/bus.py)."""
+    from whitebox_tpu.ops.mix import pack_device_tables, render_chunk_per_track
+    from whitebox_tpu.render.bounce import _add_synth, _prepare_synth_tables, _session_has_midi
+    from whitebox_tpu.render.effects_pipeline import prepare_automation_tables
+    from whitebox_tpu.render.routing import make_routed_stems_finisher, prepare_routed_fx
+    from whitebox_tpu.session.bus import session_has_routing
+    from whitebox_tpu.timeline.carve import carve_session
+    from whitebox_tpu.timeline.oversample import resolve_interpolation
+
+    if not session_has_routing(session):
+        raise ValueError("render_bus_stems needs a session with buses/sends "
+                         "(use render_stems for per-track stems)")
+    table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
+                                out_channels=channels, slow_emit="runs")
+    table, pool, interp = resolve_interpolation(table, pool, interpolation)
+    T = len(session.tracks)
+    total = table.total_frames
+
+    per_track = None
+    try:
+        from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, build_plan
+
+        plan = build_plan(table, pool, session, channels=channels,
+                          max_slots=16 if isinstance(interp, tuple) else 8)
+        renderer = PallasMixRenderer(table, pool, session, channels=channels, plan=plan,
+                                     interp=interp)
+        F_pad = plan.n_tiles * plan.tile
+        per_track = renderer.render_device_per_track().reshape(plan.num_tracks, channels, F_pad)
+        per_track = per_track[:T]
+    except Exception:
+        dev = pack_device_tables(table, pool, session, channels=channels)
+        jt = jax.device_put(dev.as_jax())
+        pool_dev = jax.device_put(jnp.asarray(pool.data))
+        per_track = render_chunk_per_track(pool_dev, jt, jnp.int32(0),
+                                           frames=max(total, 1), interp=interp)[:T]
+
+    if _session_has_midi(session):
+        synth = _prepare_synth_tables(session, sample_rate, buffer_size, max(total // buffer_size, 1))
+        if synth:
+            per_track = _add_synth(per_track, synth, 0, per_track.shape[-1])
+
+    auto = prepare_automation_tables(session, sample_rate)
+    track_gain = jnp.asarray(
+        np.stack([
+            [np.float32((np.float32(0.0) if t.mute else t.volume_linear) * np.float32(t.pan_coeffs[c % 2]))
+             for c in range(channels)]
+            for t in session.tracks
+        ])
+    )
+    rfx = prepare_routed_fx(session, sample_rate, channels)
+    direct, bus = make_routed_stems_finisher(rfx, T, channels)(per_track, track_gain, auto)
+    names = [b.name or f"bus{i}" for i, b in enumerate(session.buses)]
+    return np.asarray(direct)[:, :total], np.asarray(bus)[:, :, :total], names
