@@ -38,6 +38,10 @@ class PreviewStream:
         self.buffer_size = int(buffer_size)
         self.channels = channels
         self.lookahead = max(int(lookahead_blocks), 1) * self.buffer_size
+        if self.lookahead % 512:
+            # TV biquad/EQ lanes require PARAM_BLOCK(512)-aligned chunks;
+            # round the window up so odd buffer sizes can't misalign them
+            self.lookahead = -(-self.lookahead // 512) * 512
         self._interpolation = interpolation
         self._pos = 0
         self._build()
