@@ -122,18 +122,24 @@ def _cmd_stems(args) -> int:
     return 0
 
 
-def _cmd_convert(args) -> int:
-    from whitebox_tpu.core.formats import AudioFormat
-    from whitebox_tpu.io.wav import load_audio_file
-    from whitebox_tpu.render.bounce import _write_audio
-
+def _load_f32(path):
+    """Decode any supported container and normalize to f32 planar."""
     import numpy as _np
 
     from whitebox_tpu.core.formats import normalize_unclamped
+    from whitebox_tpu.io.wav import load_audio_file
 
-    planar, info = load_audio_file(args.src)
+    planar, info = load_audio_file(path)
+    return _np.asarray(normalize_unclamped(_np.asarray(planar), info.format),
+                       dtype=_np.float32), info
+
+
+def _cmd_convert(args) -> int:
+    from whitebox_tpu.core.formats import AudioFormat
+    from whitebox_tpu.render.bounce import _write_audio
+
     fmt = {"f32": AudioFormat.F32, "i16": AudioFormat.I16, "i24": AudioFormat.I24, "i32": AudioFormat.I32}[args.format]
-    f32 = _np.asarray(normalize_unclamped(_np.asarray(planar), info.format), dtype=_np.float32)
+    f32, info = _load_f32(args.src)
     rate = int(args.rate) if args.rate else info.sample_rate
     if rate != info.sample_rate:
         from whitebox_tpu.ops.resample import resample_audio
@@ -161,14 +167,9 @@ def _cmd_stretch(args) -> int:
 def _cmd_loudness(args) -> int:
     """EBU R128 measurement of an audio FILE (the render-side measurement
     is ``render --loudness``)."""
-    import numpy as _np
-
-    from whitebox_tpu.core.formats import normalize_unclamped
-    from whitebox_tpu.io.wav import load_audio_file
     from whitebox_tpu.ops.loudness import measure_loudness
 
-    planar, info = load_audio_file(args.src)
-    f32 = _np.asarray(normalize_unclamped(_np.asarray(planar), info.format), _np.float32)
+    f32, info = _load_f32(args.src)
     st = measure_loudness(f32, float(info.sample_rate), device=not args.host)
     if args.json:
         print(json.dumps({"file": str(args.src), "sample_rate": info.sample_rate,

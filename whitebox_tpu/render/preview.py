@@ -39,9 +39,14 @@ class PreviewStream:
         self.channels = channels
         self.lookahead = max(int(lookahead_blocks), 1) * self.buffer_size
         if self.lookahead % 512:
-            # TV biquad/EQ lanes require PARAM_BLOCK(512)-aligned chunks;
-            # round the window up so odd buffer sizes can't misalign them
-            self.lookahead = -(-self.lookahead // 512) * 512
+            # TV biquad/EQ lanes need PARAM_BLOCK(512)-aligned chunks, and
+            # window fetches must stay contiguous multiples of buffer_size
+            # (overlapping fetches would double-advance effect state), so
+            # round up to a multiple of lcm(buffer_size, 512)
+            import math as _math
+
+            step = _math.lcm(self.buffer_size, 512)
+            self.lookahead = -(-self.lookahead // step) * step
         self._interpolation = interpolation
         self._pos = 0
         self._build()

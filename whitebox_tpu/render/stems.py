@@ -46,6 +46,55 @@ def stems_finish(per_track, coeffs, track_gain, auto=None, *, T, C, S, chunk=1 <
     return ys.transpose(1, 2, 0, 3).reshape(T, C, Fp)[:, :, :F]
 
 
+def _render_per_track(session: Session, sample_rate: float, buffer_size: int,
+                      channels: int, interpolation: str):
+    """Shared per-track render preamble for the stems exporters: carve,
+    interpolation resolve, Pallas-plan render with XLA-gather fallback,
+    synth overlay, constant fader gains. Returns
+    ``(per_track [T, C, >=F], track_gain [T, C], total_frames)``."""
+    from whitebox_tpu.ops.mix import pack_device_tables, render_chunk_per_track
+    from whitebox_tpu.render.bounce import _add_synth, _prepare_synth_tables, _session_has_midi
+    from whitebox_tpu.timeline.carve import carve_session
+    from whitebox_tpu.timeline.oversample import resolve_interpolation
+
+    table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
+                                out_channels=channels, slow_emit="runs")
+    table, pool, interp = resolve_interpolation(table, pool, interpolation)
+    T = len(session.tracks)
+    total = table.total_frames
+
+    try:
+        from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, build_plan
+
+        plan = build_plan(table, pool, session, channels=channels,
+                          max_slots=16 if isinstance(interp, tuple) else 8)
+        renderer = PallasMixRenderer(table, pool, session, channels=channels, plan=plan,
+                                     interp=interp)
+        F_pad = plan.n_tiles * plan.tile
+        per_track = renderer.render_device_per_track().reshape(plan.num_tracks, channels, F_pad)
+        per_track = per_track[:T]
+    except Exception:
+        dev = pack_device_tables(table, pool, session, channels=channels)
+        jt = jax.device_put(dev.as_jax())
+        pool_dev = jax.device_put(jnp.asarray(pool.data))
+        per_track = render_chunk_per_track(pool_dev, jt, jnp.int32(0),
+                                           frames=max(total, 1), interp=interp)[:T]
+
+    if _session_has_midi(session):
+        synth = _prepare_synth_tables(session, sample_rate, buffer_size, max(total // buffer_size, 1))
+        if synth:
+            per_track = _add_synth(per_track, synth, 0, per_track.shape[-1])
+
+    track_gain = jnp.asarray(
+        np.stack([
+            [np.float32((np.float32(0.0) if t.mute else t.volume_linear) * np.float32(t.pan_coeffs[c % 2]))
+             for c in range(channels)]
+            for t in session.tracks
+        ])
+    )
+    return per_track, track_gain, total
+
+
 def render_stems(
     session: Session,
     sample_rate: float = 48000.0,
@@ -65,52 +114,12 @@ def render_stems(
     ones — inside the documented 2.4e-7 resampling contract, but not
     bit-parity with ``bounce(engine="xla")``. speed==1 stems are always
     bit-exact."""
-    from whitebox_tpu.ops.mix import pack_device_tables, render_chunk_per_track
-    from whitebox_tpu.render.bounce import _add_synth, _prepare_synth_tables, _session_has_midi
     from whitebox_tpu.render.effects_pipeline import prepare_automation_tables, prepare_effect_tables
-    from whitebox_tpu.timeline.carve import carve_session
 
-    from whitebox_tpu.timeline.oversample import resolve_interpolation
-
-    table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
-                                out_channels=channels, slow_emit="runs")
-    table, pool, interp = resolve_interpolation(table, pool, interpolation)
     T = len(session.tracks)
-
-    # per-track render: pallas plan when available, XLA gather otherwise
-    per_track = None
-    total = table.total_frames
-    try:
-        from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, build_plan
-
-        plan = build_plan(table, pool, session, channels=channels,
-                          max_slots=16 if isinstance(interp, tuple) else 8)
-        renderer = PallasMixRenderer(table, pool, session, channels=channels, plan=plan,
-                                     interp=interp)
-        F_pad = plan.n_tiles * plan.tile
-        per_track = renderer.render_device_per_track().reshape(plan.num_tracks, channels, F_pad)
-        per_track = per_track[:T]
-    except Exception:
-        dev = pack_device_tables(table, pool, session, channels=channels)
-        jt = jax.device_put(dev.as_jax())
-        pool_dev = jax.device_put(jnp.asarray(pool.data))
-        frames = max(total, 1)
-        per_track = render_chunk_per_track(pool_dev, jt, jnp.int32(0), frames=frames,
-                                           interp=interp)[:T]
-
-    if _session_has_midi(session):
-        synth = _prepare_synth_tables(session, sample_rate, buffer_size, max(total // buffer_size, 1))
-        if synth:
-            per_track = _add_synth(per_track, synth, 0, per_track.shape[-1])
-
+    per_track, track_gain, total = _render_per_track(
+        session, sample_rate, buffer_size, channels, interpolation)
     auto = prepare_automation_tables(session, sample_rate)
-    track_gain = jnp.asarray(
-        np.stack([
-            [np.float32((np.float32(0.0) if t.mute else t.volume_linear) * np.float32(t.pan_coeffs[c % 2]))
-             for c in range(channels)]
-            for t in session.tracks
-        ])
-    )
     from whitebox_tpu.render.effects_generic import session_fx_packable
 
     if session_fx_packable(session):
@@ -140,54 +149,17 @@ def render_bus_stems(
     bus automation all applied); ``direct + bus_out.sum(0)`` through the
     master chain reproduces the full mix. Requires a session with routing
     (session/bus.py)."""
-    from whitebox_tpu.ops.mix import pack_device_tables, render_chunk_per_track
-    from whitebox_tpu.render.bounce import _add_synth, _prepare_synth_tables, _session_has_midi
     from whitebox_tpu.render.effects_pipeline import prepare_automation_tables
     from whitebox_tpu.render.routing import make_routed_stems_finisher, prepare_routed_fx
     from whitebox_tpu.session.bus import session_has_routing
-    from whitebox_tpu.timeline.carve import carve_session
-    from whitebox_tpu.timeline.oversample import resolve_interpolation
 
     if not session_has_routing(session):
         raise ValueError("render_bus_stems needs a session with buses/sends "
                          "(use render_stems for per-track stems)")
-    table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
-                                out_channels=channels, slow_emit="runs")
-    table, pool, interp = resolve_interpolation(table, pool, interpolation)
     T = len(session.tracks)
-    total = table.total_frames
-
-    per_track = None
-    try:
-        from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, build_plan
-
-        plan = build_plan(table, pool, session, channels=channels,
-                          max_slots=16 if isinstance(interp, tuple) else 8)
-        renderer = PallasMixRenderer(table, pool, session, channels=channels, plan=plan,
-                                     interp=interp)
-        F_pad = plan.n_tiles * plan.tile
-        per_track = renderer.render_device_per_track().reshape(plan.num_tracks, channels, F_pad)
-        per_track = per_track[:T]
-    except Exception:
-        dev = pack_device_tables(table, pool, session, channels=channels)
-        jt = jax.device_put(dev.as_jax())
-        pool_dev = jax.device_put(jnp.asarray(pool.data))
-        per_track = render_chunk_per_track(pool_dev, jt, jnp.int32(0),
-                                           frames=max(total, 1), interp=interp)[:T]
-
-    if _session_has_midi(session):
-        synth = _prepare_synth_tables(session, sample_rate, buffer_size, max(total // buffer_size, 1))
-        if synth:
-            per_track = _add_synth(per_track, synth, 0, per_track.shape[-1])
-
+    per_track, track_gain, total = _render_per_track(
+        session, sample_rate, buffer_size, channels, interpolation)
     auto = prepare_automation_tables(session, sample_rate)
-    track_gain = jnp.asarray(
-        np.stack([
-            [np.float32((np.float32(0.0) if t.mute else t.volume_linear) * np.float32(t.pan_coeffs[c % 2]))
-             for c in range(channels)]
-            for t in session.tracks
-        ])
-    )
     rfx = prepare_routed_fx(session, sample_rate, channels)
     direct, bus = make_routed_stems_finisher(rfx, T, channels)(per_track, track_gain, auto)
     names = [b.name or f"bus{i}" for i, b in enumerate(session.buses)]
