@@ -165,14 +165,14 @@ class TestBouncePDC:
         n = min(a.shape[1], b.shape[1])
         assert np.max(np.abs(a[:, :n] - b[:, :n])) < 1e-6
 
-    def test_routed_pdc_and_bus_latency_raises(self):
+    def test_routed_pdc_track_latency(self):
         from whitebox_tpu.render.routing import (
             make_routed_finisher, prepare_routed_fx, reference_routed_finish,
         )
 
         s = random_session(13, rate=RATE, bpm=120.0, n_tracks=3,
                            formats=(AudioFormat.F32,), n_clips=2)
-        b = s.add_bus("grp")
+        s.add_bus("grp")
         s.set_track_output(0, 0)
         s.tracks[1].effects = EffectChain([Limiter(-8.0, lookahead_s=0.003)])
         pt = _per_track(s)
@@ -184,10 +184,58 @@ class TestBouncePDC:
         ref = reference_routed_finish(pt, s, RATE, C, pdc=True)
         err = rms(got - ref) / max(rms(ref), 1e-9)
         assert err < 5e-5, f"relative rms err {err}"
-        # a latent bus chain cannot be compensated: explicit error
+
+    def test_routed_pdc_bus_latency_compensated(self):
+        """A lookahead limiter ON A BUS is compensated by delay-to-align:
+        device == f64 reference, and the latent bus path stays coherent
+        with a parallel dry path carrying the same transient."""
+        from whitebox_tpu.render.routing import (
+            make_routed_finisher, prepare_routed_fx, reference_routed_finish,
+        )
+        from whitebox_tpu.session import Session
+        from whitebox_tpu.session.sample import Sample
+
+        s = Session(bpm=120.0)
+        click = np.zeros((1, 48000), np.float32)
+        for k in range(3):
+            click[0, 14000 * k + 900] = 0.5
+        a = s.sample_table.add_sample(
+            Sample.from_planar(click, 48000, AudioFormat.F32, name="c"), key="c")
+        t0 = s.add_track("dry")
+        t1 = s.add_track("bused")
+        s.add_audio_clip(t0, "c0", 0.0, 2.0, asset=a)
+        s.add_audio_clip(t1, "c1", 0.0, 2.0, asset=a)
+        bus = s.add_bus("lim")
+        L = int(round(0.004 * RATE))
+        bus.effects = EffectChain([Limiter(12.0, lookahead_s=0.004)])  # pure delay
+        s.set_track_output(1, 0)
+
+        pt = _per_track(s)
+        T, C, F = pt.shape
+        rfx = prepare_routed_fx(s, RATE, C)
+        tg = np.ones((T, C), np.float32)
+        on = np.asarray(make_routed_finisher(rfx, T, C, chunk=4096, pdc=True)(
+            jnp.asarray(pt), jnp.asarray(tg)))
+        off = np.asarray(make_routed_finisher(rfx, T, C, chunk=4096, pdc=False)(
+            jnp.asarray(pt), jnp.asarray(tg)))
+        ref = reference_routed_finish(pt, s, RATE, C, pdc=True)
+        err = rms(on - ref) / max(rms(ref), 1e-9)
+        assert err < 5e-5, f"relative rms err {err}"
+        # compensated: transients sum coherently (2x); uncompensated: smeared
+        n = 900
+        assert abs(float(on[0, n])) > 0.9
+        assert abs(float(off[0, n])) < 0.6
+        assert abs(float(off[0, n + L])) > 0.4
+
+    def test_streaming_bus_latency_still_raises(self):
+        """The XLA streaming path doesn't carry bus delay lines; it must
+        fail loudly rather than render misaligned."""
+        from whitebox_tpu.render.bounce import bounce
+
+        s = random_session(17, rate=RATE, bpm=120.0, n_tracks=2,
+                           formats=(AudioFormat.F32,), n_clips=1)
+        b = s.add_bus("lim")
         b.effects = EffectChain([Limiter(-3.0, lookahead_s=0.002)])
-        rfx2 = prepare_routed_fx(s, RATE, C)
+        s.set_track_output(0, 0)
         with pytest.raises(ValueError, match="bus-chain latency"):
-            make_routed_finisher(rfx2, T, C, chunk=4096, pdc=True)
-        with pytest.raises(ValueError, match="bus-chain latency"):
-            reference_routed_finish(pt, s, RATE, C, pdc=True)
+            bounce(s, RATE, engine="xla", pdc=True)

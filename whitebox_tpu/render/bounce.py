@@ -475,8 +475,11 @@ def bounce(
             rfx = prepare_routed_fx(session, sample_rate, channels)
             if pdc:
                 if any(stage_latency_frames(g.stages) > 0 for g in rfx.bus_groups):
-                    raise ValueError("PDC cannot compensate bus-chain latency; "
-                                     "move lookahead limiters to tracks or master")
+                    raise ValueError(
+                        "the streaming (XLA) path does not carry bus-chain "
+                        "latency delay lines; render with engine='auto'/'pallas' "
+                        "(the routed finisher compensates bus latency), or move "
+                        "lookahead limiters to tracks or the master")
                 _pdc_setup(rfx.fx)
             chunk_frames = routed_auto_chunk_frames(rfx, chunk_frames)
             rstep = make_routed_chunk_fn(rfx, T, channels, chunk=chunk_frames,

@@ -211,13 +211,16 @@ def _with_ir_ffts_routed(rfx: RoutedFX, gparams, bparams, mparams, chunk: int):
 
 def _routed_chunk_step(rfx: RoutedFX, xc, states, params, routing, start,
                        track_gain, auto, T: int, C: int, with_meters: bool, Fv,
-                       bauto=None, emit_parts: bool = False):
+                       bauto=None, emit_parts: bool = False, bus_pdc=None):
     """One [T, C, chunk] slice: track chains -> gains -> routing matmul ->
     bus chains -> bus gains -> master chain -> clip."""
     fx = rfx.fx
     sample_rate = fx.sample_rate
     chunk = xc.shape[-1]
     g_states, b_states, m_states = states
+    dstates = None
+    if bus_pdc is not None:  # delay-line carries ride with the bus states
+        b_states, dstates = b_states
     gparams, bparams, mparams = params
     r_post, r_pre, bus_gain, k_post, k_pre = routing
 
@@ -258,7 +261,31 @@ def _routed_chunk_step(rfx: RoutedFX, xc, states, params, routing, start,
         bus_out = bus_in * _frame_gains(bauto, bus_gain, gidx, B, C)
         if emit_parts:  # bus-stem export: pre-master components
             return (direct, bus_out), (new_g, new_b, m_states), None
-        total = direct + jnp.sum(bus_out, axis=0)
+        if bus_pdc is not None:
+            # bus-chain latency compensation: delay every master input to
+            # the max bus latency BL (direct by BL, bus b by BL - lat_b),
+            # so all paths align; the finisher trims BL from the head.
+            # Delay = concat(carry, x) + keep-tail, the limiter's xdelay
+            # pattern, with static per-row lengths.
+            BL, dbs = bus_pdc
+            new_d = dict(dstates)
+            if BL > 0:
+                seq = jnp.concatenate([dstates["direct"], direct], axis=-1)
+                direct = seq[:, :chunk]
+                new_d["direct"] = seq[:, chunk:]
+            rows = []
+            for b in range(B):
+                row = bus_out[b]
+                if dbs[b] > 0:
+                    seq = jnp.concatenate([dstates[f"bus{b}"], row], axis=-1)
+                    row = seq[:, :chunk]
+                    new_d[f"bus{b}"] = seq[:, chunk:]
+                rows.append(row)
+            bus_out = jnp.stack(rows) if rows else bus_out
+            total = direct + jnp.sum(bus_out, axis=0)
+            new_b = (new_b, new_d)
+        else:
+            total = direct + jnp.sum(bus_out, axis=0)
     else:
         new_b = b_states
         total = direct
@@ -295,10 +322,11 @@ def make_routed_finisher(rfx: RoutedFX, T: int, C: int, *, chunk: int | None = N
     """fn(per_track [T, C, F], track_gain, auto) -> mixed [C, F]
     (or (mixed, meters)) — one jitted lax.scan over frame chunks.
 
-    ``pdc=True``: track-chain latency compensated by input fetch-ahead,
-    master latency by head trim (see make_generic_finisher). Bus-chain
-    latency cannot be compensated (bus inputs are produced in-step) —
-    a latent bus chain raises; put limiters on tracks or the master."""
+    ``pdc=True``: track-chain latency compensated by input fetch-ahead;
+    bus-chain latency by delaying every master input to the max bus
+    latency (bus inputs are produced in-step, so fetch-ahead can't apply —
+    the delay-to-align + head-trim form is exact instead); master latency
+    by head trim (see make_generic_finisher)."""
     from whitebox_tpu.render.effects_generic import (
         _pdc_preshift, fx_latencies, stage_latency_frames,
     )
@@ -306,23 +334,38 @@ def make_routed_finisher(rfx: RoutedFX, T: int, C: int, *, chunk: int | None = N
     if chunk is None:
         chunk = routed_auto_chunk_frames(rfx)
     glat, mlat = fx_latencies(rfx.fx) if pdc else ([0] * len(rfx.fx.groups), 0)
-    if pdc and any(stage_latency_frames(g.stages) > 0 for g in rfx.bus_groups):
-        raise ValueError("PDC cannot compensate bus-chain latency (bus inputs "
-                         "are produced in-step); move lookahead limiters to "
-                         "tracks or the master chain")
+    B = rfx.num_buses
+    blat = np.zeros(B, np.int64)
+    if pdc:
+        for g in rfx.bus_groups:
+            lat = stage_latency_frames(g.stages)
+            for b in np.asarray(g.track_idx):
+                blat[int(b)] = lat
+    BL = int(blat.max()) if (pdc and B) else 0
+    dbs = tuple(int(BL - blat[b]) for b in range(B))
+    bus_pdc = (BL, dbs) if (pdc and BL > 0) else None
+    shift = mlat + BL  # total output head trim
     gp0, bp0, mp0, routing0 = routed_device_params(rfx)
 
     def finish(per_track, track_gain, gparams, bparams, mparams, routing, auto=None,
                bauto=None):
         F = per_track.shape[-1]
         Fv = F if valid_frames is None else int(valid_frames)
-        n_chunks = -(-(F + mlat) // chunk)
+        n_chunks = -(-(F + shift) // chunk)
         Fp = n_chunks * chunk
         xall = jnp.pad(per_track, ((0, 0), (0, 0), (0, Fp - F)))
         if pdc:
             xall = _pdc_preshift(rfx.fx, xall, glat)
         gparams, bparams, mparams = _with_ir_ffts_routed(rfx, gparams, bparams, mparams, chunk)
-        init = init_routed_states(rfx, C)
+        g0, b0, m0 = init_routed_states(rfx, C)
+        if bus_pdc is not None:
+            d0 = {"direct": jnp.zeros((C, BL), jnp.float32)}
+            for b in range(B):
+                if dbs[b] > 0:
+                    d0[f"bus{b}"] = jnp.zeros((C, dbs[b]), jnp.float32)
+            init = (g0, (b0, d0), m0)
+        else:
+            init = (g0, b0, m0)
 
         def body(carry, i):
             start = i * chunk
@@ -330,6 +373,7 @@ def make_routed_finisher(rfx: RoutedFX, T: int, C: int, *, chunk: int | None = N
             total, new_states, meters = _routed_chunk_step(
                 rfx, xc, carry, (gparams, bparams, mparams), routing, start,
                 track_gain, auto, T, C, with_meters, Fv, bauto=bauto,
+                bus_pdc=bus_pdc,
             )
             if with_meters:
                 return new_states, (total, meters)
@@ -338,7 +382,7 @@ def make_routed_finisher(rfx: RoutedFX, T: int, C: int, *, chunk: int | None = N
         _, outs = jax.lax.scan(body, init, jnp.arange(n_chunks))
         if with_meters:
             outs, (pk, sq, opk, osq) = outs
-            mixed = outs.transpose(1, 0, 2).reshape(C, Fp)[:, mlat:mlat + F]
+            mixed = outs.transpose(1, 0, 2).reshape(C, Fp)[:, shift:shift + F]
             denom = jnp.float32(max(Fv, 1))
             meters = (
                 jnp.max(pk, axis=0),
@@ -347,7 +391,7 @@ def make_routed_finisher(rfx: RoutedFX, T: int, C: int, *, chunk: int | None = N
                 jnp.sqrt(jnp.sum(osq, axis=0) / denom),
             )
             return mixed, meters
-        return outs.transpose(1, 0, 2).reshape(C, Fp)[:, mlat:mlat + F]
+        return outs.transpose(1, 0, 2).reshape(C, Fp)[:, shift:shift + F]
 
     jfinish = jax.jit(finish)
     return lambda per_track, track_gain, auto=None: jfinish(
@@ -501,10 +545,12 @@ def reference_routed_finish(per_track: np.ndarray, session: Session,
                 x = np.pad(x[:, lat:], ((0, 0), (0, lat)))
         return x
 
+    blat_ref = np.zeros(len(bus_chains), np.int64)
     if pdc:
-        for c in bus_chains:
-            if c is not None and c.prepare(sample_rate, channels).latency_frames() > 0:
-                raise ValueError("PDC cannot compensate bus-chain latency")
+        for bi, c in enumerate(bus_chains):
+            if c is not None:
+                blat_ref[bi] = c.prepare(sample_rate, channels).latency_frames()
+    BL_ref = int(blat_ref.max()) if (pdc and len(bus_chains)) else 0
 
     pre = np.stack([
         reference_run_chain(chains[t], chain_input(t), track_lanes(t),
@@ -521,7 +567,12 @@ def reference_routed_finish(per_track: np.ndarray, session: Session,
     r_post, r_pre = m.r_post, m.r_pre
     B = len(session.buses)
     direct = np.einsum("t,tcf->cf", r_post[0].astype(np.float64), post)
-    total = direct
+    # bus-latency PDC mirrors the device exactly: every master input is
+    # DELAYED to the max bus latency BL (direct by BL, bus b by BL-lat_b),
+    # the master chain runs over the extended stream, and BL trims off the
+    # head with the master latency below
+    total = np.zeros((C, F + BL_ref), np.float64)
+    total[:, BL_ref:] += direct
     for b in range(B):
         bus_in = (np.einsum("t,tcf->cf", r_post[1 + b].astype(np.float64), post)
                   + np.einsum("t,tcf->cf", r_pre[b].astype(np.float64), pre))
@@ -534,8 +585,9 @@ def reference_routed_finish(per_track: np.ndarray, session: Session,
         bus_out = reference_run_chain(bus_chains[b], bus_in, blanes, sample_rate, channels, bd,
                                       key=key)
         bg = _ref_bus_gains(session.buses[b], C, g, sample_rate, bd)
+        d_b = BL_ref - int(blat_ref[b])
         for ch in range(C):
-            total[ch] = total[ch] + bus_out[ch] * bg[ch]
+            total[ch, d_b:d_b + F] += bus_out[ch] * bg[ch]
     mlanes = dict(getattr(session, "master_automation", {}) or {}) or None
     if master is not None:
         mlat = 0
@@ -544,7 +596,8 @@ def reference_routed_finish(per_track: np.ndarray, session: Session,
             mlat = master.latency_frames()
         if mlat > 0:
             total = np.pad(total, ((0, 0), (0, mlat)))
-            total = reference_run_chain(master, total, mlanes, sample_rate, channels, bd)[:, mlat:]
-        else:
-            total = reference_run_chain(master, total, mlanes, sample_rate, channels, bd)
+        total = reference_run_chain(master, total, mlanes, sample_rate, channels, bd)
+        total = total[:, BL_ref + mlat:]
+    else:
+        total = total[:, BL_ref:] if BL_ref else total
     return np.clip(total, -1.0, 1.0).astype(np.float32)
