@@ -247,7 +247,31 @@ def _cmd_inspect(args) -> int:
              "effects": len(b.effects or [])}
             for b in session.buses
         ]
+    if session.tempo_map is not None:
+        info["tempo_map"] = session.tempo_map.as_dict()["points"]
     print(json.dumps(info, indent=2))
+    return 0
+
+
+def _cmd_tempo(args) -> int:
+    """Edit the project tempo map (add/remove points, set session bpm)."""
+    from whitebox_tpu.session.project import read_project, write_project
+
+    session = read_project(args.project)
+    if args.set_bpm is not None:
+        session.set_bpm(args.set_bpm)
+    for spec in args.point or []:
+        parts = spec.split(":")
+        if len(parts) not in (2, 3):
+            raise ValueError(f"bad --point {spec!r}: expected BEAT:BPM[:CURVE]")
+        session.set_tempo_point(float(parts[0]), float(parts[1]),
+                                parts[2] if len(parts) == 3 else "step")
+    for beat in args.remove or []:
+        session.remove_tempo_point(float(beat))
+    write_project(session, args.out or args.project)
+    pts = (session.tempo_map.as_dict()["points"]
+           if session.tempo_map is not None else [])
+    print(json.dumps({"bpm": session.bpm, "tempo_map": pts}, indent=2))
     return 0
 
 
@@ -348,6 +372,16 @@ def main(argv=None) -> int:
     p = sub.add_parser("inspect", help="dump a .wb project as JSON")
     p.add_argument("project")
     p.set_defaults(fn=_cmd_inspect)
+
+    p = sub.add_parser("tempo", help="edit the project tempo map")
+    p.add_argument("project")
+    p.add_argument("--out", help="write to a different .wb (default: in place)")
+    p.add_argument("--set-bpm", type=float, help="session bpm (beat-0 anchor)")
+    p.add_argument("--point", action="append", metavar="BEAT:BPM[:CURVE]",
+                   help="add/replace a tempo point (CURVE: step|linear)")
+    p.add_argument("--remove", action="append", metavar="BEAT",
+                   help="remove the tempo point at BEAT")
+    p.set_defaults(fn=_cmd_tempo)
 
     parser.add_argument("-v", "--verbose", action="store_true", help="debug logging")
     args = parser.parse_args(argv)

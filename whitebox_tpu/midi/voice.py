@@ -26,7 +26,6 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from whitebox_tpu.core.math import beat_to_samples
 from whitebox_tpu.midi.notes import MidiNoteFlags
 from whitebox_tpu.session.session import Session
 from whitebox_tpu.timeline.transport import BlockTransport
@@ -98,7 +97,8 @@ def carve_midi_events(
     Returns {track_index: [VoiceEvent...]} sorted by frame.
     """
     start = session.playhead_start if playhead_start is None else playhead_start
-    transport = BlockTransport(float(sample_rate), int(buffer_size), session.beat_duration, start)
+    transport = BlockTransport(float(sample_rate), int(buffer_size), session.beat_duration, start,
+                               tempo_map=getattr(session, "tempo_map", None))
     if num_blocks is None:
         num_blocks = max(transport.blocks_for_beats(session.end_time()), 1)
     P = transport.playhead_grid(num_blocks)
@@ -117,7 +117,9 @@ def carve_midi_events(
         state = MidiVoiceState()
 
         def frame_of(time_beats: float, k: int) -> int:
-            off = beat_to_samples(time_beats - float(P[k]), rate, bd)
+            # == beat_to_samples(time - P[k], rate, bd) bit-for-bit when
+            # unmapped; the exact tempo-map integral when mapped
+            off = transport.delta_samples(float(P[k]), time_beats)
             so = float(S[k]) + off
             return k * bs + ((int(so) if so > 0 else 0) % bs)
 

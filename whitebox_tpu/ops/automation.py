@@ -92,12 +92,16 @@ class TrackAutomation:
         return self.volume is not None or self.pan is not None
 
 
-def lane_frame_table(lane: AutomationLane | None, sample_rate: float, beat_duration: float,
+def lane_frame_table(lane: AutomationLane | None, sample_rate: float, time_base,
                      max_points: int, default: float):
     """Lane -> fixed-size frame-domain breakpoint arrays (xs, ys, curve, tension).
 
-    Frame positions use the exact beat->frame map (f64, rounded to nearest
-    frame). A None lane becomes a single point holding ``default``.
+    ``time_base`` is what converts beats to frames: a scalar beat_duration
+    (the reference's single-tempo arithmetic, bit-exact) or a
+    :class:`~whitebox_tpu.core.tempo.TempoMap` (exact piecewise closed
+    forms — ``Session.time_base`` hands over whichever is active). Frame
+    positions are f64, rounded to nearest frame. A None lane becomes a
+    single point holding ``default``.
     """
     if lane is None or not lane.points:
         pts = [EnvelopePoint(0.0, default)]
@@ -108,8 +112,12 @@ def lane_frame_table(lane: AutomationLane | None, sample_rate: float, beat_durat
     ys = np.zeros(P, dtype=np.float32)
     cv = np.zeros(P, dtype=np.int32)
     tn = np.zeros(P, dtype=np.float32)
+    mapped = not isinstance(time_base, float)
     for i, p in enumerate(pts[:P]):
-        xs[i] = int(round(beat_to_samples(p.x, sample_rate, beat_duration)))
+        if mapped:
+            xs[i] = int(round(time_base.beats_to_samples(p.x, sample_rate)))
+        else:
+            xs[i] = int(round(beat_to_samples(p.x, sample_rate, time_base)))
         ys[i] = np.float32(p.y)
         cv[i] = int(p.curve)
         tn[i] = np.float32(p.tension)
@@ -198,13 +206,13 @@ def eval_lanes_device(tables: dict, g):
     return val
 
 
-def pack_lane_tables(lanes: list, defaults, sample_rate: float, beat_duration: float) -> dict:
+def pack_lane_tables(lanes: list, defaults, sample_rate: float, time_base) -> dict:
     """Stack per-row lanes (None -> constant ``defaults[i]``) into
     {xs,ys,cv,tn} arrays [B, P] for eval_lanes_device."""
     P = max([len(l.points) for l in lanes if l is not None] + [1])
     cols = {k: [] for k in ("xs", "ys", "cv", "tn")}
     for lane, dflt in zip(lanes, defaults):
-        xs, ys, cv, tn = lane_frame_table(lane, sample_rate, beat_duration, P, float(dflt))
+        xs, ys, cv, tn = lane_frame_table(lane, sample_rate, time_base, P, float(dflt))
         for k, v in zip(("xs", "ys", "cv", "tn"), (xs, ys, cv, tn)):
             cols[k].append(v)
     return {k: np.stack(v) for k, v in cols.items()}
@@ -251,7 +259,7 @@ def pack_session_automation(session, sample_rate: float, channels: int = 2):
     Tracks without lanes get constant lanes at their fader values, so the
     finish stage can evaluate every track uniformly.
     """
-    bd = session.beat_duration
+    bd = session.time_base
     T = len(session.tracks)
     P = 1
     for t in session.tracks:

@@ -196,7 +196,7 @@ def _pack_stage_auto(session, chains, tracks, pos, kind, names, sample_rate, aut
             e = _chain_stages(chains[t])[pos][0]
             lanes.append(auto_of(t).get((pos, name)))
             defaults.append(_auto_default(e, kind, name))
-        tables[name] = pack_lane_tables(lanes, defaults, sample_rate, session.beat_duration)
+        tables[name] = pack_lane_tables(lanes, defaults, sample_rate, session.time_base)
     return tables
 
 
@@ -842,13 +842,13 @@ def make_generic_finisher(fx: GenericFX, T: int, C: int, *, chunk: int | None = 
 
 
 def _ref_lane_values(lane, default: float, g: np.ndarray, sample_rate: float,
-                     beat_duration: float) -> np.ndarray:
+                     time_base) -> np.ndarray:
     """Host lane evaluation at frames ``g`` -> f64 values (f32 lane eval,
     widened — mirroring the device's f32 lane evaluation)."""
     from whitebox_tpu.ops.automation import eval_lane_numpy, lane_frame_table
 
     P = max(len(lane.points), 1) if lane is not None else 1
-    xs, ys, cv, tn = lane_frame_table(lane, sample_rate, beat_duration, P, float(default))
+    xs, ys, cv, tn = lane_frame_table(lane, sample_rate, time_base, P, float(default))
     return eval_lane_numpy(xs, ys, cv, tn, g).astype(np.float64)
 
 
@@ -1036,7 +1036,7 @@ def reference_generic_finish(per_track: np.ndarray, session: Session, sample_rat
     from whitebox_tpu.ops.biquad import PARAM_BLOCK, biquad_sequential, biquad_sequential_tv
 
     chains, master = _chains_of(session)
-    bd = session.beat_duration
+    bd = session.time_base
 
     def run_chain(chain, x, eff_lanes=None):
         return reference_run_chain(chain, x, eff_lanes, sample_rate, channels, bd)

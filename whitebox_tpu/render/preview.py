@@ -170,6 +170,9 @@ class PreviewStream:
 
     @property
     def position_beats(self) -> float:
+        tm = getattr(self.session, "tempo_map", None)
+        if tm is not None:
+            return float(tm.seconds_to_beats(self._pos / self.sample_rate))
         return self._pos / self.sample_rate / self.session.beat_duration
 
     @property
@@ -178,7 +181,11 @@ class PreviewStream:
         return 0 if self._window is None else self._window.shape[1]
 
     def seek(self, beat: float) -> None:
-        frame = int(beat_to_samples(beat, self.sample_rate, self.session.beat_duration))
+        tm = getattr(self.session, "tempo_map", None)
+        if tm is not None:
+            frame = int(tm.beats_to_samples(beat, self.sample_rate))
+        else:
+            frame = int(beat_to_samples(beat, self.sample_rate, self.session.beat_duration))
         self._pos = max(0, min(frame, self._total))
         self._window = None  # invalidate; next pull renders at the new position
 

@@ -90,7 +90,7 @@ def pack_bus_automation(session: Session, sample_rate: float):
     lanes_of = lambda b: getattr(b, "automation", None)
     if not any(lanes_of(b) is not None and lanes_of(b).has_track_lanes() for b in buses):
         return None
-    bd = session.beat_duration
+    bd = session.time_base
     P = 1
     for b in buses:
         a = lanes_of(b)
@@ -527,7 +527,7 @@ def reference_routed_finish(per_track: np.ndarray, session: Session,
 
     chains, master = _chains_of(session)
     bus_chains = _bus_chains_of(session)
-    bd = session.beat_duration
+    bd = session.time_base
     T, C, F = per_track.shape
     g = np.arange(F, dtype=np.int64)
     auto_tables = pack_session_automation(session, sample_rate) if session_has_automation(session) else None

@@ -287,7 +287,8 @@ class ClipShift(Command):
         from whitebox_tpu.session.clip import shift_clip_content
 
         clip = session.tracks[self.track_idx].clips[self.clip_id]
-        clip.start_offset = shift_clip_content(clip, self.relative_pos, session.beat_duration)
+        clip.start_offset = shift_clip_content(clip, self.relative_pos,
+                                               session.beat_duration_at(clip.min_time))
         clip.internal_state_changed = True
 
 
@@ -570,6 +571,52 @@ class SetBusAutomation(Command):
                 b.automation.effects[(int(slot), str(param))] = lane
 
 
+# ---- tempo commands (extension; core/tempo.py) ----
+
+
+@dataclass
+class SetTempoPoint(Command):
+    """Add/replace a tempo point (Session.set_tempo_point). A point at
+    beat 0 also moves the session bpm — the snapshot captures both."""
+
+    name = "set tempo point"
+    beat: float = 0.0
+    bpm: float = 120.0
+    curve: str = "step"
+
+    def touched_tracks(self, session):
+        return None  # transport state lives in the session snapshot
+
+    def apply(self, session):
+        session.set_tempo_point(self.beat, self.bpm, self.curve)
+
+
+@dataclass
+class RemoveTempoPoint(Command):
+    name = "remove tempo point"
+    beat: float = 0.0
+
+    def touched_tracks(self, session):
+        return None
+
+    def apply(self, session):
+        session.remove_tempo_point(self.beat)
+
+
+@dataclass
+class SetBpm(Command):
+    """Session-wide tempo change (Engine::set_bpm, engine.cpp:24)."""
+
+    name = "set bpm"
+    bpm: float = 120.0
+
+    def touched_tracks(self, session):
+        return None
+
+    def apply(self, session):
+        session.set_bpm(self.bpm)
+
+
 # ---- clip time-stretch command (extension; session/session.py) ----
 
 
@@ -804,6 +851,10 @@ class _SessionSnapshot:
 
     tracks: list
     buses: list = field(default_factory=list)
+    #: transport state (bpm + tempo map) — TempoMap is immutable (frozen
+    #: points), so sharing by reference is safe
+    bpm: float = 120.0
+    tempo_map: object = None
 
     @staticmethod
     def _clone_fx(effects):
@@ -848,11 +899,18 @@ class _SessionSnapshot:
         return _SessionSnapshot(
             tracks=[_SessionSnapshot._clone_track(t) for t in session.tracks],
             buses=[_SessionSnapshot._clone_bus(b) for b in session.buses],
+            bpm=session.bpm,
+            tempo_map=getattr(session, "tempo_map", None),
         )
 
     def restore(self, session: Session) -> None:
+        from whitebox_tpu.core.math import beat_duration_from_bpm
+
         session.tracks = [self._clone_track(t) for t in self.tracks]
         session.buses = [self._clone_bus(b) for b in self.buses]
+        session.bpm = self.bpm
+        session.beat_duration = beat_duration_from_bpm(self.bpm)
+        session.tempo_map = self.tempo_map
 
 
 @dataclass

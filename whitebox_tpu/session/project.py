@@ -422,6 +422,14 @@ def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
             }
             for b in session.buses
         ]
+    if getattr(session, "tempo_map", None) is not None:
+        # extension key: piecewise tempo map (core/tempo.py) — the
+        # reference has a single session bpm (engine.cpp:24) and its
+        # reader ignores unknown keys
+        doc["wbpr"]["tempo_map"] = [
+            {"beat": p.beat, "bpm": p.bpm, "curve": p.curve}
+            for p in session.tempo_map.points
+        ]
     if session.master_effects:
         doc["wbpr"]["master_fx"] = _chain_to_doc(session.master_effects)
     if getattr(session, "master_automation", None):
@@ -509,6 +517,12 @@ def read_project(path, search_dirs: list | None = None) -> Session:
         midi_assets.append(session.midi_table.create_midi(
             MidiNoteBuffer(notes, cc=cc, poly_pressure=pp)))
 
+    if project.get("tempo_map"):
+        from whitebox_tpu.core.tempo import TempoMap
+
+        session.tempo_map = TempoMap.from_dict(
+            {"points": [{k: (_as_str(v) if k == "curve" else float(v))
+                         for k, v in p.items()} for p in project["tempo_map"]]})
     if project.get("master_fx"):
         session.master_effects = _chain_from_doc(project["master_fx"])
     if project.get("master_auto"):

@@ -83,12 +83,69 @@ class Session:
         #: over the reference's flat track sum (SURVEY §2.9 "no sends/
         #: groups"). Buses sum into the master bus in index order.
         self.buses: list = []
+        #: optional tempo map (core/tempo.py) — a framework extension; the
+        #: reference has exactly one session-wide tempo (engine.cpp:24).
+        #: None = the legacy single-bpm arithmetic, bit-for-bit.
+        self.tempo_map = None
 
     # ---- transport / tempo (engine.cpp:24-41) ----
 
     def set_bpm(self, bpm: float) -> None:
         self.bpm = float(bpm)
         self.beat_duration = beat_duration_from_bpm(self.bpm)
+        if self.tempo_map is not None:
+            # the map's beat-0 anchor follows the session bpm unless an
+            # explicit point at beat 0 pinned it
+            pts = [p for p in self.tempo_map.points if p.beat > 0.0]
+            self.tempo_map = self._make_tempo_map(pts) if pts else None
+
+    # ---- tempo map (framework extension — core/tempo.py) ----
+
+    def _make_tempo_map(self, points):
+        from whitebox_tpu.core.tempo import TempoMap, TempoPoint
+
+        anchored = list(points)
+        if not any(p.beat == 0.0 for p in anchored):
+            anchored.insert(0, TempoPoint(0.0, self.bpm, "step"))
+        return TempoMap(anchored)
+
+    def set_tempo_point(self, beat: float, bpm: float, curve: str = "step"):
+        """Add/replace a tempo point at ``beat``. The map is anchored at
+        beat 0 with the session bpm unless a point at 0 overrides it."""
+        from whitebox_tpu.core.tempo import TempoPoint
+
+        pts = list(self.tempo_map.points) if self.tempo_map is not None else []
+        pts = [p for p in pts if p.beat != float(beat)]
+        pts.append(TempoPoint(float(beat), float(bpm), curve))
+        self.tempo_map = self._make_tempo_map(pts)
+        if float(beat) == 0.0:
+            self.bpm = float(bpm)
+            self.beat_duration = beat_duration_from_bpm(self.bpm)
+        return self.tempo_map
+
+    def remove_tempo_point(self, beat: float):
+        """Remove the tempo point at ``beat``; an empty map becomes None."""
+        if self.tempo_map is None:
+            return None
+        pts = [p for p in self.tempo_map.points if p.beat != float(beat)]
+        nontrivial = [p for p in pts if not (p.beat == 0.0 and p.bpm == self.bpm
+                                             and p.curve == "step")]
+        self.tempo_map = self._make_tempo_map(pts) if nontrivial else None
+        return self.tempo_map
+
+    def beat_duration_at(self, beat: float) -> float:
+        """Local beat duration — the tempo map's when set, else the session
+        scalar (exactly the legacy value)."""
+        if self.tempo_map is not None:
+            return self.tempo_map.beat_duration_at(float(beat))
+        return self.beat_duration
+
+    @property
+    def time_base(self):
+        """What converts beats to frames: the TempoMap when one is set,
+        else the scalar beat_duration (automation/lane packers accept
+        either — ops/automation.lane_frame_table)."""
+        return self.tempo_map if self.tempo_map is not None else self.beat_duration
 
     def set_playhead_position(self, beat_position: float) -> None:
         self.playhead_start = beat_position
@@ -211,6 +268,7 @@ class Session:
             track.automation is not None and track.automation.effects) else {}
 
         tmp = Session(bpm=self.bpm)
+        tmp.tempo_map = self.tempo_map  # frozen render must use the same timeline
         tmp.sample_table = self.sample_table
         tmp.midi_table = self.midi_table
         rt = _replace(track, volume_db=0.0, pan=0.0, mute=False, solo=False,
@@ -376,11 +434,21 @@ class Session:
         )
         return self._add_to_cliplist(track, clip)
 
+    def clip_length_beats(self, num_samples: float, sample_rate: float, at_beat: float = 0.0) -> float:
+        """Beat span covered by ``num_samples`` source frames placed at
+        ``at_beat``. Unmapped: the reference's samples_to_beat. Mapped: the
+        exact tempo-map inversion (so the clip's [min,max) frame span equals
+        the sample length wherever it sits on the timeline)."""
+        if self.tempo_map is not None:
+            t0 = float(self.tempo_map.beats_to_seconds(at_beat))
+            return float(self.tempo_map.seconds_to_beats(t0 + num_samples / float(sample_rate))) - at_beat
+        return samples_to_beat(num_samples, float(sample_rate), self.beat_duration)
+
     def add_clip_from_file(self, track: Track, path, time_pos: float) -> TrackEditResult:
         """engine.cpp:265 add_clip_from_file — length snapped to PPQ grid."""
         asset = self.sample_table.load_from_file(path)
         sample_rate = float(asset.sample.sample_rate)
-        clip_length = samples_to_beat(asset.sample.count, sample_rate, self.beat_duration)
+        clip_length = self.clip_length_beats(asset.sample.count, sample_rate, time_pos)
         max_time = time_pos + float(uround(clip_length * self.ppq)) / self.ppq
         from pathlib import Path
 
@@ -420,7 +488,8 @@ class Session:
         if relative_pos == 0.0:
             return TrackEditResult()
         r = calc_resize_clip(
-            clip, relative_pos, resize_limit, min_length, clip.min_time, self.beat_duration, left_side, shift, stretch
+            clip, relative_pos, resize_limit, min_length, clip.min_time,
+            self.beat_duration_at(clip.min_time), left_side, shift, stretch
         )
         q = track.query_clip_by_range(r.min, r.max)
         result = (
@@ -501,7 +570,6 @@ class Session:
         if not clips:
             return TrackEditResult()
 
-        bd = self.beat_duration
         result = TrackEditResult()
 
         if first_clip == last_clip:
@@ -513,7 +581,8 @@ class Session:
                 # split into two
                 new_clip = clip.clone()
                 new_clip.min_time = rmax
-                new_clip.start_offset = shift_clip_content(new_clip, clip.min_time - rmax, bd)
+                new_clip.start_offset = shift_clip_content(
+                    new_clip, clip.min_time - rmax, self.beat_duration_at(clip.min_time))
                 result.modified_clips.append(new_clip)
                 clip.max_time = rmin
                 clips.append(new_clip)
@@ -563,7 +632,8 @@ class Session:
                 continue
             c = clip.clone()
             if c.min_time < rmin:
-                c.start_offset = shift_clip_content(c, c.min_time - rmin, self.beat_duration)
+                c.start_offset = shift_clip_content(c, c.min_time - rmin,
+                                                    self.beat_duration_at(c.min_time))
                 c.min_time = rmin
             if c.max_time > rmax:
                 c.max_time = rmax
@@ -598,7 +668,7 @@ class Session:
                 c.max_time += dst_time_offset
                 if c.min_time < 0.0:
                     shift = -c.min_time
-                    c.start_offset = shift_clip_content(c, -shift, self.beat_duration)
+                    c.start_offset = shift_clip_content(c, -shift, self.beat_duration_at(0.0))
                     c.min_time = 0.0
                 self._add_to_cliplist(dst, c)
 
@@ -607,7 +677,8 @@ class Session:
         for clip in track.clips:
             if clip.max_time <= tmin or clip.min_time >= tmax:
                 continue
-            clip.start_offset = shift_clip_content(clip, relative_pos, self.beat_duration)
+            clip.start_offset = shift_clip_content(clip, relative_pos,
+                                                   self.beat_duration_at(clip.min_time))
             clip.internal_state_changed = True
 
     def resize_clips(self, specs: list, relative_pos: float, resize_limit: float = 0.0,
@@ -901,7 +972,7 @@ class Session:
         name = name or f"take {len(self.sample_table.samples) + 1}"
         sample = Sample.from_planar(audio, int(sample_rate), AudioFormat.F32, name=name)
         asset = self.sample_table.add_sample(sample, key=f"take:{name}:{id(sample)}")
-        length = samples_to_beat(sample.count, float(sample_rate), self.beat_duration)
+        length = self.clip_length_beats(sample.count, float(sample_rate), at_beat)
         self.add_audio_clip(track, name, at_beat, at_beat + length, 0.0, asset=asset, gain=1.0)
         return track.clips[-1] if track.clips else None
 
@@ -928,6 +999,9 @@ class Session:
         the point: no edit-API bookkeeping to forget."""
         items: list = [self.bpm, len(self.tracks), len(self.master_effects or []),
                        len(getattr(self, "master_automation", {}) or {})]
+        tm = getattr(self, "tempo_map", None)
+        if tm is not None:
+            items.append(tuple((p.beat, p.bpm, p.curve) for p in tm.points))
 
         def lane_key(lane):
             if lane is None:

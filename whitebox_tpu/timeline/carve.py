@@ -127,28 +127,35 @@ def _carve_track_audio(
         playback_speed = (float(sample.sample_rate) / rate) * clip_speed  # sampler.h:24
 
         # ---- Play event position + initial sampler offset ----
+        # block ownership of event times: the unmapped searchsorted side
+        # "left" mirrors the reference's closed-interval walk; mapped grids
+        # hit beats exactly, so ownership is half-open [P[k], P[k+1]) —
+        # side "right" — matching the oracle's mapped walk (see
+        # oracle._process_event for the full rationale)
+        side = "right" if transport.mapped else "left"
         first_mid_start = first and float(P[0]) > clip.min_time
         if first_mid_start:
-            # partial start (track.cpp:372-388)
-            rel = float(P[0]) - clip.min_time
-            sample_pos = beat_to_samples(rel, rate, bd)
+            # partial start (track.cpp:372-388); delta_samples ==
+            # beat_to_samples(P[0]-min_time, rate, bd) bit-for-bit when
+            # unmapped, the exact tempo-map integral when mapped
+            sample_pos = transport.delta_samples(clip.min_time, float(P[0]))
             o0 = float(int(clip.start_offset + sample_pos * clip_speed))
             play_global = 0
         else:
-            ka = int(np.searchsorted(P[1:], clip.min_time, side="left"))
+            ka = int(np.searchsorted(P[1:], clip.min_time, side=side))
             if ka >= num_blocks:
                 break  # starts after the render window; later clips too
-            so = float(S[ka]) + beat_to_samples(clip.min_time - float(P[ka]), rate, bd)
+            so = float(S[ka]) + transport.delta_samples(float(P[ka]), clip.min_time)
             play_global = ka * bs + (_u64_trunc(so) % bs)
             o0 = float(int(clip.start_offset))  # (size_t) cast, track.cpp:366
         first = False
 
         # ---- Stop event position ----
-        ke = int(np.searchsorted(P[1:], clip.max_time, side="left"))
+        ke = int(np.searchsorted(P[1:], clip.max_time, side=side))
         if ke >= num_blocks:
             stop_global = end_frame
         else:
-            so = float(S[ke]) + beat_to_samples(clip.max_time - float(P[ke]), rate, bd)
+            so = float(S[ke]) + transport.delta_samples(float(P[ke]), clip.max_time)
             stop_global = ke * bs + (_u64_trunc(so) % bs)
 
         gs, ge = play_global, min(stop_global, end_frame)
@@ -162,12 +169,20 @@ def _carve_track_audio(
             if clip.audio.fade_start > 0.0 or clip.audio.fade_end > 0.0:
                 elapsed = 0
                 if first_mid_start:
-                    elapsed = int(round(beat_to_samples(float(P[0]) - clip.min_time, rate, bd)))
+                    elapsed = int(round(transport.delta_samples(clip.min_time, float(P[0]))))
                 clip_begin = play_global - elapsed
-                clip_frames = int(round(beat_to_samples(clip.max_time - clip.min_time, rate, bd)))
+                clip_frames = int(round(transport.delta_samples(clip.min_time, clip.max_time)))
                 clip_end = clip_begin + clip_frames
-                fin_frames = int(round(beat_to_samples(clip.audio.fade_start, rate, bd)))
-                fout_frames = int(round(beat_to_samples(clip.audio.fade_end, rate, bd)))
+                if transport.mapped:
+                    # fades are beat SPANS anchored at the clip edges — under
+                    # a map their frame lengths follow the local tempo there
+                    fin_frames = int(round(transport.delta_samples(
+                        clip.min_time, clip.min_time + clip.audio.fade_start)))
+                    fout_frames = int(round(transport.delta_samples(
+                        clip.max_time - clip.audio.fade_end, clip.max_time)))
+                else:
+                    fin_frames = int(round(beat_to_samples(clip.audio.fade_start, rate, bd)))
+                    fout_frames = int(round(beat_to_samples(clip.audio.fade_end, rate, bd)))
                 fin_start = clip_begin if fin_frames > 0 else -NOFADE
                 fin_inv = np.float32(1.0 / fin_frames) if fin_frames > 0 else np.float32(1.0)
                 fout_end = clip_end if fout_frames > 0 else NOFADE
@@ -479,7 +494,8 @@ def carve_session(
     WBTPU_NO_NATIVE_CARVE / WBTPU_NO_NATIVE is set.
     """
     start = session.playhead_start if playhead_start is None else playhead_start
-    transport = BlockTransport(float(sample_rate), int(buffer_size), session.beat_duration, start)
+    transport = BlockTransport(float(sample_rate), int(buffer_size), session.beat_duration, start,
+                               tempo_map=getattr(session, "tempo_map", None))
     if num_blocks is None:
         num_blocks = max(transport.blocks_for_beats(session.end_time()), 1)
 
@@ -493,6 +509,10 @@ def carve_session(
     if native is None:
         native = not (os.environ.get("WBTPU_NO_NATIVE_CARVE")
                       or os.environ.get("WBTPU_NO_NATIVE"))
+    if transport.mapped:
+        # the C++ walk speaks only the single-beat_duration arithmetic;
+        # tempo-mapped sessions take the Python walk (same emit machinery)
+        native = False
     native_out = None
     if native:
         from whitebox_tpu.timeline import carve_native

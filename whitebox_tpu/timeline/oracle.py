@@ -25,7 +25,6 @@ from typing import Optional
 import numpy as np
 
 from whitebox_tpu.core.formats import AudioFormat, I16_NORM_F32, I24_NORM_F64, I32_NORM_F64
-from whitebox_tpu.core.math import beat_to_samples
 from whitebox_tpu.session.clip import Clip, ClipType
 from whitebox_tpu.session.session import Session
 from whitebox_tpu.session.track import Track
@@ -196,7 +195,7 @@ class OracleRenderer:
         start_time: float,
         end_time: float,
         sample_position: float,
-        beat_duration: float,
+        transport: BlockTransport,
     ) -> None:
         clips = track.clips
         rate = self.sample_rate
@@ -243,19 +242,31 @@ class OracleRenderer:
         if st.clip_idx is None:
             return
 
+        # Block ownership of an event time t. Unmapped: the reference's
+        # closed interval [start, end] (track.cpp walk) — f64-accumulated
+        # grids essentially never land exactly on a beat, so the ambiguous
+        # equality case is moot. Mapped: HALF-OPEN [start, end) — the exact
+        # closed-form grids DO hit beats exactly (e.g. beat 6.0 == a block
+        # edge at 120->60 bpm), and closed ownership would double-fire the
+        # Play in two adjacent blocks (plus truncate it a block early via
+        # the %buffer_size wrap). Half-open places every event exactly once
+        # at its exact frame. core/tempo.py documents this contract.
+        mapped = transport.mapped
         next_clip = st.clip_idx
         while next_clip < num_clips:
             clip = clips[next_clip]
             min_time = clip.min_time
             max_time = clip.max_time
 
-            if min_time > end_time:
+            if (min_time >= end_time) if mapped else (min_time > end_time):
                 break
 
             is_audio = clip.is_audio()
             if min_time >= start_time:  # started from the beginning
                 if is_audio:
-                    offset_from_start = beat_to_samples(min_time - start_time, rate, beat_duration)
+                    # delta_samples == beat_to_samples(min_time-start_time,
+                    # rate, bd) bit-for-bit when unmapped (transport.py)
+                    offset_from_start = transport.delta_samples(start_time, min_time)
                     sample_offset = sample_position + offset_from_start
                     buffer_offset = int(np.uint64(sample_offset)) % bufsize
                     events.append(
@@ -270,7 +281,7 @@ class OracleRenderer:
             elif start_time > min_time and not st.partially_ended:  # started mid-clip
                 relative_start_time = start_time - min_time
                 if is_audio:
-                    sample_pos = beat_to_samples(relative_start_time, rate, beat_duration)
+                    sample_pos = transport.delta_samples(min_time, start_time)
                     sample_offset = int(clip.start_offset + sample_pos * clip.audio.speed)
                     events.append(
                         _AudioEvent(_PLAY, 0, start_time, speed=clip.audio.speed, sample_offset=sample_offset, clip=clip)
@@ -281,7 +292,7 @@ class OracleRenderer:
             elif clip.internal_state_changed and st.partially_ended:  # edited while playing
                 relative_start_time = start_time - min_time
                 if is_audio:
-                    sample_pos = beat_to_samples(relative_start_time, rate, beat_duration)
+                    sample_pos = transport.delta_samples(min_time, start_time)
                     sample_offset = int(clip.start_offset + sample_pos * clip.audio.speed)
                     events.append(_AudioEvent(_STOP, 0, start_time))
                     events.append(
@@ -291,9 +302,12 @@ class OracleRenderer:
                     st.midi_note_idx = clip.midi.asset.find_first_note(relative_start_time + clip.start_offset, 0)
                 clip.internal_state_changed = False
 
-            if max_time <= end_time:  # clip ends inside this block
+            if (max_time < end_time) if mapped else (max_time <= end_time):
+                # clip ends inside this block (mapped: a stop exactly at the
+                # block edge belongs to the NEXT block, where delta == 0
+                # gives the exact frame instead of a %bufsize early wrap)
                 if is_audio:
-                    offset_from_start = beat_to_samples(max_time - start_time, rate, beat_duration)
+                    offset_from_start = transport.delta_samples(start_time, max_time)
                     sample_offset = sample_position + offset_from_start
                     buffer_offset = int(np.uint64(sample_offset)) % bufsize
                     events.append(_AudioEvent(_STOP, buffer_offset, max_time))
@@ -423,9 +437,15 @@ class OracleRenderer:
         beat_duration = session.beat_duration
         start = session.playhead_start if playhead_start is None else playhead_start
 
-        transport = BlockTransport(self.sample_rate, self.buffer_size, beat_duration, start)
+        transport = BlockTransport(self.sample_rate, self.buffer_size, beat_duration, start,
+                                   tempo_map=getattr(session, "tempo_map", None))
         if num_blocks is None:
             num_blocks = max(transport.blocks_for_beats(session.end_time()), 1)
+        # mapped transports drive playhead/sample_position from the exact
+        # grids; the unmapped grids ARE the sequential accumulation below
+        # (np.add.accumulate — identical f64 op sequence), so one code path
+        P = transport.playhead_grid(num_blocks)
+        S = transport.sample_position_grid(num_blocks)
 
         states = []
         for track in session.tracks:
@@ -433,27 +453,22 @@ class OracleRenderer:
             st.clip_idx = track.find_next_clip(start)  # reset_playback_state (track.cpp:220)
             states.append(st)
 
-        playhead = start
-        sample_position = 0.0
         n = self.buffer_size
         output = np.zeros((self.channels, num_blocks * n), dtype=np.float32)
         mix = np.empty((self.channels, n), dtype=np.float32)
 
         for k in range(num_blocks):
-            buffer_duration = float(n) / self.sample_rate
-            bd_beats = buffer_duration / beat_duration
-            next_playhead = playhead + bd_beats
+            playhead = float(P[k])
+            next_playhead = float(P[k + 1])
+            sample_position = float(S[k])
             block = output[:, k * n : (k + 1) * n]
 
             for track, st in zip(session.tracks, states):
                 mix[:] = 0.0
                 events: list[_AudioEvent] = []
-                self._process_event(track, st, events, playhead, next_playhead, sample_position, beat_duration)
+                self._process_event(track, st, events, playhead, next_playhead, sample_position, transport)
                 self._render_track_block(track, st, events, mix)
                 block += mix  # output.mix(mixing_buffer), track index order
-
-            sample_position += beat_to_samples(bd_beats, self.sample_rate, beat_duration)
-            playhead = next_playhead
 
             # hard clip (engine.cpp:1627-1636)
             np.copyto(block, np.where(block > 1.0, np.float32(1.0), block))
