@@ -211,3 +211,42 @@ class TestSMF:
         nb = parse_smf(blob)
         assert len(nb) == 1
         assert nb[0].min_time == 0.0 and nb[0].max_time == 1.0 and nb[0].key == 0x3C
+
+
+class TestSMFTempo:
+    def test_tempo_meta_roundtrip(self, tmp_path):
+        from whitebox_tpu.midi.smf import tempo_map_from_smf
+
+        notes = MidiNoteBuffer([MidiNote(0.0, 1.0, key=60, velocity=0.8)])
+        p = tmp_path / "t.mid"
+        write_smf(notes, p, tempo=[(0.0, 120.0), (4.0, 60.0)])
+        back = load_notes_from_file(p)
+        assert back.tempo == [(0.0, 120.0), (4.0, 60.0)]
+        tm = tempo_map_from_smf(back)
+        assert tm is not None
+        assert tm.bpm_at(0.0) == pytest.approx(120.0, rel=1e-6)
+        assert tm.bpm_at(5.0) == pytest.approx(60.0, rel=1e-6)
+
+    def test_no_tempo_metas_gives_none(self, tmp_path):
+        from whitebox_tpu.midi.smf import tempo_map_from_smf
+
+        notes = MidiNoteBuffer([MidiNote(0.0, 1.0, key=60, velocity=0.8)])
+        p = tmp_path / "t.mid"
+        write_smf(notes, p)
+        back = load_notes_from_file(p)
+        assert back.tempo == []
+        assert tempo_map_from_smf(back) is None
+
+    def test_manual_set_tempo_meta(self):
+        import struct
+        # FF 51 03 07 A1 20 = 500000 usec/quarter = 120 bpm at t=0,
+        # then 0F 42 40 = 1000000 usec = 60 bpm at beat 2 (div 96)
+        body = bytearray()
+        body += b"\x00\xff\x51\x03\x07\xa1\x20"
+        body += b"\x81\x40"  # varlen 192
+        body += b"\xff\x51\x03\x0f\x42\x40"
+        body += b"\x00\xff\x2f\x00"
+        blob = (b"MThd" + struct.pack(">IHHH", 6, 0, 1, 96)
+                + b"MTrk" + struct.pack(">I", len(body)) + bytes(body))
+        nb = parse_smf(blob)
+        assert [(b, round(v, 3)) for b, v in nb.tempo] == [(0.0, 120.0), (2.0, 60.0)]

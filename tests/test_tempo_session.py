@@ -249,3 +249,39 @@ class TestMappedSurface:
         pv.seek(5.0)  # 2.0 s + 1 beat at 60 bpm = 3.0 s
         assert pv.position_frames == int(3.0 * RATE)
         assert pv.position_beats == pytest.approx(5.0, abs=1e-9)
+
+
+class TestMappedFadesAndLoops:
+    def test_mapped_fade_lengths_follow_local_tempo(self):
+        # clip at beat 4 under 120->60: a 0.5-beat fade-in there = 0.25 s
+        # of beats... at 60 bpm a 0.5-beat fade spans 0.5 s = 24000 frames
+        s = Session(bpm=120.0)
+        s.set_tempo_point(4.0, 60.0)
+        const = s.sample_table.add_sample(
+            __import__("whitebox_tpu.session.sample", fromlist=["Sample"]).Sample.from_planar(
+                np.full((1, 96000), 0.5, np.float32), 48000,
+                AudioFormat.F32, name="const"), key="const")
+        tr = s.add_track("t", volume_db=0.0, pan=0.0)
+        s.add_audio_clip(tr, "c", 4.0, 5.5, asset=const, fade_start=0.5)
+        res = bounce(s, RATE, buffer_size=512, engine="xla")
+        a = res.audio[0]
+        onset = int(2.0 * RATE)
+        assert a[onset] == 0.0
+        # halfway up the 24000-frame ramp at amplitude 0.5 -> 0.25
+        assert a[onset + 12000] == pytest.approx(0.25, abs=1e-4)
+        assert a[onset + 30000] == np.float32(0.5)  # past the ramp
+
+    def test_mapped_loop_modes_match_oracle(self):
+        from whitebox_tpu.session.clip import ClipMode
+
+        for mode in (ClipMode.LOOP_STRAIGHT, ClipMode.LOOP_REVERSE,
+                     ClipMode.LOOP_BIDIRECTIONAL):
+            s = Session(bpm=120.0)
+            s.set_tempo_point(3.0, 75.0)
+            a = _mono_asset(s, 3000, seed=int(mode))
+            tr = s.add_track("t")
+            s.add_audio_clip(tr, "c", 0.5, 6.0, asset=a)
+            tr.clips[0].audio.mode = mode
+            oracle, ours = _render_pair(s)
+            np.testing.assert_array_equal(
+                ours[:, : oracle.shape[1]], oracle, err_msg=str(mode))

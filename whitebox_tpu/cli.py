@@ -260,6 +260,15 @@ def _cmd_tempo(args) -> int:
     session = read_project(args.project)
     if args.set_bpm is not None:
         session.set_bpm(args.set_bpm)
+    if args.from_smf:
+        from whitebox_tpu.midi.smf import load_notes_from_file, tempo_map_from_smf
+
+        tm = tempo_map_from_smf(load_notes_from_file(args.from_smf))
+        if tm is None:
+            raise ValueError(f"{args.from_smf} carries no Set-Tempo events")
+        session.tempo_map = None
+        session.set_bpm(tm.bpm_at(0.0))
+        session.tempo_map = None if tm.is_constant else tm
     for spec in args.point or []:
         parts = spec.split(":")
         if len(parts) not in (2, 3):
@@ -381,6 +390,8 @@ def main(argv=None) -> int:
                    help="add/replace a tempo point (CURVE: step|linear)")
     p.add_argument("--remove", action="append", metavar="BEAT",
                    help="remove the tempo point at BEAT")
+    p.add_argument("--from-smf", metavar="FILE.mid",
+                   help="import the tempo map from an SMF's Set-Tempo events")
     p.set_defaults(fn=_cmd_tempo)
 
     parser.add_argument("-v", "--verbose", action="store_true", help="debug logging")

@@ -2,8 +2,10 @@
 
 Reads format 0/1 SMF, pairs note-on/note-off per key, converts ticks to
 beats (ticks / division, matching the reference's tick->beat conversion),
-normalizes velocity to [0, 1]. Tempo events are ignored (the session's BPM
-governs playback, as in the reference).
+normalizes velocity to [0, 1]. Set-Tempo meta events (FF 51) are collected
+as ``MidiNoteBuffer.tempo`` [(beat, bpm), ...] — playback still follows the
+session's BPM as in the reference, unless the caller imports them into a
+``Session.tempo_map`` (``tempo_map_from_smf`` / ``cli tempo --from-smf``).
 """
 
 from __future__ import annotations
@@ -38,6 +40,7 @@ def parse_smf(data: bytes) -> MidiNoteBuffer:
     notes: list[MidiNote] = []
     cc: list[MidiCCEvent] = []
     pp: list[MidiPolyPressureEvent] = []
+    tempo: list[tuple[float, float]] = []  # (beat, bpm) from FF 51 metas
     pos = 8 + hlen
     for _ in range(ntrks):
         if data[pos : pos + 4] != b"MTrk":
@@ -89,8 +92,13 @@ def parse_smf(data: bytes) -> MidiNoteBuffer:
             elif ev in (0xC0, 0xD0):
                 p += 1
             elif status == 0xFF:  # meta
-                p += 1  # type
+                mtype = body[p]
+                p += 1
                 ln, p = _read_varlen(body, p)
+                if mtype == 0x51 and ln == 3:  # Set Tempo: usec per quarter
+                    usec = (body[p] << 16) | (body[p + 1] << 8) | body[p + 2]
+                    if usec > 0:
+                        tempo.append((tick / division, 60_000_000.0 / usec))
                 p += ln
             elif status in (0xF0, 0xF7):  # sysex
                 ln, p = _read_varlen(body, p)
@@ -101,7 +109,23 @@ def parse_smf(data: bytes) -> MidiNoteBuffer:
         for (ch, key), (t0, vel) in active.items():
             notes.append(MidiNote(t0 / division, tick / division, key=key, velocity=vel))
 
-    return MidiNoteBuffer(notes, cc=cc, poly_pressure=pp)
+    buf = MidiNoteBuffer(notes, cc=cc, poly_pressure=pp)
+    # later-wins at equal beats across tracks (format-1 tempo lives in
+    # track 0, but be liberal in what we accept)
+    buf.tempo = sorted({b: (b, v) for b, v in sorted(tempo)}.values())
+    return buf
+
+
+def tempo_map_from_smf(buf) -> "object | None":
+    """Build a :class:`whitebox_tpu.core.tempo.TempoMap` from a parsed
+    buffer's Set-Tempo metas (step curves — SMF tempo is stepwise).
+    Returns None when the file carries no tempo events."""
+    tempo = getattr(buf, "tempo", None)
+    if not tempo:
+        return None
+    from whitebox_tpu.core.tempo import TempoMap, TempoPoint
+
+    return TempoMap([TempoPoint(b, v, "step") for b, v in tempo])
 
 
 def load_notes_from_file(path) -> MidiNoteBuffer:
@@ -110,9 +134,13 @@ def load_notes_from_file(path) -> MidiNoteBuffer:
         return parse_smf(f.read())
 
 
-def write_smf(notes: MidiNoteBuffer, path, division: int = 480) -> None:
+def write_smf(notes: MidiNoteBuffer, path, division: int = 480,
+              tempo: "list[tuple[float, float]] | None" = None) -> None:
     """Minimal SMF format-0 writer (round-trip/testing) — notes plus the
-    CC / poly-pressure events the buffer carries."""
+    CC / poly-pressure events the buffer carries, and optional Set-Tempo
+    metas as (beat, bpm) pairs (defaults to the buffer's own ``tempo``;
+    a TempoMap's step points export losslessly, ramps export their
+    anchor BPMs)."""
     events = []
     for n in notes:
         events.append((int(round(n.min_time * division)), 0x90, n.key, max(1, int(round(n.velocity * 127)))))
@@ -123,7 +151,13 @@ def write_smf(notes: MidiNoteBuffer, path, division: int = 480) -> None:
     for e in getattr(notes, "poly_pressure", []):
         events.append((int(round(e.time * division)), 0xA0 | (e.channel & 0x0F),
                        e.key, int(round(e.pressure * 127))))
-    events.sort(key=lambda e: (e[0], e[1]))
+    if tempo is None:
+        tempo = getattr(notes, "tempo", None) or []
+    for beat, bpm in tempo:
+        usec = max(1, min(0xFFFFFF, int(round(60_000_000.0 / float(bpm)))))
+        events.append((int(round(float(beat) * division)), 0xFF,
+                       bytes([0x51, 0x03, (usec >> 16) & 0xFF, (usec >> 8) & 0xFF, usec & 0xFF]), 0))
+    events.sort(key=lambda e: (e[0], 0 if e[1] == 0xFF else 1, e[1] if isinstance(e[1], int) else 0))
 
     body = bytearray()
     last = 0
@@ -138,7 +172,10 @@ def write_smf(notes: MidiNoteBuffer, path, division: int = 480) -> None:
                 break
         for i in range(len(chunk) - 1):
             chunk[i] |= 0x80
-        body += chunk + bytes([status, key, vel])
+        if status == 0xFF:  # meta event: key carries the payload bytes
+            body += chunk + bytes([0xFF]) + key
+        else:
+            body += chunk + bytes([status, key, vel])
     body += b"\x00\xff\x2f\x00"  # end of track
 
     blob = b"MThd" + struct.pack(">IHHH", 6, 0, 1, division)
