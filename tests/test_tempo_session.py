@@ -285,3 +285,39 @@ class TestMappedFadesAndLoops:
             oracle, ours = _render_pair(s)
             np.testing.assert_array_equal(
                 ours[:, : oracle.shape[1]], oracle, err_msg=str(mode))
+
+
+class TestMappedMidiEdges:
+    def test_note_on_exact_block_edge(self):
+        from whitebox_tpu.midi.notes import MidiNote, MidiNoteBuffer
+        from whitebox_tpu.midi.voice import carve_midi_events
+
+        # 120->60 at beat 4: beat 6.0 == frame 192000 == block 375 exactly
+        s = Session(bpm=120.0)
+        s.set_tempo_point(4.0, 60.0)
+        buf = MidiNoteBuffer([MidiNote(min_time=6.0, max_time=6.5, key=60, velocity=0.9)])
+        asset = s.midi_table.create_midi(buf)
+        tr = s.add_track("m")
+        s.add_midi_clip(tr, "mc", 0.0, 8.0, asset=asset)
+        ev = carve_midi_events(s, RATE, buffer_size=512)[0]
+        ons = [e for e in ev if e.on]
+        assert len(ons) == 1  # no double-fire
+        assert ons[0].frame == 192000  # exact, not a block early
+
+    def test_clip_start_exact_block_edge_single_emission(self):
+        from whitebox_tpu.midi.notes import MidiNote, MidiNoteBuffer
+        from whitebox_tpu.midi.voice import carve_midi_events
+
+        s = Session(bpm=120.0)
+        s.set_tempo_point(4.0, 60.0)
+        buf = MidiNoteBuffer([MidiNote(min_time=0.0, max_time=0.5, key=64, velocity=0.9)])
+        asset = s.midi_table.create_midi(buf)
+        tr = s.add_track("m")
+        s.add_midi_clip(tr, "mc", 6.0, 7.0, asset=buf and asset)
+        ev = carve_midi_events(s, RATE, buffer_size=512)[0]
+        ons = [e for e in ev if e.on]
+        offs = [e for e in ev if not e.on]
+        assert len(ons) == 1 and len(offs) == 1
+        assert ons[0].frame == 192000
+        # note off at beat 6.5 = 2.0 s + 2.5 beats at 60 bpm = 4.5 s
+        assert offs[0].frame == int(4.5 * RATE)

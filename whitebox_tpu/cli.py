@@ -30,6 +30,20 @@ def _cmd_render(args) -> int:
     log.info("loaded %s: %d tracks, %d clips", args.project, len(session.tracks), session.num_clips())
     fmt = {"f32": AudioFormat.F32, "i16": AudioFormat.I16, "i24": AudioFormat.I24, "i32": AudioFormat.I32}[args.format]
 
+    num_blocks = trim_frames = None
+    if args.from_beat is not None or args.to_beat is not None:
+        from whitebox_tpu.timeline.transport import BlockTransport
+
+        start = float(args.from_beat) if args.from_beat is not None else session.playhead_start
+        session.set_playhead_position(start)
+        if args.to_beat is not None:
+            if args.to_beat <= start:
+                raise ValueError(f"--to-beat {args.to_beat} must be past the start ({start})")
+            tr = BlockTransport(float(args.rate), int(args.buffer_size),
+                                session.beat_duration, start, tempo_map=session.tempo_map)
+            num_blocks = max(tr.blocks_for_beats(float(args.to_beat)), 1)
+            trim_frames = int(round(tr.delta_samples(start, float(args.to_beat))))
+
     profile_cm = contextlib.nullcontext()
     if args.profile:
         import jax
@@ -42,6 +56,9 @@ def _cmd_render(args) -> int:
             session,
             sample_rate=args.rate,
             buffer_size=args.buffer_size,
+            num_blocks=num_blocks,
+            trim_frames=trim_frames,
+            tail_seconds=args.tail,
             chunk_frames=args.chunk_frames,
             strict_order=not args.fast_sum,
             engine=args.engine,
@@ -319,6 +336,14 @@ def main(argv=None) -> int:
     p.add_argument("--normalize-peak", type=float, default=None, metavar="DBTP",
                    help="scale the output so the oversampled TRUE peak hits "
                         "the target (e.g. -1.0)")
+    p.add_argument("--tail", type=float, default=0.0, metavar="SECONDS",
+                   help="render past the last clip so effect decay (delay "
+                        "feedback, reverb) rings out instead of being cut")
+    p.add_argument("--from-beat", type=float, default=None, metavar="BEAT",
+                   help="render from this beat (default: the project playhead)")
+    p.add_argument("--to-beat", type=float, default=None, metavar="BEAT",
+                   help="stop at this beat (exact frame under the tempo map; "
+                        "default: the last clip edge)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler (xprof) trace of the render into DIR")
     p.add_argument("--json", action="store_true")

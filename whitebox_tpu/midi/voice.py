@@ -118,9 +118,15 @@ def carve_midi_events(
 
         def frame_of(time_beats: float, k: int) -> int:
             # == beat_to_samples(time - P[k], rate, bd) bit-for-bit when
-            # unmapped; the exact tempo-map integral when mapped
+            # unmapped; the exact tempo-map integral when mapped. Mapped
+            # grids have S[k] == k*bs exactly, so trunc(so) IS the global
+            # frame — skipping the %bs wrap keeps an event landing exactly
+            # on the next block edge at its exact frame instead of a block
+            # early (the same half-open contract as the audio carve).
             off = transport.delta_samples(float(P[k]), time_beats)
             so = float(S[k]) + off
+            if transport.mapped:
+                return int(so) if so > 0 else 0
             return k * bs + ((int(so) if so > 0 else 0) % bs)
 
         # which clip index is next (fresh playback state, find_next_clip)
@@ -139,7 +145,11 @@ def carve_midi_events(
             # --- process_event walk for this block (MIDI branches only) ---
             while ci < len(clips):
                 clip = clips[ci]
-                if clip.min_time > end_time:
+                # mapped ownership is half-open [start, end): a clip starting
+                # exactly at the block edge waits for its own block (closed
+                # ownership would reset note_idx in BOTH blocks and
+                # double-emit every note — see oracle._process_event)
+                if (clip.min_time >= end_time) if transport.mapped else (clip.min_time > end_time):
                     break
                 if clip.is_midi() and clip.midi is not None and clip.midi.asset is not None:
                     if clip.min_time >= start_time:

@@ -120,6 +120,7 @@ def bounce(
     chunk_frames: int = 1 << 17,
     num_blocks: int | None = None,
     trim_frames: int | None = None,
+    tail_seconds: float = 0.0,
     strict_order: bool = True,
     engine: str = "auto",
     interpolation: str = "linear",
@@ -177,8 +178,21 @@ def bounce(
 
     ``normalize``: ("lufs", target) or ("peak", target_dbtp) output
     normalization — see _finalize_output.
+
+    ``tail_seconds``: render this far past the last clip edge so effect
+    decay (delay feedback, reverb, release envelopes) rings out instead of
+    being cut at the timeline end. Ignored when ``num_blocks`` is given.
     """
     from whitebox_tpu.session.bus import session_has_routing
+
+    if num_blocks is None and tail_seconds > 0.0:
+        from whitebox_tpu.timeline.transport import BlockTransport
+
+        tr_ = BlockTransport(float(sample_rate), int(buffer_size),
+                             session.beat_duration, session.playhead_start,
+                             tempo_map=getattr(session, "tempo_map", None))
+        num_blocks = (max(tr_.blocks_for_beats(session.end_time()), 1)
+                      + int(np.ceil(float(tail_seconds) * sample_rate / buffer_size)))
 
     if meters:
         effects_mode = "scan"  # fir's spectral sum never materializes per-track audio
