@@ -321,3 +321,54 @@ class TestMappedMidiEdges:
         assert ons[0].frame == 192000
         # note off at beat 6.5 = 2.0 s + 2.5 beats at 60 bpm = 4.5 s
         assert offs[0].frame == int(4.5 * RATE)
+
+
+class TestReviewFixes:
+    def test_split_across_tempo_change_is_seamless(self):
+        # map 120->60 at beat 4, clip [0,8): splitting at beat 6 must leave
+        # the audio identical to the unsplit render (exact integral shift —
+        # a single local beat duration would jump the content by 1.0 s)
+        s = Session(bpm=120.0)
+        s.set_tempo_point(4.0, 60.0)
+        a = _mono_asset(s, 48000 * 7, seed=13)
+        tr = s.add_track("t", volume_db=0.0, pan=0.0)
+        s.add_audio_clip(tr, "c", 0.0, 8.0, asset=a)
+        ref = OracleRenderer(s, RATE, buffer_size=512).render()
+
+        s.delete_region(tr, 5.0, 6.0)  # split [0,8) -> [0,5) + [6,8)
+        assert len(tr.clips) == 2
+        # right clip content anchor: exact mapped span of [0, 6) beats =
+        # 2.0 s + 2 beats at 60 bpm = 4.0 s (a single local beat duration
+        # would put it at 3.0 s or 6.0 s — a full second of seam)
+        assert tr.clips[1].start_offset == pytest.approx(4.0 * RATE, abs=1e-6)
+        got = OracleRenderer(s, RATE, buffer_size=512).render()
+        n = min(ref.shape[1], got.shape[1])
+        f6 = int(4.0 * RATE)  # beat 6 = 4.0 s
+        np.testing.assert_array_equal(got[:, f6:n], ref[:, f6:n])
+        assert np.all(got[:, int(3.0 * RATE) + 1 : f6] == 0)  # cleared region
+
+    def test_set_bpm_preserves_beat0_linear_curve(self):
+        s = Session(bpm=100.0)
+        s.set_tempo_point(0.0, 100.0, curve="linear")
+        s.set_tempo_point(4.0, 140.0)
+        assert s.tempo_map.bpm_at(2.0) == pytest.approx(120.0)
+        s.set_bpm(100.0)  # no-op BPM change must not flatten the ramp
+        assert s.tempo_map.bpm_at(2.0) == pytest.approx(120.0)
+        s.set_bpm(80.0)  # BPM moves, curve stays linear
+        assert s.tempo_map.points[0].curve == "linear"
+        assert s.tempo_map.bpm_at(2.0) == pytest.approx((80.0 + 140.0) / 2.0)
+
+    def test_smf_equal_tick_tempo_override_later_wins(self):
+        import struct
+
+        from whitebox_tpu.midi.smf import parse_smf
+
+        # two Set-Tempo metas at tick 0: 120 bpm then 90 bpm — later wins
+        body = (b"\x00\xff\x51\x03\x07\xa1\x20"      # 500000 usec = 120
+                b"\x00\xff\x51\x03\x0a\x2c\x2a"      # 666666 usec = 90.00009
+                b"\x00\xff\x2f\x00")
+        blob = (b"MThd" + struct.pack(">IHHH", 6, 0, 1, 96)
+                + b"MTrk" + struct.pack(">I", len(body)) + body)
+        nb = parse_smf(blob)
+        assert len(nb.tempo) == 1
+        assert nb.tempo[0][1] == pytest.approx(90.0, abs=1e-3)

@@ -43,6 +43,12 @@ def _cmd_render(args) -> int:
                                 session.beat_duration, start, tempo_map=session.tempo_map)
             num_blocks = max(tr.blocks_for_beats(float(args.to_beat)), 1)
             trim_frames = int(round(tr.delta_samples(start, float(args.to_beat))))
+            if args.tail > 0.0:
+                # honor --tail past the explicit end beat (bounce's own
+                # tail branch only applies when it computes num_blocks)
+                tail_frames = int(np.ceil(args.tail * args.rate))
+                num_blocks += (tail_frames + args.buffer_size - 1) // args.buffer_size
+                trim_frames += tail_frames
 
     profile_cm = contextlib.nullcontext()
     if args.profile:

@@ -110,9 +110,9 @@ def parse_smf(data: bytes) -> MidiNoteBuffer:
             notes.append(MidiNote(t0 / division, tick / division, key=key, velocity=vel))
 
     buf = MidiNoteBuffer(notes, cc=cc, poly_pressure=pp)
-    # later-wins at equal beats across tracks (format-1 tempo lives in
-    # track 0, but be liberal in what we accept)
-    buf.tempo = sorted({b: (b, v) for b, v in sorted(tempo)}.values())
+    # later-wins at equal beats: dedup in FILE order first (two metas at
+    # the same tick = an override, the last one is live), then sort
+    buf.tempo = sorted({b: (b, v) for b, v in tempo}.values())
     return buf
 
 

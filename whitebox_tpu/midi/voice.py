@@ -104,8 +104,6 @@ def carve_midi_events(
     P = transport.playhead_grid(num_blocks)
     S = transport.sample_position_grid(num_blocks)
     bs = int(buffer_size)
-    rate = float(sample_rate)
-    bd = session.beat_duration
 
     out: dict[int, list[VoiceEvent]] = {}
 
@@ -162,7 +160,7 @@ def carve_midi_events(
                     note_idx = _process_midi_block(
                         clip, state, events, note_idx,
                         start_time, seg_end if clip.max_time <= end_time else end_time,
-                        float(S[k]), bd, rate, bs, k, frame_of,
+                        k, frame_of,
                     )
                 if clip.max_time <= end_time:
                     partially_ended = False
@@ -193,7 +191,7 @@ def carve_midi_events(
 
 
 def _process_midi_block(clip, state: MidiVoiceState, events, note_idx, start_time, end_time,
-                        sample_position, bd, rate, bs, k, frame_of) -> int:
+                        k, frame_of) -> int:
     """Port of Track::process_midi_event for one block."""
     notes = clip.midi.asset.notes
     time_offset = clip.min_time - clip.start_offset

@@ -221,11 +221,30 @@ def calc_clip_shift(
     return max(start_offset - relative_pos, 0.0)
 
 
-def shift_clip_content(clip: Clip, relative_pos: float, beat_duration: float) -> float:
-    """clip_edit.h:150 — relative_pos in beats (scaled by speed for audio)."""
+def shift_clip_content(clip: Clip, relative_pos: float, time_base, old_beat: float | None = None) -> float:
+    """clip_edit.h:150 — relative_pos in beats (scaled by speed for audio).
+
+    ``time_base``: a scalar beat_duration keeps the reference's exact
+    roundtrip arithmetic. A TempoMap (with ``old_beat`` = the content's
+    current timeline anchor) computes the EXACT sample span of
+    ``relative_pos`` beats over the map — a split/trim that straddles a
+    tempo change stays seamless, which no single local beat duration can
+    achieve (the shifted span integrates both tempi)."""
     is_audio = clip.is_audio()
+    if not isinstance(time_base, float) and old_beat is not None:
+        if not is_audio:
+            return max(clip.start_offset - relative_pos, 0.0)
+        sample_rate = float(clip.audio.asset.sample.sample_rate)
+        # new content anchor is old_beat - relative_pos; the offset moves by
+        # the exact integral over that beat interval, scaled by clip speed
+        shift = time_base.delta_samples(float(old_beat), float(old_beat) - relative_pos,
+                                        sample_rate) * clip.audio.speed
+        return max(clip.start_offset + shift, 0.0)
+    if not isinstance(time_base, float):
+        # mapped but no anchor given: local linearization at beat 0
+        time_base = 60.0 / time_base.bpm_at(0.0)
     sample_rate = 0.0
     if is_audio:
         sample_rate = float(clip.audio.asset.sample.sample_rate)
         relative_pos = relative_pos * clip.audio.speed
-    return calc_clip_shift(is_audio, clip.start_offset, relative_pos, beat_duration, sample_rate)
+    return calc_clip_shift(is_audio, clip.start_offset, relative_pos, time_base, sample_rate)

@@ -288,7 +288,7 @@ class ClipShift(Command):
 
         clip = session.tracks[self.track_idx].clips[self.clip_id]
         clip.start_offset = shift_clip_content(clip, self.relative_pos,
-                                               session.beat_duration_at(clip.min_time))
+                                               session.time_base, old_beat=clip.min_time)
         clip.internal_state_changed = True
 
 

@@ -94,10 +94,17 @@ class Session:
         self.bpm = float(bpm)
         self.beat_duration = beat_duration_from_bpm(self.bpm)
         if self.tempo_map is not None:
-            # the map's beat-0 anchor follows the session bpm unless an
-            # explicit point at beat 0 pinned it
+            # the map's beat-0 anchor follows the session bpm; only its BPM
+            # value moves — an explicit beat-0 curve (e.g. a linear ramp
+            # into the next point) is preserved
+            from whitebox_tpu.core.tempo import TempoMap, TempoPoint
+
+            zero = next((p for p in self.tempo_map.points if p.beat == 0.0), None)
             pts = [p for p in self.tempo_map.points if p.beat > 0.0]
-            self.tempo_map = self._make_tempo_map(pts) if pts else None
+            pts.insert(0, TempoPoint(0.0, self.bpm,
+                                     zero.curve if zero is not None else "step"))
+            m = TempoMap(pts)
+            self.tempo_map = None if m.is_constant else m
 
     # ---- tempo map (framework extension — core/tempo.py) ----
 
@@ -582,14 +589,15 @@ class Session:
                 new_clip = clip.clone()
                 new_clip.min_time = rmax
                 new_clip.start_offset = shift_clip_content(
-                    new_clip, clip.min_time - rmax, self.beat_duration_at(clip.min_time))
+                    new_clip, clip.min_time - rmax, self.time_base, old_beat=clip.min_time)
                 result.modified_clips.append(new_clip)
                 clip.max_time = rmin
                 clips.append(new_clip)
             elif rmin > clip.min_time:
                 clip.max_time = rmin
             elif rmax < clip.max_time:
-                clip.start_offset = shift_clip_content(clip, clip.min_time - rmax, bd)
+                clip.start_offset = shift_clip_content(clip, clip.min_time - rmax,
+                                                       self.time_base, old_beat=clip.min_time)
                 clip.min_time = rmax
             else:
                 clip.deleted = True
@@ -609,7 +617,8 @@ class Session:
         if last is not ignore_clip and rmax < last.max_time:
             result.deleted_clips.append(last.clone())
             result.modified_clips.append(last)
-            last.start_offset = shift_clip_content(last, last.min_time - rmax, bd)
+            last.start_offset = shift_clip_content(last, last.min_time - rmax,
+                                                   self.time_base, old_beat=last.min_time)
             last.min_time = rmax
             last_clip -= 1
 
@@ -633,7 +642,7 @@ class Session:
             c = clip.clone()
             if c.min_time < rmin:
                 c.start_offset = shift_clip_content(c, c.min_time - rmin,
-                                                    self.beat_duration_at(c.min_time))
+                                                    self.time_base, old_beat=c.min_time)
                 c.min_time = rmin
             if c.max_time > rmax:
                 c.max_time = rmax
@@ -668,7 +677,8 @@ class Session:
                 c.max_time += dst_time_offset
                 if c.min_time < 0.0:
                     shift = -c.min_time
-                    c.start_offset = shift_clip_content(c, -shift, self.beat_duration_at(0.0))
+                    c.start_offset = shift_clip_content(c, -shift, self.time_base,
+                                                        old_beat=c.min_time)
                     c.min_time = 0.0
                 self._add_to_cliplist(dst, c)
 
@@ -678,7 +688,7 @@ class Session:
             if clip.max_time <= tmin or clip.min_time >= tmax:
                 continue
             clip.start_offset = shift_clip_content(clip, relative_pos,
-                                                   self.beat_duration_at(clip.min_time))
+                                                   self.time_base, old_beat=clip.min_time)
             clip.internal_state_changed = True
 
     def resize_clips(self, specs: list, relative_pos: float, resize_limit: float = 0.0,

@@ -98,14 +98,7 @@ class BlockTransport:
         steps[0] = 0.0
         return np.add.accumulate(steps)
 
-    def beat_duration_grid(self, num_blocks: int) -> np.ndarray:
-        """Local beat duration at the start of blocks 0..num_blocks."""
-        if self.mapped:
-            P = self.playhead_grid(num_blocks)
-            return 60.0 / np.array([self.tempo_map.bpm_at(float(b)) for b in P], np.float64)
-        return np.full(num_blocks + 1, self.beat_duration, np.float64)
-
-    def delta_samples(self, beat_from: float, beat_to: float, block: int | None = None) -> float:
+    def delta_samples(self, beat_from: float, beat_to: float) -> float:
         """Sample span between two beat positions.
 
         Unmapped (or when callers pass the legacy scalar path): the
