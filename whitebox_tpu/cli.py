@@ -30,6 +30,14 @@ def _cmd_render(args) -> int:
     log.info("loaded %s: %d tracks, %d clips", args.project, len(session.tracks), session.num_clips())
     fmt = {"f32": AudioFormat.F32, "i16": AudioFormat.I16, "i24": AudioFormat.I24, "i32": AudioFormat.I32}[args.format]
 
+    if args.from_bar is not None:
+        if args.from_beat is not None:
+            raise ValueError("--from-bar and --from-beat are mutually exclusive")
+        args.from_beat = session.bar_to_beat(args.from_bar)
+    if args.to_bar is not None:
+        if args.to_beat is not None:
+            raise ValueError("--to-bar and --to-beat are mutually exclusive")
+        args.to_beat = session.bar_to_beat(args.to_bar)
     num_blocks = trim_frames = None
     if args.from_beat is not None or args.to_beat is not None:
         from whitebox_tpu.timeline.transport import BlockTransport
@@ -272,6 +280,9 @@ def _cmd_inspect(args) -> int:
         ]
     if session.tempo_map is not None:
         info["tempo_map"] = session.tempo_map.as_dict()["points"]
+    if session.meter_map is not None:
+        info["meter_map"] = session.meter_map.as_dict()["points"]
+        info["end_position"] = session.meter_map.label(session.end_time())
     print(json.dumps(info, indent=2))
     return 0
 
@@ -284,14 +295,21 @@ def _cmd_tempo(args) -> int:
     if args.set_bpm is not None:
         session.set_bpm(args.set_bpm)
     if args.from_smf:
-        from whitebox_tpu.midi.smf import load_notes_from_file, tempo_map_from_smf
+        from whitebox_tpu.midi.smf import (
+            load_notes_from_file, meter_map_from_smf, tempo_map_from_smf,
+        )
 
-        tm = tempo_map_from_smf(load_notes_from_file(args.from_smf))
-        if tm is None:
-            raise ValueError(f"{args.from_smf} carries no Set-Tempo events")
-        session.tempo_map = None
-        session.set_bpm(tm.bpm_at(0.0))
-        session.tempo_map = None if tm.is_constant else tm
+        buf = load_notes_from_file(args.from_smf)
+        tm = tempo_map_from_smf(buf)
+        mm = meter_map_from_smf(buf)
+        if tm is None and mm is None:
+            raise ValueError(f"{args.from_smf} carries no tempo/time-signature events")
+        if tm is not None:
+            session.tempo_map = None
+            session.set_bpm(tm.bpm_at(0.0))
+            session.tempo_map = None if tm.is_constant else tm
+        if mm is not None:
+            session.meter_map = mm
     for spec in args.point or []:
         parts = spec.split(":")
         if len(parts) not in (2, 3):
@@ -300,10 +318,21 @@ def _cmd_tempo(args) -> int:
                                 parts[2] if len(parts) == 3 else "step")
     for beat in args.remove or []:
         session.remove_tempo_point(float(beat))
+    for spec in args.meter or []:
+        bar, _, sig = spec.partition(":")
+        num, _, den = sig.partition("/")
+        if not (bar and num and den):
+            raise ValueError(f"bad --meter {spec!r}: expected BAR:NUM/DEN")
+        session.set_meter(int(bar), int(num), int(den))
+    for bar in args.remove_meter or []:
+        session.remove_meter(int(bar))
     write_project(session, args.out or args.project)
     pts = (session.tempo_map.as_dict()["points"]
            if session.tempo_map is not None else [])
-    print(json.dumps({"bpm": session.bpm, "tempo_map": pts}, indent=2))
+    blob = {"bpm": session.bpm, "tempo_map": pts}
+    if session.meter_map is not None:
+        blob["meter_map"] = session.meter_map.as_dict()["points"]
+    print(json.dumps(blob, indent=2))
     return 0
 
 
@@ -350,6 +379,10 @@ def main(argv=None) -> int:
     p.add_argument("--to-beat", type=float, default=None, metavar="BEAT",
                    help="stop at this beat (exact frame under the tempo map; "
                         "default: the last clip edge)")
+    p.add_argument("--from-bar", type=float, default=None, metavar="BAR",
+                   help="render from this (0-based) bar, via the meter map")
+    p.add_argument("--to-bar", type=float, default=None, metavar="BAR",
+                   help="stop at this (0-based) bar, via the meter map")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler (xprof) trace of the render into DIR")
     p.add_argument("--json", action="store_true")
@@ -421,8 +454,12 @@ def main(argv=None) -> int:
                    help="add/replace a tempo point (CURVE: step|linear)")
     p.add_argument("--remove", action="append", metavar="BEAT",
                    help="remove the tempo point at BEAT")
+    p.add_argument("--meter", action="append", metavar="BAR:NUM/DEN",
+                   help="set the time signature from a (0-based) bar onward")
+    p.add_argument("--remove-meter", action="append", metavar="BAR",
+                   help="remove the time-signature change at BAR")
     p.add_argument("--from-smf", metavar="FILE.mid",
-                   help="import the tempo map from an SMF's Set-Tempo events")
+                   help="import tempo + time-signature maps from an SMF")
     p.set_defaults(fn=_cmd_tempo)
 
     parser.add_argument("-v", "--verbose", action="store_true", help="debug logging")

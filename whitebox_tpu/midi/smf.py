@@ -41,6 +41,7 @@ def parse_smf(data: bytes) -> MidiNoteBuffer:
     cc: list[MidiCCEvent] = []
     pp: list[MidiPolyPressureEvent] = []
     tempo: list[tuple[float, float]] = []  # (beat, bpm) from FF 51 metas
+    meter: list[tuple[float, int, int]] = []  # (beat, num, den) from FF 58
     pos = 8 + hlen
     for _ in range(ntrks):
         if data[pos : pos + 4] != b"MTrk":
@@ -99,6 +100,8 @@ def parse_smf(data: bytes) -> MidiNoteBuffer:
                     usec = (body[p] << 16) | (body[p + 1] << 8) | body[p + 2]
                     if usec > 0:
                         tempo.append((tick / division, 60_000_000.0 / usec))
+                elif mtype == 0x58 and ln >= 2:  # Time Signature: nn dd cc bb
+                    meter.append((tick / division, body[p], 1 << body[p + 1]))
                 p += ln
             elif status in (0xF0, 0xF7):  # sysex
                 ln, p = _read_varlen(body, p)
@@ -113,7 +116,29 @@ def parse_smf(data: bytes) -> MidiNoteBuffer:
     # later-wins at equal beats: dedup in FILE order first (two metas at
     # the same tick = an override, the last one is live), then sort
     buf.tempo = sorted({b: (b, v) for b, v in tempo}.values())
+    buf.meter = sorted({b: (b, n, d) for b, n, d in meter}.values())
     return buf
+
+
+def meter_map_from_smf(buf) -> "object | None":
+    """Build a :class:`whitebox_tpu.core.meter.MeterMap` from a parsed
+    buffer's Time-Signature metas. SMF stamps them at beat positions; DAW
+    meter changes live on bar boundaries, so each event is assigned the
+    bar its beat position lands on (cumulatively, in file order). Returns
+    None when the file carries no time-signature events."""
+    meter = getattr(buf, "meter", None)
+    if not meter:
+        return None
+    from whitebox_tpu.core.meter import MeterMap, MeterPoint
+
+    pts = []
+    bar0, beat0, bpb = 0, 0.0, 4.0
+    for beat, num, den in meter:
+        bar = bar0 + int(round((beat - beat0) / bpb))
+        pts.append(MeterPoint(max(bar, 0), int(num), int(den)))
+        bar0, beat0, bpb = max(bar, 0), beat, num * (4.0 / den)
+    m = MeterMap(pts)
+    return None if m.is_default else m
 
 
 def tempo_map_from_smf(buf) -> "object | None":
@@ -135,12 +160,14 @@ def load_notes_from_file(path) -> MidiNoteBuffer:
 
 
 def write_smf(notes: MidiNoteBuffer, path, division: int = 480,
-              tempo: "list[tuple[float, float]] | None" = None) -> None:
+              tempo: "list[tuple[float, float]] | None" = None,
+              meter: "list[tuple[float, int, int]] | None" = None) -> None:
     """Minimal SMF format-0 writer (round-trip/testing) — notes plus the
-    CC / poly-pressure events the buffer carries, and optional Set-Tempo
+    CC / poly-pressure events the buffer carries, optional Set-Tempo
     metas as (beat, bpm) pairs (defaults to the buffer's own ``tempo``;
     a TempoMap's step points export losslessly, ramps export their
-    anchor BPMs)."""
+    anchor BPMs), and optional Time-Signature metas as (beat, num, den)
+    (defaults to the buffer's own ``meter``)."""
     events = []
     for n in notes:
         events.append((int(round(n.min_time * division)), 0x90, n.key, max(1, int(round(n.velocity * 127)))))
@@ -157,6 +184,12 @@ def write_smf(notes: MidiNoteBuffer, path, division: int = 480,
         usec = max(1, min(0xFFFFFF, int(round(60_000_000.0 / float(bpm)))))
         events.append((int(round(float(beat) * division)), 0xFF,
                        bytes([0x51, 0x03, (usec >> 16) & 0xFF, (usec >> 8) & 0xFF, usec & 0xFF]), 0))
+    if meter is None:
+        meter = getattr(notes, "meter", None) or []
+    for beat, num, den in meter:
+        dd = max(0, int(den).bit_length() - 1)  # den == 1 << dd
+        events.append((int(round(float(beat) * division)), 0xFF,
+                       bytes([0x58, 0x04, int(num) & 0xFF, dd, 24, 8]), 0))
     events.sort(key=lambda e: (e[0], 0 if e[1] == 0xFF else 1, e[1] if isinstance(e[1], int) else 0))
 
     body = bytearray()

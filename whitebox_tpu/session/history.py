@@ -617,6 +617,34 @@ class SetBpm(Command):
         session.set_bpm(self.bpm)
 
 
+@dataclass
+class SetMeter(Command):
+    """Set the time signature from a bar onward (Session.set_meter)."""
+
+    name = "set meter"
+    bar: int = 0
+    num: int = 4
+    den: int = 4
+
+    def touched_tracks(self, session):
+        return None
+
+    def apply(self, session):
+        session.set_meter(self.bar, self.num, self.den)
+
+
+@dataclass
+class RemoveMeter(Command):
+    name = "remove meter"
+    bar: int = 0
+
+    def touched_tracks(self, session):
+        return None
+
+    def apply(self, session):
+        session.remove_meter(self.bar)
+
+
 # ---- clip time-stretch command (extension; session/session.py) ----
 
 
@@ -851,10 +879,11 @@ class _SessionSnapshot:
 
     tracks: list
     buses: list = field(default_factory=list)
-    #: transport state (bpm + tempo map) — TempoMap is immutable (frozen
-    #: points), so sharing by reference is safe
+    #: transport state (bpm + tempo/meter maps) — the maps are immutable
+    #: (frozen points), so sharing by reference is safe
     bpm: float = 120.0
     tempo_map: object = None
+    meter_map: object = None
 
     @staticmethod
     def _clone_fx(effects):
@@ -901,6 +930,7 @@ class _SessionSnapshot:
             buses=[_SessionSnapshot._clone_bus(b) for b in session.buses],
             bpm=session.bpm,
             tempo_map=getattr(session, "tempo_map", None),
+            meter_map=getattr(session, "meter_map", None),
         )
 
     def restore(self, session: Session) -> None:
@@ -911,6 +941,7 @@ class _SessionSnapshot:
         session.bpm = self.bpm
         session.beat_duration = beat_duration_from_bpm(self.bpm)
         session.tempo_map = self.tempo_map
+        session.meter_map = self.meter_map
 
 
 @dataclass

@@ -430,6 +430,12 @@ def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
             {"beat": p.beat, "bpm": p.bpm, "curve": p.curve}
             for p in session.tempo_map.points
         ]
+    if getattr(session, "meter_map", None) is not None:
+        # extension key: meter / time-signature map (core/meter.py)
+        doc["wbpr"]["meter_map"] = [
+            {"bar": p.bar, "num": p.num, "den": p.den}
+            for p in session.meter_map.points
+        ]
     if session.master_effects:
         doc["wbpr"]["master_fx"] = _chain_to_doc(session.master_effects)
     if getattr(session, "master_automation", None):
@@ -523,6 +529,12 @@ def read_project(path, search_dirs: list | None = None) -> Session:
         session.tempo_map = TempoMap.from_dict(
             {"points": [{k: (_as_str(v) if k == "curve" else float(v))
                          for k, v in p.items()} for p in project["tempo_map"]]})
+    if project.get("meter_map"):
+        from whitebox_tpu.core.meter import MeterMap, MeterPoint
+
+        session.meter_map = MeterMap(
+            [MeterPoint(int(p["bar"]), int(p["num"]), int(p["den"]))
+             for p in project["meter_map"]])
     if project.get("master_fx"):
         session.master_effects = _chain_from_doc(project["master_fx"])
     if project.get("master_auto"):

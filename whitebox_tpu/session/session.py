@@ -87,6 +87,9 @@ class Session:
         #: reference has exactly one session-wide tempo (engine.cpp:24).
         #: None = the legacy single-bpm arithmetic, bit-for-bit.
         self.tempo_map = None
+        #: optional meter (time-signature) map (core/meter.py) — bar|beat
+        #: addressing only, never moves audio. None = straight 4/4.
+        self.meter_map = None
 
     # ---- transport / tempo (engine.cpp:24-41) ----
 
@@ -139,6 +142,43 @@ class Session:
                                              and p.curve == "step")]
         self.tempo_map = self._make_tempo_map(pts) if nontrivial else None
         return self.tempo_map
+
+    # ---- meter map (framework extension — core/meter.py) ----
+
+    def set_meter(self, bar: int, num: int, den: int):
+        """Set the time signature from ``bar`` (0-based) onward."""
+        from whitebox_tpu.core.meter import MeterMap, MeterPoint
+
+        pts = list(self.meter_map.points) if self.meter_map is not None else []
+        pts = [p for p in pts if p.bar != int(bar)]
+        pts.append(MeterPoint(int(bar), int(num), int(den)))
+        if not any(p.bar == 0 for p in pts):
+            pts.append(MeterPoint(0, 4, 4))  # bars before the first change stay 4/4
+        m = MeterMap(pts)
+        self.meter_map = None if m.is_default else m
+        return self.meter_map
+
+    def remove_meter(self, bar: int):
+        """Remove the signature change at ``bar``; an all-4/4 map becomes None."""
+        if self.meter_map is None:
+            return None
+        from whitebox_tpu.core.meter import MeterMap
+
+        pts = [p for p in self.meter_map.points if p.bar != int(bar)]
+        m = MeterMap(pts) if pts else None
+        self.meter_map = None if (m is None or m.is_default) else m
+        return self.meter_map
+
+    def bar_to_beat(self, bar: float) -> float:
+        """Quarter-beat position of a (fractional, 0-based) bar number."""
+        if self.meter_map is not None:
+            return self.meter_map.bar_to_beat(bar)
+        return float(bar) * 4.0  # straight 4/4
+
+    def beat_to_bar(self, beat: float) -> float:
+        if self.meter_map is not None:
+            return self.meter_map.beat_to_bar(beat)
+        return float(beat) / 4.0
 
     def beat_duration_at(self, beat: float) -> float:
         """Local beat duration — the tempo map's when set, else the session
@@ -1012,6 +1052,9 @@ class Session:
         tm = getattr(self, "tempo_map", None)
         if tm is not None:
             items.append(tuple((p.beat, p.bpm, p.curve) for p in tm.points))
+        mm = getattr(self, "meter_map", None)
+        if mm is not None:
+            items.append(tuple((p.bar, p.num, p.den) for p in mm.points))
 
         def lane_key(lane):
             if lane is None:
