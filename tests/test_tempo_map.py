@@ -88,3 +88,32 @@ class TestTempoMap:
         m = TempoMap([TempoPoint(0.0, 120.0), TempoPoint(4.0, 60.0)])
         assert m.delta_samples(0.0, 4.0, 48000.0) == pytest.approx(96000.0, abs=0)
         assert m.delta_samples(4.0, 6.0, 48000.0) == pytest.approx(96000.0, abs=0)
+
+
+class TestRampTarget:
+    def test_bpm_end_discontinuity(self):
+        # ramp 110 -> 150 over [8, 16), then a sudden drop to 75
+        m = TempoMap([TempoPoint(0.0, 110.0),
+                      TempoPoint(8.0, 110.0, "linear", bpm_end=150.0),
+                      TempoPoint(16.0, 75.0)])
+        assert m.bpm_at(12.0) == pytest.approx(130.0)
+        assert m.bpm_at(15.999999) == pytest.approx(150.0, abs=1e-4)
+        assert m.bpm_at(16.0) == 75.0  # discontinuity
+        # seconds stay continuous and exact: ramp segment integral
+        s = (150.0 - 110.0) / 8.0
+        expect = 8.0 * (60.0 / 110.0) + (60.0 / s) * np.log(150.0 / 110.0)
+        assert m.beats_to_seconds(16.0) == pytest.approx(expect, rel=1e-15)
+        # inverse round-trips through the discontinuity
+        for b in [7.9, 8.0, 12.3, 15.99, 16.0, 18.5]:
+            assert m.seconds_to_beats(m.beats_to_seconds(b)) == pytest.approx(b, abs=1e-9)
+
+    def test_bpm_end_validation_and_serialization(self):
+        with pytest.raises(ValueError):
+            TempoPoint(0.0, 120.0, "step", bpm_end=100.0)
+        with pytest.raises(ValueError):
+            TempoPoint(0.0, 120.0, "linear", bpm_end=-1.0)
+        m = TempoMap([TempoPoint(0.0, 100.0, "linear", bpm_end=200.0),
+                      TempoPoint(4.0, 50.0)])
+        m2 = TempoMap.from_dict(m.as_dict())
+        assert m2 == m and m2.bpm_at(3.999) == pytest.approx(m.bpm_at(3.999))
+        assert not m.is_constant

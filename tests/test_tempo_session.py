@@ -372,3 +372,33 @@ class TestReviewFixes:
         nb = parse_smf(blob)
         assert len(nb.tempo) == 1
         assert nb.tempo[0][1] == pytest.approx(90.0, abs=1e-3)
+
+
+class TestMappedFuzz:
+    def test_random_sessions_random_maps_bit_parity(self):
+        """Randomized mapped parity: random clip layouts (speed 1) under
+        random step/linear tempo maps — carve must bit-match the oracle."""
+        for seed in range(6):
+            rng = np.random.default_rng(100 + seed)
+            s = random_session(200 + seed, rate=48000,
+                               bpm=float(rng.uniform(70, 180)), n_tracks=3)
+            # random map: 1-4 extra points, mixed curves
+            for _ in range(int(rng.integers(1, 5))):
+                s.set_tempo_point(float(rng.uniform(0.25, 12.0)),
+                                  float(rng.uniform(50, 200)),
+                                  curve=str(rng.choice(["step", "linear"])))
+            oracle, ours = _render_pair(s)
+            np.testing.assert_array_equal(
+                ours[:, : oracle.shape[1]], oracle,
+                err_msg=f"seed {seed} map {s.tempo_map}")
+
+    def test_random_resampled_mapped_within_contract(self):
+        for seed in range(3):
+            rng = np.random.default_rng(300 + seed)
+            s = random_session(400 + seed, rate=48000,
+                               bpm=float(rng.uniform(80, 160)), n_tracks=2,
+                               speeds=(0.75, 1.31), src_rates=(44100, 48000))
+            s.set_tempo_point(float(rng.uniform(0.5, 6.0)), float(rng.uniform(60, 180)))
+            oracle, ours = _render_pair(s)
+            d = np.abs(ours[:, : oracle.shape[1]].astype(np.float64) - oracle)
+            assert d.max() <= 2.4e-7, f"seed {seed}: {d.max()}"

@@ -312,10 +312,11 @@ def _cmd_tempo(args) -> int:
             session.meter_map = mm
     for spec in args.point or []:
         parts = spec.split(":")
-        if len(parts) not in (2, 3):
-            raise ValueError(f"bad --point {spec!r}: expected BEAT:BPM[:CURVE]")
+        if len(parts) not in (2, 3, 4):
+            raise ValueError(f"bad --point {spec!r}: expected BEAT:BPM[:CURVE[:BPM_END]]")
         session.set_tempo_point(float(parts[0]), float(parts[1]),
-                                parts[2] if len(parts) == 3 else "step")
+                                parts[2] if len(parts) >= 3 else "step",
+                                float(parts[3]) if len(parts) == 4 else None)
     for beat in args.remove or []:
         session.remove_tempo_point(float(beat))
     for spec in args.meter or []:
@@ -450,8 +451,10 @@ def main(argv=None) -> int:
     p.add_argument("project")
     p.add_argument("--out", help="write to a different .wb (default: in place)")
     p.add_argument("--set-bpm", type=float, help="session bpm (beat-0 anchor)")
-    p.add_argument("--point", action="append", metavar="BEAT:BPM[:CURVE]",
-                   help="add/replace a tempo point (CURVE: step|linear)")
+    p.add_argument("--point", action="append", metavar="BEAT:BPM[:CURVE[:BPM_END]]",
+                   help="add/replace a tempo point (CURVE: step|linear; "
+                        "BPM_END: explicit linear ramp target, allowing a "
+                        "discontinuity at the next point)")
     p.add_argument("--remove", action="append", metavar="BEAT",
                    help="remove the tempo point at BEAT")
     p.add_argument("--meter", action="append", metavar="BAR:NUM/DEN",

@@ -54,11 +54,18 @@ _CURVES = ("step", "linear")
 @dataclass(frozen=True)
 class TempoPoint:
     """One tempo anchor: BPM at ``beat``, evolving via ``curve`` to the
-    NEXT point ("step" holds, "linear" ramps in the beat domain)."""
+    NEXT point ("step" holds, "linear" ramps in the beat domain).
+
+    ``bpm_end`` (linear only) is an explicit ramp target: the segment
+    ramps ``bpm -> bpm_end`` and the next point's own BPM takes over at
+    its beat — allowing a DISCONTINUITY there (ramp up into a sudden
+    half-time drop). Default None ramps continuously into the next
+    point's BPM."""
 
     beat: float
     bpm: float
     curve: str = "step"
+    bpm_end: float | None = None
 
     def __post_init__(self):
         if not (self.bpm > 0.0) or not np.isfinite(self.bpm):
@@ -67,6 +74,11 @@ class TempoPoint:
             raise ValueError(f"tempo point beat must be >= 0, got {self.beat}")
         if self.curve not in _CURVES:
             raise ValueError(f"curve must be one of {_CURVES}, got {self.curve!r}")
+        if self.bpm_end is not None:
+            if not (self.bpm_end > 0.0) or not np.isfinite(self.bpm_end):
+                raise ValueError(f"bpm_end must be finite and > 0, got {self.bpm_end}")
+            if self.curve != "linear":
+                raise ValueError("bpm_end is only meaningful with curve='linear'")
 
 
 class TempoMap:
@@ -99,8 +111,11 @@ class TempoMap:
         for i in range(n - 1):
             if self.points[i].curve == "linear":
                 db = self._b[i + 1] - self._b[i]
+                target = self.points[i].bpm_end
+                if target is None:
+                    target = self._v[i + 1]
                 if db > 0.0:
-                    self._s[i] = (self._v[i + 1] - self._v[i]) / db
+                    self._s[i] = (target - self._v[i]) / db
         # cumulative seconds at each anchor (exact per-segment closed form)
         self._t = np.zeros(n, np.float64)
         for i in range(n - 1):
@@ -133,7 +148,8 @@ class TempoMap:
 
     @property
     def is_constant(self) -> bool:
-        return bool(np.all(self._v == self._v[0]) and np.all(self._s == 0.0))
+        return bool(np.all(self._v == self._v[0]) and np.all(self._s == 0.0)
+                    and all(p.bpm_end is None for p in self.points))
 
     def bpm_at(self, beat: float) -> float:
         i = self._seg_of_beat(float(beat))
@@ -179,18 +195,25 @@ class TempoMap:
     # -- serialization -----------------------------------------------------
 
     def as_dict(self) -> dict:
-        return {"points": [{"beat": p.beat, "bpm": p.bpm, "curve": p.curve}
-                           for p in self.points]}
+        return {"points": [
+            {"beat": p.beat, "bpm": p.bpm, "curve": p.curve,
+             **({"bpm_end": p.bpm_end} if p.bpm_end is not None else {})}
+            for p in self.points]}
 
     @classmethod
     def from_dict(cls, d: dict) -> "TempoMap":
         return cls([TempoPoint(float(p["beat"]), float(p["bpm"]),
-                               str(p.get("curve", "step")))
+                               str(p.get("curve", "step")),
+                               (float(p["bpm_end"]) if p.get("bpm_end") is not None
+                                else None))
                     for p in d["points"]])
 
     def __eq__(self, other) -> bool:
         return isinstance(other, TempoMap) and self.points == other.points
 
     def __repr__(self) -> str:
-        body = ", ".join(f"({p.beat:g}, {p.bpm:g}, {p.curve})" for p in self.points)
+        body = ", ".join(
+            f"({p.beat:g}, {p.bpm:g}, {p.curve}"
+            + (f"->{p.bpm_end:g})" if p.bpm_end is not None else ")")
+            for p in self.points)
         return f"TempoMap([{body}])"

@@ -427,7 +427,8 @@ def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
         # reference has a single session bpm (engine.cpp:24) and its
         # reader ignores unknown keys
         doc["wbpr"]["tempo_map"] = [
-            {"beat": p.beat, "bpm": p.bpm, "curve": p.curve}
+            {"beat": p.beat, "bpm": p.bpm, "curve": p.curve,
+             **({"bpm_end": p.bpm_end} if p.bpm_end is not None else {})}
             for p in session.tempo_map.points
         ]
     if getattr(session, "meter_map", None) is not None:
@@ -528,7 +529,8 @@ def read_project(path, search_dirs: list | None = None) -> Session:
 
         session.tempo_map = TempoMap.from_dict(
             {"points": [{k: (_as_str(v) if k == "curve" else float(v))
-                         for k, v in p.items()} for p in project["tempo_map"]]})
+                         for k, v in p.items() if v is not None}
+                        for p in project["tempo_map"]]})
     if project.get("meter_map"):
         from whitebox_tpu.core.meter import MeterMap, MeterPoint
 

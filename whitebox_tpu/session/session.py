@@ -105,7 +105,8 @@ class Session:
             zero = next((p for p in self.tempo_map.points if p.beat == 0.0), None)
             pts = [p for p in self.tempo_map.points if p.beat > 0.0]
             pts.insert(0, TempoPoint(0.0, self.bpm,
-                                     zero.curve if zero is not None else "step"))
+                                     zero.curve if zero is not None else "step",
+                                     zero.bpm_end if zero is not None else None))
             m = TempoMap(pts)
             self.tempo_map = None if m.is_constant else m
 
@@ -119,14 +120,17 @@ class Session:
             anchored.insert(0, TempoPoint(0.0, self.bpm, "step"))
         return TempoMap(anchored)
 
-    def set_tempo_point(self, beat: float, bpm: float, curve: str = "step"):
+    def set_tempo_point(self, beat: float, bpm: float, curve: str = "step",
+                        bpm_end: float | None = None):
         """Add/replace a tempo point at ``beat``. The map is anchored at
-        beat 0 with the session bpm unless a point at 0 overrides it."""
+        beat 0 with the session bpm unless a point at 0 overrides it.
+        ``bpm_end`` (linear curves) sets an explicit ramp target, allowing
+        a discontinuity at the next point (see core.tempo.TempoPoint)."""
         from whitebox_tpu.core.tempo import TempoPoint
 
         pts = list(self.tempo_map.points) if self.tempo_map is not None else []
         pts = [p for p in pts if p.beat != float(beat)]
-        pts.append(TempoPoint(float(beat), float(bpm), curve))
+        pts.append(TempoPoint(float(beat), float(bpm), curve, bpm_end))
         self.tempo_map = self._make_tempo_map(pts)
         if float(beat) == 0.0:
             self.bpm = float(bpm)
