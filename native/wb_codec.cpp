@@ -146,11 +146,42 @@ void wb_codec_free(float* p) {
   free(p);
 }
 
+// Encoder options mirroring the reference's export model
+// (/root/reference/src/engine/export_prop.h:8-45): bitrate modes CBR/ABR/VBR,
+// per-codec quality, FLAC bit depth + compression level, and optional
+// container metadata tags (export_metadata).
+struct WbEncodeOpts {
+  int32_t bitrate_mode;     // 0=CBR, 1=ABR, 2=VBR (ExportBitrateMode)
+  int32_t bitrate_kbps;     // CBR/ABR target (mp3_bitrate / vorbis_bitrate)
+  int32_t min_bitrate_kbps; // ABR floor (mp3_min_bitrate)
+  int32_t max_bitrate_kbps; // ABR ceiling (mp3_max_bitrate)
+  float vbr_quality;        // 0..100, 100 = best (mp3_vbr_quality)
+  int32_t flac_compression_level; // 0..12 (flac_compression_level)
+  int32_t bit_depth;        // 0=codec default; 16 prefers s16 (flac_bit_depth)
+  const char* title;        // metadata tags; NULL = omit
+  const char* artist;
+  const char* comment;
+};
+
+static const AVSampleFormat* codec_sample_fmts(const AVCodec* codec) {
+#if LIBAVCODEC_VERSION_MAJOR >= 61
+  const AVSampleFormat* fmts = nullptr;
+  int n = 0;
+  if (avcodec_get_supported_config(nullptr, codec, AV_CODEC_CONFIG_SAMPLE_FORMAT, 0,
+                                   (const void**)&fmts, &n) >= 0)
+    return fmts;
+  return nullptr;
+#else
+  return codec->sample_fmts;
+#endif
+}
+
 // Encode interleaved f32 -> a compressed container chosen from the path's
 // extension (.mp3/.ogg/.flac). Extends the reference's export stub
 // (export_prop only writes WAV); also generates the decode test vectors.
-int wb_codec_encode_f32(
-    const char* path, const float* pcm, int64_t frames, int32_t channels, int32_t sample_rate) {
+int wb_codec_encode_f32_opts(
+    const char* path, const float* pcm, int64_t frames, int32_t channels, int32_t sample_rate,
+    const WbEncodeOpts* opts) {
   AVFormatContext* fmt = nullptr;
   if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 || !fmt)
     return -1;
@@ -162,8 +193,58 @@ int wb_codec_encode_f32(
   AVCodecContext* ctx = avcodec_alloc_context3(codec);
   ctx->sample_rate = sample_rate;
   av_channel_layout_default(&ctx->ch_layout, channels);
-  ctx->sample_fmt = codec->sample_fmts ? codec->sample_fmts[0] : AV_SAMPLE_FMT_FLTP;
+  const AVSampleFormat* fmts = codec_sample_fmts(codec);
+  ctx->sample_fmt = fmts ? fmts[0] : AV_SAMPLE_FMT_FLTP;
   ctx->bit_rate = 192000;
+  if (opts) {
+    // Bit-depth preference: scan the codec's supported formats for a match
+    // (FLAC: s16 when flac_bit_depth==I16, s32 otherwise — export_prop.h:43).
+    if (opts->bit_depth == 16 && fmts) {
+      for (const AVSampleFormat* f = fmts; *f != AV_SAMPLE_FMT_NONE; ++f)
+        if (*f == AV_SAMPLE_FMT_S16 || *f == AV_SAMPLE_FMT_S16P) {
+          ctx->sample_fmt = *f;
+          break;
+        }
+    }
+    int64_t br = (int64_t)(opts->bitrate_kbps > 0 ? opts->bitrate_kbps : 192) * 1000;
+    switch (opts->bitrate_mode) {
+      case 2: {  // VBR: quality-targeted, bitrate fields ignored
+        ctx->flags |= AV_CODEC_FLAG_QSCALE;
+        float q01 = opts->vbr_quality / 100.0f;  // 1.0 = best
+        if (q01 < 0.0f) q01 = 0.0f;
+        if (q01 > 1.0f) q01 = 1.0f;
+        float qscale;
+        if (codec->id == AV_CODEC_ID_MP3)
+          qscale = (1.0f - q01) * 9.0f;  // LAME -V: 0 best .. 9 worst
+        else if (codec->id == AV_CODEC_ID_VORBIS)
+          qscale = -1.0f + q01 * 11.0f;  // vorbis -q: -1 worst .. 10 best
+        else
+          qscale = (1.0f - q01) * 9.0f;
+        ctx->global_quality = (int)(FF_QP2LAMBDA * qscale);
+        break;
+      }
+      case 1:  // ABR: target plus min/max bounds
+        ctx->bit_rate = br;
+        if (opts->min_bitrate_kbps > 0)
+          ctx->rc_min_rate = (int64_t)opts->min_bitrate_kbps * 1000;
+        if (opts->max_bitrate_kbps > 0)
+          ctx->rc_max_rate = (int64_t)opts->max_bitrate_kbps * 1000;
+        if (codec->id == AV_CODEC_ID_MP3)
+          av_opt_set_int(ctx->priv_data, "abr", 1, 0);
+        break;
+      default:  // CBR
+        ctx->bit_rate = br;
+        break;
+    }
+    if (codec->id == AV_CODEC_ID_FLAC && opts->flac_compression_level >= 0)
+      ctx->compression_level = opts->flac_compression_level;
+    if (opts->title)
+      av_dict_set(&fmt->metadata, "title", opts->title, 0);
+    if (opts->artist)
+      av_dict_set(&fmt->metadata, "artist", opts->artist, 0);
+    if (opts->comment)
+      av_dict_set(&fmt->metadata, "comment", opts->comment, 0);
+  }
   if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
     ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
   AVStream* stream = avformat_new_stream(fmt, codec);
@@ -255,6 +336,12 @@ done:
     avio_closep(&fmt->pb);
   avformat_free_context(fmt);
   return rc;
+}
+
+// Legacy entry point: CBR 192 kbps, codec-default depth, no tags.
+int wb_codec_encode_f32(
+    const char* path, const float* pcm, int64_t frames, int32_t channels, int32_t sample_rate) {
+  return wb_codec_encode_f32_opts(path, pcm, frames, channels, sample_rate, nullptr);
 }
 
 }  // extern "C"

@@ -153,3 +153,125 @@ class TestCompressedCodec:
         s.add_audio_clip(tr, "c", 0.0, 2.0, asset=a)
         out = OracleRenderer(s, 48000.0, buffer_size=512).render()
         assert np.abs(out).max() > 0.01
+
+
+class TestEncodeOptions:
+    """Export-properties parity (export_prop.h:8-45): bitrate modes,
+    VBR quality, FLAC compression/depth, and metadata tags."""
+
+    def _sig(self, rate=44100, seconds=2.0, channels=2, seed=3):
+        rng = np.random.default_rng(seed)
+        # broadband noise so lossy bitrate actually changes the file size
+        # (clipped in-range: integer codecs clamp at +/-1.0)
+        sig = rng.standard_normal((channels, int(rate * seconds))) * 0.3
+        return np.clip(sig, -0.95, 0.95).astype(np.float32)
+
+    def test_cbr_bitrate_scales_file_size(self, codec, tmp_path):
+        from whitebox_tpu.io.codec import EncodeOptions
+
+        sig = self._sig()
+        sizes = {}
+        for kbps in (64, 320):
+            p = tmp_path / f"cbr{kbps}.mp3"
+            codec.write_compressed(p, sig, 44100,
+                                   options=EncodeOptions(bitrate_mode="cbr", bitrate=kbps))
+            dec, info = codec.read_compressed(p)
+            assert info.sample_rate == 44100 and dec.shape[0] == 2
+            sizes[kbps] = p.stat().st_size
+        # 320k must be ~5x the 64k stream (frame headers dominate otherwise)
+        assert sizes[320] > 3.5 * sizes[64], sizes
+
+    def test_vbr_quality_scales_file_size(self, codec, tmp_path):
+        from whitebox_tpu.io.codec import EncodeOptions
+
+        sig = self._sig()
+        sizes = {}
+        for q in (0.0, 100.0):
+            p = tmp_path / f"vbr{int(q)}.mp3"
+            codec.write_compressed(p, sig, 44100,
+                                   options=EncodeOptions(bitrate_mode="vbr", vbr_quality=q))
+            dec, _ = codec.read_compressed(p)
+            assert dec.shape[0] == 2
+            sizes[q] = p.stat().st_size
+        assert sizes[100.0] > 1.5 * sizes[0.0], sizes
+
+    def test_vorbis_vbr_quality(self, codec, tmp_path):
+        from whitebox_tpu.io.codec import EncodeOptions
+
+        sig = self._sig()
+        sizes = {}
+        for q in (10.0, 95.0):
+            p = tmp_path / f"v{int(q)}.ogg"
+            codec.write_compressed(p, sig, 44100,
+                                   options=EncodeOptions(bitrate_mode="vbr", vbr_quality=q))
+            dec, _ = codec.read_compressed(p)
+            assert dec.shape[0] == 2
+            sizes[q] = p.stat().st_size
+        assert sizes[95.0] > 1.3 * sizes[10.0], sizes
+
+    def test_flac_compression_level_and_depth(self, codec, tmp_path):
+        from whitebox_tpu.io.codec import EncodeOptions
+
+        # compressible material (noise never shrinks under higher levels)
+        rate = 44100
+        t = np.arange(rate) / rate
+        sig = np.stack([np.sin(2 * np.pi * 440.0 * t) * 0.5,
+                        np.sin(2 * np.pi * 660.0 * t) * 0.5]).astype(np.float32)
+        p0 = tmp_path / "l0.flac"
+        p8 = tmp_path / "l8.flac"
+        codec.write_compressed(p0, sig, rate,
+                               options=EncodeOptions(flac_compression_level=0, bit_depth=16))
+        codec.write_compressed(p8, sig, rate,
+                               options=EncodeOptions(flac_compression_level=8, bit_depth=16))
+        assert p0.stat().st_size > p8.stat().st_size  # higher level = smaller
+        dec, info = codec.read_compressed(p8)
+        # lossless at s16 for in-range signals: one quantization step max
+        assert np.abs(dec - sig).max() < (1.5 / 32768.0)
+
+    def test_abr_mode_encodes(self, codec, tmp_path):
+        from whitebox_tpu.io.codec import EncodeOptions
+
+        sig = self._sig(seconds=1.0)
+        p = tmp_path / "abr.mp3"
+        codec.write_compressed(p, sig, 44100,
+                               options=EncodeOptions(bitrate_mode="abr", bitrate=128,
+                                                     min_bitrate=64, max_bitrate=192))
+        dec, info = codec.read_compressed(p)
+        assert info.sample_rate == 44100 and dec.shape[0] == 2
+
+    def test_metadata_tags_round_trip(self, codec, tmp_path):
+        from whitebox_tpu.io.codec import EncodeOptions
+
+        sig = self._sig(seconds=0.5)
+        p = tmp_path / "tagged.flac"
+        codec.write_compressed(p, sig, 44100,
+                               options=EncodeOptions(title="My Song", artist="WB",
+                                                     comment="bounced"))
+        blob = p.read_bytes()
+        # FLAC vorbis-comment block stores tags as KEY=value text
+        assert b"My Song" in blob and b"WB" in blob and b"bounced" in blob
+
+    def test_render_cli_passes_tags(self, codec, tmp_path):
+        """cli render fills tags from project_info (export_metadata parity)."""
+        from whitebox_tpu.cli import main as cli_main
+        from whitebox_tpu.session import Session
+        from whitebox_tpu.session.project import write_project
+
+        from whitebox_tpu.session.sample import Sample
+
+        s = Session(bpm=120.0)
+        tr = s.add_track("t")
+        sig = self._sig(rate=48000, seconds=0.5, channels=2)
+        a = s.sample_table.add_sample(
+            Sample.from_planar(sig, 48000, AudioFormat.F32, name="sig"), key="sig")
+        s.add_audio_clip(tr, "c", 0.0, 1.0, asset=a)
+        s.project_info.title = "Tagged Project"
+        s.project_info.author = "Author X"
+        wb = tmp_path / "p.wb"
+        write_project(s, wb)
+        out = tmp_path / "o.flac"
+        rc = cli_main(["render", str(wb), str(out), "--rate", "48000",
+                       "--flac-level", "5"])
+        assert rc == 0 and out.is_file()
+        blob = out.read_bytes()
+        assert b"Tagged Project" in blob and b"Author X" in blob

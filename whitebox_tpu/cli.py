@@ -17,6 +17,55 @@ import sys
 import numpy as np
 
 
+def _add_encode_flags(p) -> None:
+    """Compressed-export properties (export_prop.h:8-45 parity) for
+    .mp3/.ogg/.flac outputs; ignored for WAV/AIFF."""
+    p.add_argument("--bitrate-mode", choices=["cbr", "abr", "vbr"], default="cbr",
+                   help="compressed-codec rate control (ExportBitrateMode)")
+    p.add_argument("--bitrate", type=int, default=192, metavar="KBPS",
+                   help="CBR/ABR target bitrate (mp3_bitrate/vorbis_bitrate)")
+    p.add_argument("--min-bitrate", type=int, default=0, metavar="KBPS",
+                   help="ABR floor (mp3_min_bitrate)")
+    p.add_argument("--max-bitrate", type=int, default=0, metavar="KBPS",
+                   help="ABR ceiling (mp3_max_bitrate)")
+    p.add_argument("--vbr-quality", type=float, default=100.0, metavar="Q",
+                   help="VBR quality 0..100, 100 = best (mp3_vbr_quality)")
+    p.add_argument("--flac-level", type=int, default=-1, metavar="N",
+                   help="FLAC compression level 0..12 (flac_compression_level)")
+    p.add_argument("--no-tags", action="store_true",
+                   help="skip container metadata tags (export_metadata=false)")
+    p.add_argument("--tag-title", default=None)
+    p.add_argument("--tag-artist", default=None)
+    p.add_argument("--tag-comment", default=None)
+
+
+def _encode_opts(args, session=None):
+    """Build EncodeOptions from CLI flags; session project_info fills the
+    default tags (the reference's export_metadata writes project info)."""
+    from whitebox_tpu.io.codec import EncodeOptions
+
+    info = getattr(session, "project_info", None)
+    title = args.tag_title
+    artist = args.tag_artist
+    comment = args.tag_comment
+    if not args.no_tags and info is not None:
+        title = title if title is not None else (info.title or None)
+        artist = artist if artist is not None else (info.author or None)
+        comment = comment if comment is not None else (info.description or None)
+    return EncodeOptions(
+        bitrate_mode=args.bitrate_mode,
+        bitrate=args.bitrate,
+        min_bitrate=args.min_bitrate,
+        max_bitrate=args.max_bitrate,
+        vbr_quality=args.vbr_quality,
+        flac_compression_level=args.flac_level,
+        bit_depth=16 if args.format == "i16" else 0,
+        title=None if args.no_tags else title,
+        artist=None if args.no_tags else artist,
+        comment=None if args.no_tags else comment,
+    )
+
+
 def _cmd_render(args) -> int:
     import contextlib
 
@@ -87,6 +136,7 @@ def _cmd_render(args) -> int:
             out_path=args.out,
             out_format=fmt,
             out_dither=None if args.dither == "none" else args.dither,
+            out_encode=_encode_opts(args, session),
         )
     print(result.stats.summary())
     if args.loudness and result.stats.loudness is not None:
@@ -130,6 +180,8 @@ def _cmd_stems(args) -> int:
     def sanitize(n, fallback):
         return "".join(c if c.isalnum() or c in "-_" else "_" for c in n) or fallback
 
+    enc = _encode_opts(args, session)
+
     if args.buses:
         from whitebox_tpu.render.stems import render_bus_stems
 
@@ -137,10 +189,10 @@ def _cmd_stems(args) -> int:
             session, sample_rate=args.rate, buffer_size=args.buffer_size,
             interpolation=args.interpolation)
         _write_audio(os.path.join(args.outdir, f"00_direct.{args.ext}"),
-                     direct, int(args.rate), fmt)
+                     direct, int(args.rate), fmt, encode=enc)
         for i, name in enumerate(names):
             path = os.path.join(args.outdir, f"{i + 1:02d}_{sanitize(name, 'bus')}.{args.ext}")
-            _write_audio(path, bus[i], int(args.rate), fmt)
+            _write_audio(path, bus[i], int(args.rate), fmt, encode=enc)
         print(f"wrote direct + {len(names)} bus stems ({direct.shape[1]} frames) -> {args.outdir}")
         return 0
 
@@ -148,7 +200,7 @@ def _cmd_stems(args) -> int:
                                 interpolation=args.interpolation)
     for i, name in enumerate(names):
         path = os.path.join(args.outdir, f"{i:02d}_{sanitize(name, 'track')}.{args.ext}")
-        _write_audio(path, stems[i], int(args.rate), fmt)
+        _write_audio(path, stems[i], int(args.rate), fmt, encode=enc)
     print(f"wrote {len(names)} stems ({stems.shape[2]} frames) -> {args.outdir}")
     return 0
 
@@ -176,7 +228,7 @@ def _cmd_convert(args) -> int:
         from whitebox_tpu.ops.resample import resample_audio
 
         f32 = resample_audio(f32, info.sample_rate, rate)  # windowed-sinc SRC on device
-    _write_audio(args.out, f32, rate, fmt)
+    _write_audio(args.out, f32, rate, fmt, encode=_encode_opts(args))
     print(f"{args.src} [{info.format.name} {info.channels}ch {info.sample_rate}Hz {info.count}f] -> {args.out}")
     return 0
 
@@ -384,6 +436,7 @@ def main(argv=None) -> int:
                    help="render from this (0-based) bar, via the meter map")
     p.add_argument("--to-bar", type=float, default=None, metavar="BAR",
                    help="stop at this (0-based) bar, via the meter map")
+    _add_encode_flags(p)
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler (xprof) trace of the render into DIR")
     p.add_argument("--json", action="store_true")
@@ -397,6 +450,7 @@ def main(argv=None) -> int:
     p.add_argument("--format", choices=["f32", "i16", "i24", "i32"], default="f32")
     p.add_argument("--ext", choices=["wav", "flac", "mp3", "ogg"], default="wav")
     p.add_argument("--interpolation", choices=["linear", "catmull", "sinc"], default="linear")
+    _add_encode_flags(p)
     p.add_argument("--buses", action="store_true",
                    help="export bus stems (pre-master routed components: "
                         "direct track sum + each bus post-chain/post-fader)")
@@ -406,6 +460,7 @@ def main(argv=None) -> int:
     p.add_argument("src")
     p.add_argument("out")
     p.add_argument("--rate", type=int, default=None, help="resample to this rate (windowed-sinc)")
+    _add_encode_flags(p)
     p.add_argument("--format", choices=["f32", "i16", "i24", "i32"], default="f32",
                    help="WAV PCM format (compressed outputs pick their own)")
     p.set_defaults(fn=_cmd_convert)

@@ -19,8 +19,57 @@ from pathlib import Path
 
 import numpy as np
 
+from dataclasses import dataclass
+
 from whitebox_tpu.core.formats import AudioFormat
 from whitebox_tpu.io.wav import WavInfo
+
+
+@dataclass(frozen=True)
+class EncodeOptions:
+    """Compressed-export properties (ExportAudioProperties parity,
+    /root/reference/src/engine/export_prop.h:8-45).
+
+    ``bitrate_mode``: "cbr" | "abr" | "vbr" (ExportBitrateMode).
+    ``bitrate``: kbps target for CBR/ABR (mp3_bitrate / vorbis_bitrate).
+    ``min_bitrate`` / ``max_bitrate``: ABR bounds in kbps.
+    ``vbr_quality``: 0..100, 100 = best (mp3_vbr_quality semantics).
+    ``flac_compression_level``: 0..12, -1 = encoder default.
+    ``bit_depth``: 0 = codec default; 16 prefers s16 (flac_bit_depth I16).
+    ``title``/``artist``/``comment``: container tags (export_metadata).
+    """
+
+    bitrate_mode: str = "cbr"
+    bitrate: int = 192
+    min_bitrate: int = 0
+    max_bitrate: int = 0
+    vbr_quality: float = 100.0
+    flac_compression_level: int = -1
+    bit_depth: int = 0
+    title: str | None = None
+    artist: str | None = None
+    comment: str | None = None
+
+    MODES = ("cbr", "abr", "vbr")
+
+    def __post_init__(self):
+        if self.bitrate_mode not in self.MODES:
+            raise ValueError(f"bitrate_mode {self.bitrate_mode!r} (want cbr/abr/vbr)")
+
+
+class _WbEncodeOpts(ctypes.Structure):
+    _fields_ = [
+        ("bitrate_mode", ctypes.c_int32),
+        ("bitrate_kbps", ctypes.c_int32),
+        ("min_bitrate_kbps", ctypes.c_int32),
+        ("max_bitrate_kbps", ctypes.c_int32),
+        ("vbr_quality", ctypes.c_float),
+        ("flac_compression_level", ctypes.c_int32),
+        ("bit_depth", ctypes.c_int32),
+        ("title", ctypes.c_char_p),
+        ("artist", ctypes.c_char_p),
+        ("comment", ctypes.c_char_p),
+    ]
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _LIB: ctypes.CDLL | None = None
@@ -63,6 +112,14 @@ def load() -> ctypes.CDLL | None:
         np.ctypeslib.ndpointer(np.float32, flags="C"),
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
     ]
+    if hasattr(lib, "wb_codec_encode_f32_opts"):
+        lib.wb_codec_encode_f32_opts.restype = ctypes.c_int32
+        lib.wb_codec_encode_f32_opts.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.float32, flags="C"),
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(_WbEncodeOpts),
+        ]
     _LIB = lib
     return _LIB
 
@@ -93,15 +150,38 @@ def read_compressed(path) -> tuple[np.ndarray, WavInfo]:
                            count=frames.value, format=AudioFormat.F32)
 
 
-def write_compressed(path, planar: np.ndarray, sample_rate: int) -> None:
-    """Encode planar f32 [C, F] to .mp3/.ogg/.flac (by extension)."""
+def write_compressed(path, planar: np.ndarray, sample_rate: int,
+                     options: EncodeOptions | None = None) -> None:
+    """Encode planar f32 [C, F] to .mp3/.ogg/.flac (by extension).
+
+    ``options`` carries the reference's export properties (bitrate modes,
+    VBR quality, FLAC depth/level, metadata tags — export_prop.h:14-45);
+    None keeps the historical default (CBR 192 kbps, no tags).
+    """
     lib = load()
     if lib is None:
         raise RuntimeError("compressed audio encode needs the native codec runtime")
     planar = np.atleast_2d(np.asarray(planar, dtype=np.float32))
     inter = np.ascontiguousarray(planar.T).reshape(-1)
-    rc = lib.wb_codec_encode_f32(str(path).encode(), inter,
-                                 planar.shape[1], planar.shape[0], int(sample_rate))
+    if options is None:
+        rc = lib.wb_codec_encode_f32(str(path).encode(), inter,
+                                     planar.shape[1], planar.shape[0], int(sample_rate))
+    else:
+        c = _WbEncodeOpts(
+            bitrate_mode=EncodeOptions.MODES.index(options.bitrate_mode),
+            bitrate_kbps=int(options.bitrate),
+            min_bitrate_kbps=int(options.min_bitrate),
+            max_bitrate_kbps=int(options.max_bitrate),
+            vbr_quality=float(options.vbr_quality),
+            flac_compression_level=int(options.flac_compression_level),
+            bit_depth=int(options.bit_depth),
+            title=None if options.title is None else options.title.encode(),
+            artist=None if options.artist is None else options.artist.encode(),
+            comment=None if options.comment is None else options.comment.encode(),
+        )
+        rc = lib.wb_codec_encode_f32_opts(str(path).encode(), inter,
+                                          planar.shape[1], planar.shape[0], int(sample_rate),
+                                          ctypes.byref(c))
     if rc != 0:
         raise ValueError(f"failed to encode {path!s} (native codec rc={rc})")
 

@@ -87,14 +87,17 @@ def _finalize_output(out: np.ndarray, stats, sample_rate: float,
 
 
 def _write_audio(out_path, out: np.ndarray, sample_rate: int, out_format: AudioFormat,
-                 dither: str | None = None) -> None:
+                 dither: str | None = None, encode=None) -> None:
     """WAV by default; .mp3/.ogg/.flac route through the native codec
-    runtime (compressed export — extends the reference's export stub)."""
+    runtime (compressed export — extends the reference's export stub).
+    ``encode`` is an io.codec.EncodeOptions with the reference's export
+    properties (bitrate modes / VBR quality / FLAC level / metadata tags,
+    export_prop.h:14-45); ignored for WAV/AIFF."""
     p = str(out_path).lower()
     if p.endswith((".mp3", ".ogg", ".oga", ".flac")):
         from whitebox_tpu.io.codec import write_compressed
 
-        write_compressed(out_path, out, int(sample_rate))
+        write_compressed(out_path, out, int(sample_rate), options=encode)
         return
     from whitebox_tpu.io.wav import write_wav
 
@@ -132,6 +135,7 @@ def bounce(
     out_path=None,
     out_format: AudioFormat = AudioFormat.F32,
     out_dither: str | None = None,
+    out_encode=None,
 ) -> BounceResult:
     """Render the whole session timeline at once.
 
@@ -395,7 +399,7 @@ def bounce(
             stats.wall_seconds = stats.carve_seconds + stats.device_seconds
             out = _finalize_output(out, stats, sample_rate, loudness, normalize)
             if out_path is not None:
-                _write_audio(out_path, out, int(sample_rate), out_format, dither=out_dither)
+                _write_audio(out_path, out, int(sample_rate), out_format, dither=out_dither, encode=out_encode)
             return BounceResult(audio=out, stats=stats)
 
     from whitebox_tpu.ops.automation import session_has_automation
@@ -593,6 +597,6 @@ def bounce(
     out = _finalize_output(out, stats, sample_rate, loudness, normalize)
 
     if out_path is not None:
-        _write_audio(out_path, out, int(sample_rate), out_format, dither=out_dither)
+        _write_audio(out_path, out, int(sample_rate), out_format, dither=out_dither, encode=out_encode)
 
     return BounceResult(audio=out, stats=stats)
