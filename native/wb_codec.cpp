@@ -205,6 +205,19 @@ int wb_codec_encode_f32_opts(
           ctx->sample_fmt = *f;
           break;
         }
+    } else if (codec->id == AV_CODEC_ID_FLAC && fmts &&
+               (opts->bit_depth == 24 || opts->bit_depth == 32)) {
+      // FFmpeg's FLAC fmts[0] is s16, so the deep depths need an explicit
+      // scan for s32 input; 24-bit FLAC is s32 input with
+      // bits_per_raw_sample=24. bit_depth==0 keeps the reference default
+      // (flac_bit_depth = I16, export_prop.h:43).
+      for (const AVSampleFormat* f = fmts; *f != AV_SAMPLE_FMT_NONE; ++f)
+        if (*f == AV_SAMPLE_FMT_S32 || *f == AV_SAMPLE_FMT_S32P) {
+          ctx->sample_fmt = *f;
+          break;
+        }
+      if (opts->bit_depth == 24)
+        ctx->bits_per_raw_sample = 24;
     }
     int64_t br = (int64_t)(opts->bitrate_kbps > 0 ? opts->bitrate_kbps : 192) * 1000;
     switch (opts->bitrate_mode) {

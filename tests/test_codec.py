@@ -228,6 +228,33 @@ class TestEncodeOptions:
         # lossless at s16 for in-range signals: one quantization step max
         assert np.abs(dec - sig).max() < (1.5 / 32768.0)
 
+    def test_flac_24bit_depth(self, codec, tmp_path):
+        """bit_depth=24 must actually deepen the stored samples (the s16
+        default would floor the error at one 16-bit step)."""
+        from whitebox_tpu.io.codec import EncodeOptions
+
+        rate = 44100
+        t = np.arange(rate) / rate
+        sig = np.stack([np.sin(2 * np.pi * 440.0 * t) * 0.5,
+                        np.sin(2 * np.pi * 660.0 * t) * 0.5]).astype(np.float32)
+        p = tmp_path / "d24.flac"
+        codec.write_compressed(p, sig, rate, options=EncodeOptions(bit_depth=24))
+        dec, _ = codec.read_compressed(p)
+        err = np.abs(dec - sig).max()
+        assert err < (1.5 / 8388608.0), err  # one 24-bit step, not 16
+
+    def test_encode_options_validation(self):
+        from whitebox_tpu.io.codec import EncodeOptions
+
+        with pytest.raises(ValueError, match="vbr_quality"):
+            EncodeOptions(vbr_quality=120.0)
+        with pytest.raises(ValueError, match="flac_compression_level"):
+            EncodeOptions(flac_compression_level=13)
+        with pytest.raises(ValueError, match="bitrate"):
+            EncodeOptions(bitrate=-1)
+        with pytest.raises(ValueError, match="bit_depth"):
+            EncodeOptions(bit_depth=20)
+
     def test_abr_mode_encodes(self, codec, tmp_path):
         from whitebox_tpu.io.codec import EncodeOptions
 

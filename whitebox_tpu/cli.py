@@ -25,9 +25,10 @@ def _add_encode_flags(p) -> None:
     p.add_argument("--bitrate", type=int, default=192, metavar="KBPS",
                    help="CBR/ABR target bitrate (mp3_bitrate/vorbis_bitrate)")
     p.add_argument("--min-bitrate", type=int, default=0, metavar="KBPS",
-                   help="ABR floor (mp3_min_bitrate)")
+                   help="ABR floor (vorbis managed mode; FFmpeg's libmp3lame "
+                        "wrapper doesn't expose LAME's ABR bounds)")
     p.add_argument("--max-bitrate", type=int, default=0, metavar="KBPS",
-                   help="ABR ceiling (mp3_max_bitrate)")
+                   help="ABR ceiling (vorbis managed mode; best-effort for mp3)")
     p.add_argument("--vbr-quality", type=float, default=100.0, metavar="Q",
                    help="VBR quality 0..100, 100 = best (mp3_vbr_quality)")
     p.add_argument("--flac-level", type=int, default=-1, metavar="N",
@@ -59,7 +60,7 @@ def _encode_opts(args, session=None):
         max_bitrate=args.max_bitrate,
         vbr_quality=args.vbr_quality,
         flac_compression_level=args.flac_level,
-        bit_depth=16 if args.format == "i16" else 0,
+        bit_depth={"i16": 16, "i24": 24, "i32": 32}.get(args.format, 0),
         title=None if args.no_tags else title,
         artist=None if args.no_tags else artist,
         comment=None if args.no_tags else comment,

@@ -16,3 +16,6 @@ from whitebox_tpu.effects.dynamics import Compressor, Limiter, NoiseGate  # noqa
 from whitebox_tpu.effects.delay import Chorus, Delay, Flanger  # noqa: F401
 from whitebox_tpu.effects.reverb import ConvolutionReverb, design_room_ir  # noqa: F401
 from whitebox_tpu.effects.shape import Saturator, StereoWidth  # noqa: F401
+from whitebox_tpu.effects.registry import (  # noqa: F401
+    UnknownEffect, lookup_effect, register_effect, unregister_effect,
+)

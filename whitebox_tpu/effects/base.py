@@ -42,6 +42,15 @@ class Effect:
         """Ring-out length hint (PluginInterface tail queries)."""
         return 0
 
+    # --- generic-pipeline stage protocol defaults (see effects/registry.py)
+    def static_config(self) -> tuple:
+        """Hashable static config — part of the chain-grouping signature."""
+        return ()
+
+    def param_arrays(self) -> dict:
+        """Per-instance numeric params, stacked [B, ...] across a group."""
+        return {}
+
     def latency_frames(self) -> int:
         """Processing latency (PluginInterface latency query). Nonzero for
         lookahead effects (Limiter); drives PDC (bounce(pdc=True))."""

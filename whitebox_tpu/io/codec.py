@@ -32,10 +32,15 @@ class EncodeOptions:
 
     ``bitrate_mode``: "cbr" | "abr" | "vbr" (ExportBitrateMode).
     ``bitrate``: kbps target for CBR/ABR (mp3_bitrate / vorbis_bitrate).
-    ``min_bitrate`` / ``max_bitrate``: ABR bounds in kbps.
+    ``min_bitrate`` / ``max_bitrate``: ABR bounds in kbps. NOTE: for mp3
+    these are honored by Vorbis managed mode only — FFmpeg's libmp3lame
+    wrapper doesn't expose LAME's ABR min/max bounds (it reads bit_rate +
+    the "abr" priv option), so the bounds are best-effort there.
     ``vbr_quality``: 0..100, 100 = best (mp3_vbr_quality semantics).
     ``flac_compression_level``: 0..12, -1 = encoder default.
-    ``bit_depth``: 0 = codec default; 16 prefers s16 (flac_bit_depth I16).
+    ``bit_depth``: 0 = reference default (FLAC: 16-bit, export_prop.h:43);
+    16/24/32 select the FLAC stored depth (24 = s32 input with
+    bits_per_raw_sample=24).
     ``title``/``artist``/``comment``: container tags (export_metadata).
     """
 
@@ -55,6 +60,17 @@ class EncodeOptions:
     def __post_init__(self):
         if self.bitrate_mode not in self.MODES:
             raise ValueError(f"bitrate_mode {self.bitrate_mode!r} (want cbr/abr/vbr)")
+        if not (0.0 <= self.vbr_quality <= 100.0):
+            raise ValueError(f"vbr_quality {self.vbr_quality} (want 0..100)")
+        if not (-1 <= self.flac_compression_level <= 12):
+            raise ValueError(
+                f"flac_compression_level {self.flac_compression_level} (want -1..12)")
+        for name in ("bitrate", "min_bitrate", "max_bitrate"):
+            v = getattr(self, name)
+            if v < 0:
+                raise ValueError(f"{name} {v} kbps (want >= 0)")
+        if self.bit_depth not in (0, 16, 24, 32):
+            raise ValueError(f"bit_depth {self.bit_depth} (want 0/16/24/32)")
 
 
 class _WbEncodeOpts(ctypes.Structure):

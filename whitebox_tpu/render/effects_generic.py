@@ -61,7 +61,12 @@ def automatable_params(kind: str, static: tuple = ()) -> frozenset:
     if kind == "eq":
         (nb,) = static[:1]
         return frozenset(f"b{i}.{n}" for i in range(nb) for n in ("freq_hz", "q", "gain_db"))
-    return AUTOMATABLE.get(kind, frozenset())
+    if kind in AUTOMATABLE:
+        return AUTOMATABLE[kind]
+    from whitebox_tpu.effects.registry import lookup_effect
+
+    cls = lookup_effect(kind)  # registered user effects opt in via a class attr
+    return frozenset(getattr(cls, "automatable", ()) or ()) if cls else frozenset()
 
 
 def _auto_default(e, kind: str, name: str) -> float:
@@ -343,7 +348,30 @@ def _init_stage_state(kind: str, static: tuple, params, B: int, C: int):
     if kind in ("convreverb", "linphase"):
         (L,) = static
         return {"carry": z(B, C, L - 1)}
+    cls = _registered_stage_cls(kind)
+    if cls is not None:
+        return cls.stage_init_state(static, params, B, C)
     raise ValueError(f"unknown effect kind {kind!r}")
+
+
+def _registered_stage_cls(kind: str):
+    """Registered user-effect class implementing the stage protocol, or
+    None (see effects/registry.py — the plughost extensibility hook)."""
+    from whitebox_tpu.effects.registry import UnknownEffect, lookup_effect
+
+    if kind == UnknownEffect.name:  # unregistered persisted effect: bypass
+        return UnknownEffect
+    cls = lookup_effect(kind)
+    if cls is None:
+        return None
+    if not (callable(getattr(cls, "stage_init_state", None))
+            and callable(getattr(cls, "stage_apply", None))):
+        raise ValueError(
+            f"registered effect {kind!r} ({cls.__name__}) lacks the stage "
+            f"protocol (stage_init_state/stage_apply classmethods) required "
+            f"for batched pipelines; render it via Effect.process or add them"
+        )
+    return cls
 
 
 def _conv_ir_f(params, ir_len: int, Fc: int):
@@ -566,6 +594,10 @@ def _apply_stage(kind: str, static: tuple, params, x, state, n0, sample_rate: fl
         mid = 0.5 * (x[:, 0, :] + x[:, 1, :])
         side = 0.5 * (x[:, 0, :] - x[:, 1, :]) * w
         return jnp.stack([mid + side, mid - side], axis=1), state
+    cls = _registered_stage_cls(kind)
+    if cls is not None:
+        return cls.stage_apply(static, params, x, state, n0, sample_rate,
+                               key=key, lanes=lanes)
     raise ValueError(f"unknown effect kind {kind!r}")
 
 
@@ -1016,7 +1048,32 @@ def reference_run_chain(chain, x, eff_lanes, sample_rate, channels, bd, key=None
                 side = 0.5 * (x[0] - x[1]) * lane_or(pos, "width", e.width)
                 x = np.stack([mid + side, mid - side])
         else:
-            raise TypeError(e)
+            from whitebox_tpu.effects.registry import UnknownEffect, type_name_of
+
+            if isinstance(e, UnknownEffect):
+                pass  # unregistered persisted effect: bypass (see registry.py)
+            elif callable(getattr(e, "reference_process", None)):
+                # registered user effect's own f64 host reference; automated
+                # params hand over per-frame lane values {name: [F]}
+                ref_lanes = {}
+                for name in getattr(type(e), "automatable", ()) or ():
+                    v = lane_vals(pos, name, float(getattr(e, name)))
+                    if v is not None:
+                        ref_lanes[name] = np.asarray(v, np.float64)
+                x = np.asarray(
+                    e.reference_process(np.asarray(x, np.float64),
+                                        lanes=ref_lanes or None),
+                    np.float64,
+                )
+            elif type_name_of(type(e)) is not None:
+                # fall back to the effect's own process() as its reference
+                import jax.numpy as jnp
+
+                y, _ = e.process(jnp.asarray(x, jnp.float32),
+                                 e.init_state(x.shape[0]))
+                x = np.asarray(y, np.float64)
+            else:
+                raise TypeError(e)
     return x
 
 

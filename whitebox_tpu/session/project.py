@@ -110,7 +110,21 @@ def _effect_to_doc(e) -> dict:
         return {"type": "saturator", "drive_db": e.drive_db, "mix": e.mix}
     if isinstance(e, StereoWidth):
         return {"type": "width", "width": e.width}
-    raise TypeError(f"cannot serialize effect {e!r}")
+    from whitebox_tpu.effects.registry import UnknownEffect, type_name_of
+
+    if isinstance(e, UnknownEffect):
+        # preserve the original document verbatim (lossless round-trip of
+        # an effect type this installation doesn't know)
+        return {"type": e.type_name, "state": e.as_dict()}
+    reg_name = type_name_of(type(e))
+    if reg_name is not None:
+        # registered user effect: UID + state blob, the plugin_manager
+        # persistence model (plugin_manager.cpp:39-68)
+        return {"type": reg_name, "state": e.as_dict()}
+    raise TypeError(
+        f"cannot serialize effect {e!r}: not a built-in and not registered "
+        f"(see whitebox_tpu.effects.registry.register_effect)"
+    )
 
 
 def _effect_from_doc(d):
@@ -177,7 +191,15 @@ def _effect_from_doc(d):
         return Saturator(float(d.get("drive_db", 6.0)), float(d.get("mix", 1.0)))
     if t == "width":
         return StereoWidth(float(d.get("width", 1.0)))
-    raise ValueError(f"unknown effect type {t!r}")
+    from whitebox_tpu.effects.registry import UnknownEffect, lookup_effect
+
+    state = d.get("state") or {}
+    cls = lookup_effect(t)
+    if cls is not None:
+        return cls.from_dict(state)
+    _log.warning("unknown effect type %r on load: preserved as a bypass "
+                 "(register it via effects.registry.register_effect)", t)
+    return UnknownEffect(t, state)
 
 
 def _chain_to_doc(effects) -> list:
