@@ -80,6 +80,21 @@ def main() -> int:
         f"(checksum {cs:.4f})",
         file=sys.stderr,
     )
+
+    # roofline (render/roofline.py): device-only rerun on the warm program
+    # vs the estimated minimum HBM traffic. The ~34 ms relay dispatch rides
+    # inside the measured window; production hosts would read higher.
+    from whitebox_tpu.render.roofline import mix_cost
+
+    t0 = time.perf_counter()
+    float(checksum(renderer.render_device()))
+    dev_s = time.perf_counter() - t0
+    cost = mix_cost(warm_table, frames, 2)
+    print(
+        f"# roofline: {cost.summary(dev_s)} (device window {dev_s*1e3:.0f} ms "
+        f"incl. relay dispatch)",
+        file=sys.stderr,
+    )
     return 0
 
 

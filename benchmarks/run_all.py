@@ -34,6 +34,9 @@ def _rtf_pallas(session, rate, effects_mode=None, runs=3):
             r = bounce(session, rate, effects_mode=effects_mode)
             w = r.stats.carve_seconds + r.stats.device_seconds
             best = w if best is None else min(best, w)
+        if r.stats.cost is not None and r.stats.device_seconds > 0:
+            print(f"  roofline: {r.stats.cost.summary(r.stats.device_seconds)}",
+                  flush=True)
         return r.stats.audio_seconds / best
 
     @jax.jit
@@ -241,6 +244,57 @@ def extra_reverse(duration):
     return _rtf_pallas(s, 48000.0)
 
 
+def config6_routed(duration):
+    """128 tracks -> 8 buses with chains + sidechain ducking + master —
+    the round-3 routed finisher (render/routing.py) under load. Tracks
+    group 16-to-a-bus; bus 1 hosts a sidechain compressor keyed by the
+    last track's send; master runs an EQ + limiter."""
+    from whitebox_tpu.effects import (
+        Biquad, Compressor, EffectChain, Limiter, ParametricEQ,
+    )
+    from whitebox_tpu.render.demo import make_demo_session
+
+    s = make_demo_session(n_tracks=128, duration_seconds=duration,
+                          sample_rate=48000, seed=9)
+    for i in range(8):
+        b = s.add_bus(f"grp{i}", volume_db=-1.5, pan=0.05 * (i - 4))
+        if i == 1:
+            b.effects = EffectChain([Compressor(-24.0, 4.0, sidechain=True)])
+        elif i % 2 == 0:
+            b.effects = EffectChain([ParametricEQ([
+                ("lowshelf", 90.0, 0.707, 1.5), ("peak", 900.0 + 200.0 * i, 1.0, -2.0),
+            ])])
+        else:
+            b.effects = EffectChain([Compressor(-18.0, 3.0)])
+    for t in range(128):
+        s.set_track_output(t, t // 16)
+    s.add_send(127, 1, gain_db=0.0, sidechain=True)  # duck grp1 off track 127
+    s.add_send(3, 5, gain_db=-6.0)
+    s.add_send(40, 7, gain_db=-9.0, pre_fader=True)
+    s.master_effects = EffectChain([Biquad("highpass", 25.0), Limiter(-0.5)])
+    return _rtf_pallas(s, 48000.0, effects_mode="routed")
+
+
+def config7_tempo_mapped(duration):
+    """128-track session under a piecewise tempo map (step + linear ramp)
+    with fader automation — mapped carve + lane packing + mix
+    (core/tempo.py through the full pipeline)."""
+    from whitebox_tpu.ops.automation import AutomationLane, TrackAutomation
+    from whitebox_tpu.render.demo import make_demo_session
+
+    s = make_demo_session(n_tracks=128, duration_seconds=duration,
+                          sample_rate=48000, seed=11)
+    beats = duration / s.beat_duration
+    s.set_tempo_point(0.0, 120.0)
+    s.set_tempo_point(beats * 0.25, 90.0, curve="linear", bpm_end=140.0)
+    s.set_tempo_point(beats * 0.6, 128.0)
+    for i, tr in enumerate(s.tracks):
+        tr.automation = TrackAutomation(
+            volume=AutomationLane().add(0.0, 1.0).add(beats * 0.5, 0.5).add(beats, 0.9),
+        )
+    return _rtf_pallas(s, 48000.0, effects_mode="scan")
+
+
 def headline(duration):
     """128-track 48 kHz bounce (the bench.py metric)."""
     from whitebox_tpu.render.demo import make_demo_session
@@ -272,6 +326,8 @@ def main() -> int:
         ("extra_config3_linear_128trk_rtf", lambda: config3_linear(args.duration)),
         ("extra_sinc_oversample_128trk_rtf", lambda: extra_sinc(args.duration)),
         ("extra_reverse_bidir_128trk_rtf", lambda: extra_reverse(args.duration)),
+        ("config6_routed_sidechain_128trk_rtf", lambda: config6_routed(args.duration)),
+        ("config7_tempo_mapped_128trk_rtf", lambda: config7_tempo_mapped(args.duration)),
         ("headline_128trk_bounce_rtf", lambda: headline(args.duration)),
     ]:
         t0 = time.perf_counter()

@@ -178,3 +178,119 @@ class TestNumerics:
             assert plan_prerender(table, pool) is None  # negative-speed runs
         res = bounce(s, RATE, interpolation="sinc")  # oversample fallback
         assert res.audio.shape[0] == 2 and np.isfinite(res.audio).all()
+
+
+class TestPartialPlan:
+    """plan_prerender(partial=True): rational runs ride the exact path,
+    the residue (irrational/off-grid/reverse) stays slow for the
+    oversample fallback — closes the round-3 all-or-nothing cliff."""
+
+    IRR = 2.0 ** (1.0 / 12.0)  # a semitone: the musically central irrational
+
+    def _mixed_session(self, seed=21, n_tracks=4):
+        return random_session(seed, rate=48000, bpm=120.0, n_tracks=n_tracks,
+                              n_clips=2, speeds=(0.5, self.IRR),
+                              src_rates=(48000.0,))
+
+    def test_full_coverage_equals_default(self):
+        s = _session(20)
+        table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
+        full = plan_prerender(table, pool)
+        part = plan_prerender(table, pool, partial=True)
+        assert full is not None and part is not None
+        assert part.uncovered_rows is None
+        assert len(part.runs) == len(full.runs)
+
+    def test_partial_covers_rational_only(self):
+        s = self._mixed_session(seed=22)
+        table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
+        if table.fast.all():
+            pytest.skip("carved fast-only")
+        assert plan_prerender(table, pool) is None  # strict mode: cliff
+        plan = plan_prerender(table, pool, partial=True)
+        has_rational = (table.speed[~table.fast] == 0.5).any()
+        has_irr = (table.speed[~table.fast] == self.IRR).any()
+        if not (has_rational and has_irr):
+            pytest.skip("seed produced a one-sided session")
+        assert plan is not None and plan.uncovered_rows is not None
+        # uncovered rows are exactly the irrational slow rows
+        unc = np.zeros(len(table), bool)
+        unc[plan.uncovered_rows] = True
+        slow = ~table.fast
+        np.testing.assert_array_equal(unc[slow], table.speed[slow] == self.IRR)
+
+    def test_partial_rewrite_keeps_residue_slow(self):
+        from whitebox_tpu.timeline.oversample import oversample_slow_rows
+
+        s = self._mixed_session(seed=22)
+        table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
+        plan = plan_prerender(table, pool, partial=True)
+        if plan is None or plan.uncovered_rows is None:
+            pytest.skip("seed produced a one-sided session")
+        t1, p1 = oversample_slow_rows(table, pool, rows=plan.uncovered_rows)
+        t2, p2 = apply_prerender_host(t1, p1, plan)
+        # residue rows survive as slow rows at U*speed; covered became fast
+        slow2 = ~t2.fast
+        assert slow2.sum() == len(plan.uncovered_rows)
+        U = 4.0
+        np.testing.assert_allclose(np.unique(t2.speed[slow2]), U * self.IRR)
+
+    def test_mixed_bounce_sine_snr_both_paths(self):
+        """A mixed session: one sine clip at a rational speed (rides the
+        exact polyphase path) and one at a semitone irrational (rides the
+        oversample residue). Each must reconstruct its ideal resampled
+        sine at high SNR in ONE bounce — the composition the round-3
+        all-or-nothing plan couldn't express.
+
+        (Note: the two paths use different documented anti-alias cutoffs,
+        so a broadband sample-wise cross-comparison is meaningless — the
+        SNR-vs-ideal per path is the real contract.)"""
+        import os
+        import tempfile
+
+        from whitebox_tpu.core.formats import AudioFormat
+        from whitebox_tpu.io import wav
+        from whitebox_tpu.render.bounce import bounce
+        from whitebox_tpu.session import Session
+
+        rate = 48000
+        n = rate * 2
+        t = np.arange(n) / rate
+        x = (0.5 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)
+        with tempfile.TemporaryDirectory() as d:
+            pth = os.path.join(d, "sine.wav")
+            wav.write_wav(pth, x[None], rate, AudioFormat.F32)
+            s = Session(bpm=120.0)
+            a = s.sample_table.load_from_file(pth)
+            tr0 = s.add_track("rational", volume_db=0.0, pan=-1.0)
+            tr1 = s.add_track("irrational", volume_db=0.0, pan=1.0)
+            s.add_audio_clip(tr0, "r", 0.0, 6.0, asset=a, speed=0.5)
+            s.add_audio_clip(tr1, "i", 0.0, 3.0, asset=a, speed=self.IRR)
+
+            table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
+            plan = plan_prerender(table, pool, partial=True)
+            assert plan is not None and plan.uncovered_rows is not None
+            res = bounce(s, RATE, interpolation="sinc", engine="pallas")
+
+        out = np.asarray(res.audio)
+        m = np.arange(out.shape[1]) / RATE
+        # hard-pan isolates the tracks; the -3 dB law scales the hard side
+        # by sqrt(2). speed scales the sine's rendered frequency.
+        amp = 0.5 * float(np.sqrt(2.0))
+        lo, hi = 2000, int(1.5 * RATE)
+        for ch, speed, floor_db in ((0, 0.5, 90.0), (1, self.IRR, 85.0)):
+            ideal = amp * np.sin(2 * np.pi * 1000.0 * speed * m)
+            noise = out[ch, lo:hi] - ideal[lo:hi]
+            snr = 10 * np.log10(np.mean(ideal[lo:hi] ** 2)
+                                / max(np.mean(noise**2), 1e-30))
+            assert snr > floor_db, f"ch{ch} speed {speed}: SNR {snr:.1f} dB"
+
+    def test_mixed_bidirectional_renders(self):
+        from whitebox_tpu.render.bounce import bounce
+        from whitebox_tpu.session.clip import ClipMode
+
+        s = self._mixed_session(seed=24, n_tracks=2)
+        for c in s.tracks[0].clips:
+            c.audio.mode = ClipMode.LOOP_BIDIRECTIONAL
+        res = bounce(s, RATE, interpolation="sinc")
+        assert np.isfinite(res.audio).all()

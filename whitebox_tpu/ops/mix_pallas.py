@@ -130,6 +130,11 @@ def _merge_slow_runs_soa(table: SegmentTable):
         "x0": x0[starts], "speed": sp[starts], "gain": gn[starts],
         "fis": fis[starts].astype(np.int64), "fii": fii[starts],
         "foe": foe[starts].astype(np.int64), "foi": foi[starts],
+        # original-table row bounds of each run (the slow rows in
+        # [row_lo, row_hi] are exactly the run's rows — idx is sorted, so
+        # partial prerender can map uncovered runs back to the slow rows
+        # it must leave in the table)
+        "row_lo": idx[starts], "row_hi": idx[ends],
     }
 
 

@@ -223,6 +223,7 @@ def bounce(
     sinc_bank = None
     interp = "linear"
     pre_pool_dev = None
+    _pplan = None  # kept for the roofline cost estimate below
     if interpolation == "sinc" and engine in ("auto", "pallas") and len(table) and not table.fast.all():
         # primary sinc path: pre-render every resampled run with the exact
         # polyphase matmul (MXU) into a speed-1 pool extension, then mix on
@@ -230,9 +231,25 @@ def bounce(
         # oversampled-pool form for non-rational/off-grid/reverse runs.
         from whitebox_tpu.timeline.prerender import apply_prerender_device, plan_prerender
 
-        pplan = plan_prerender(table, pool)
+        pplan = plan_prerender(table, pool, partial=True)
         if pplan is not None:
+            if pplan.uncovered_rows is not None:
+                # mixed session: rational runs ride the exact polyphase
+                # path; the residue (irrational speeds, off-grid phases,
+                # reverse) plays from the oversampled fallback pool at
+                # U*speed through the poly-tap kernel path
+                from whitebox_tpu.ops.resample import design_poly_interp
+                from whitebox_tpu.timeline.oversample import (
+                    OVERSAMPLE_FACTOR, oversample_slow_rows,
+                )
+
+                table, pool = oversample_slow_rows(
+                    table, pool, rows=pplan.uncovered_rows)
+                interp = ("poly", design_poly_interp(OVERSAMPLE_FACTOR))
+                _log.debug("sinc prerender: partial, %d residual rows via "
+                           "oversample fallback", len(pplan.uncovered_rows))
             table, pool, pre_pool_dev = apply_prerender_device(table, pool, pplan)
+            _pplan = pplan
             _log.debug("sinc prerender: %d runs -> fast rows", len(pplan.runs))
         else:
             from whitebox_tpu.timeline.oversample import resolve_interpolation
@@ -258,6 +275,16 @@ def bounce(
         from whitebox_tpu.timeline.oversample import resolve_interpolation
 
         table, pool, interp = resolve_interpolation(table, pool, interpolation)
+
+    # roofline accounting (render/roofline.py): the minimum HBM/MXU spend
+    # this render requires; stats.roofline_fraction compares device time
+    # against the v5e speed-of-light.
+    from whitebox_tpu.render.roofline import estimate_bounce_cost, prerender_cost
+
+    stats.cost = estimate_bounce_cost(table, session, table.total_frames, channels)
+    if _pplan is not None:
+        for name, (b, f) in prerender_cost(_pplan, channels).terms.items():
+            stats.cost.add(name, b, f)
 
     if engine in ("auto", "pallas"):
         from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, SlowRowsPresent, build_plan

@@ -38,6 +38,10 @@ class RenderStats:
     #: EBU R128 measurement of the finished output (ops/loudness.py
     #: LoudnessStats). Filled when bounce(..., loudness=True).
     loudness: object = None
+    #: roofline cost estimate (render/roofline.py CostEstimate): minimum
+    #: HBM bytes + MXU FLOPs this render must spend. Read
+    #: roofline_fraction for achieved utilization.
+    cost: object = None
 
     @property
     def audio_seconds(self) -> float:
@@ -59,14 +63,25 @@ class RenderStats:
         total = self.frames * self.channels * max(self.tracks, 1)
         return total / self.wall_seconds / 1e6 if self.wall_seconds > 0 else float("inf")
 
+    @property
+    def roofline_fraction(self) -> float:
+        """Achieved fraction of the v5e roofline (1.0 = speed-of-light):
+        estimated minimum device time / measured device time."""
+        if self.cost is None or self.device_seconds <= 0:
+            return float("nan")
+        return self.cost.utilization(self.device_seconds)
+
     def summary(self) -> str:
-        return (
+        s = (
             f"rendered {self.audio_seconds:.2f}s ({self.frames} frames, {self.tracks} tracks) "
             f"in {self.wall_seconds:.3f}s wall = {self.rtf:.1f}x realtime "
             f"[carve {self.carve_seconds:.3f}s, compile {self.compile_seconds:.3f}s, "
             f"device {self.device_seconds:.3f}s, readback {self.readback_seconds:.3f}s, "
             f"{self.msamples_per_sec:.0f} Msamples/s]"
         )
+        if self.cost is not None and self.device_seconds > 0:
+            s += f" [{self.cost.summary(self.device_seconds)}]"
+        return s
 
 
 class Stopwatch:

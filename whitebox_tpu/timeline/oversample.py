@@ -58,19 +58,29 @@ def oversample_slow_rows(
     factor: int = OVERSAMPLE_FACTOR,
     taps: int = 32,
     atten_db: float = 90.0,
+    rows: np.ndarray | None = None,
 ) -> tuple[SegmentTable, SamplePool]:
     """Append U-times sinc-upsampled copies of every sample referenced by a
     resampled row; rewrite those rows to the copies at U*speed.
 
-    Returns (table', pool') — inputs are not mutated. Fast rows keep their
-    original sample ids (bit parity). Each needed sample is upsampled once
-    with the anti-alias cutoff set by the fastest playback speed that reads
-    it (slower clips of the same sample share the copy; their passband is
-    narrowed by the same cutoff — documented trade for single-copy memory).
+    Returns (table', pool') — inputs are not mutated; row order and count
+    are preserved. Fast rows keep their original sample ids (bit parity).
+    Each needed sample is upsampled once with the anti-alias cutoff set by
+    the fastest playback speed that reads it (slower clips of the same
+    sample share the copy; their passband is narrowed by the same cutoff —
+    documented trade for single-copy memory).
+
+    ``rows``: restrict the rewrite to these row indices (partial-prerender
+    residue: only the runs the exact polyphase path can't cover ride the
+    oversampled fallback; see plan_prerender(partial=True)).
     """
     from whitebox_tpu.ops.resample import design_sinc_matrix
 
     slow = ~table.fast
+    if rows is not None:
+        m = np.zeros(slow.shape[0], dtype=bool)
+        m[rows] = True
+        slow &= m
     if not slow.any() or factor < 2:
         return table, pool
 

@@ -114,13 +114,24 @@ class PrerenderPlan:
     guard: int            # device read-guard needed past the base pool
     taps: int
     atten_db: float
+    #: original-table row indices of slow rows NOT covered by this plan
+    #: (partial=True planning); they stay in the rewritten table and ride
+    #: the oversample fallback. None = full coverage.
+    uncovered_rows: np.ndarray | None = None
 
 
 def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TAPS,
-                   atten_db: float = 90.0) -> PrerenderPlan | None:
+                   atten_db: float = 90.0, partial: bool = False) -> PrerenderPlan | None:
     """Host planning: merge slow rows into runs and check every run is an
     exact rational phase ramp. Returns None when any run isn't (caller
     falls back to the oversample path).
+
+    ``partial=True``: plan the coverable runs and report the rest —
+    irrational speeds, off-grid phases, reverse runs — in
+    ``plan.uncovered_rows`` (original-table row indices) so the caller can
+    route ONLY those through the oversample fallback instead of dropping
+    the whole session off the exact path (the round-3 all-or-nothing
+    cliff). Returns None when nothing is coverable.
 
     Ext layout is group-major (one group per distinct ratio) and
     channel-major within a group: the group's rendered batch transposed to
@@ -133,7 +144,6 @@ def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TA
     soa = _merge_slow_runs_soa(table)
     if soa is None or soa["trk"].size == 0:
         return None
-    n_runs = soa["trk"].size
 
     half = taps // 2
     C = pool.channel_base.shape[1]
@@ -144,11 +154,16 @@ def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TA
     speeds = soa["speed"]
     x0s = soa["x0"]
     uspeeds, inv = np.unique(speeds, return_inverse=True)
+    ok_u = np.ones(uspeeds.size, dtype=bool)
     upqsp = []
-    for sp in uspeeds:
+    for ui, sp in enumerate(uspeeds):
         pq = _rational_speed(float(sp))
         if pq is None:
-            return None
+            if not partial:
+                return None
+            ok_u[ui] = False
+            upqsp.append((1, 1, 1, 0))  # placeholder; run masked below
+            continue
         P, Q = pq
         s = 1
         while s * P < taps:  # the window trick needs taps <= Pp
@@ -156,10 +171,37 @@ def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TA
         upqsp.append((P, Q, s, pow(P, -1, Q)))
     upq = np.asarray(upqsp, np.int64)  # [U, 4]
     P_a, Q_a, s_a, Pinv_a = (upq[inv, j] for j in range(4))
+    cov = ok_u[inv]  # [n_runs] run coverable so far
     N0f = x0s * Q_a
     N0 = np.round(N0f).astype(np.int64)
-    if np.max(np.abs(N0f - N0)) > 1e-6:
-        return None  # off the 1/Q grid: not an exact polyphase ramp
+    offgrid = np.abs(N0f - N0) > 1e-6  # off the 1/Q grid: not a polyphase ramp
+    if offgrid.any():
+        if not partial:
+            return None
+        cov &= ~offgrid
+    # 128-aligned sub-run buffers (layout precondition, checked per ratio)
+    stride_bad = (_QF * s_a * Q_a) % 128 != 0
+    if stride_bad.any():
+        if not partial:
+            return None
+        cov &= ~stride_bad
+    if partial and not cov.all():
+        if not cov.any():
+            return None
+        keep_runs = np.nonzero(cov)[0]
+        unc = np.nonzero(~cov)[0]
+        slow_mask = ~table.fast
+        unc_rows = []
+        for r in unc:
+            lo, hi = int(soa["row_lo"][r]), int(soa["row_hi"][r])
+            rows = np.arange(lo, hi + 1)
+            unc_rows.append(rows[slow_mask[lo : hi + 1]])
+        uncovered_rows = np.concatenate(unc_rows)
+        soa = {k: v[keep_runs] for k, v in soa.items()}
+        P_a, Q_a, s_a, Pinv_a, N0 = (a[keep_runs] for a in (P_a, Q_a, s_a, Pinv_a, N0))
+    else:
+        uncovered_rows = None
+
     k0_a = (N0 % Q_a * Pinv_a) % Q_a
     c0_a = (N0 - k0_a * P_a) // Q_a
     L_a = soa["end"] - soa["d0"]
@@ -216,7 +258,8 @@ def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TA
     guard = int(max(0, (win_last + ((_QF + 1) * Pp_a)[:, None]).max() - pool_len))
     guard += (-guard) % 128
     return PrerenderPlan(runs=ordered, groups=groups, ext_len=ext_off,
-                         guard=max(guard, 0), taps=taps, atten_db=float(atten_db))
+                         guard=max(guard, 0), taps=taps, atten_db=float(atten_db),
+                         uncovered_rows=uncovered_rows)
 
 
 def _rewrite(table: SegmentTable, pool: SamplePool, plan: PrerenderPlan,
@@ -234,7 +277,9 @@ def _rewrite(table: SegmentTable, pool: SamplePool, plan: PrerenderPlan,
             cb_new[i, ch] = ext_origin + p.ext_base + ch * p.stride_group
         counts_new[i] = p.k0 + p.L
 
-    keep = table.fast
+    keep = table.fast.copy()
+    if plan.uncovered_rows is not None:
+        keep[plan.uncovered_rows] = True  # partial plan: leave them slow
 
     def cat(a, vals, dt):
         return np.concatenate([a[keep], np.asarray(vals, dt)])
