@@ -10,3 +10,4 @@ from whitebox_tpu.session.clip import AudioClipData, Clip, ClipMode, ClipType, M
 from whitebox_tpu.session.sample import Sample  # noqa: F401
 from whitebox_tpu.session.track import Track  # noqa: F401
 from whitebox_tpu.session.session import Session  # noqa: F401
+from whitebox_tpu.session.record import RecordingTake  # noqa: F401

@@ -1014,8 +1014,24 @@ class Session:
     #      recorded audio becomes a registered Sample + a clip at the record
     #      region; here takes arrive as arrays instead of a recorder thread) ----
 
+    def start_recording(self, track: Track, sample_rate: float,
+                        at_beat: float | None = None, channels: int = 2,
+                        name: str = ""):
+        """Begin a streaming take on ``track`` (the record-arm +
+        start_record flow, engine.cpp:84-105): returns a
+        ``session.record.RecordingTake`` that ingests ``[C, n]`` blocks
+        incrementally under the reference's 256 KiB chunked-growth
+        contract; ``take.finalize()`` truncates, registers the asset, and
+        places the clip at ``at_beat`` (default: the playhead)."""
+        from whitebox_tpu.session.record import RecordingTake
+
+        beat = self.playhead_start if at_beat is None else float(at_beat)
+        return RecordingTake(self, track, sample_rate, beat,
+                             channels=channels, name=name)
+
     def add_recorded_take(self, track: Track, audio, sample_rate: int, at_beat: float, name: str = "") -> "Clip":
-        """Register recorded planar f32 audio [C, N] and place it as a clip."""
+        """Register recorded planar f32 audio [C, N] and place it as a clip
+        (one-shot convenience over ``start_recording``/RecordingTake)."""
         import numpy as np
 
         from whitebox_tpu.core.formats import AudioFormat
