@@ -1,0 +1,207 @@
+"""Cross-feature interaction fuzz (round-3 features composed in ONE
+session): tempo maps (step + linear ramps) x meter maps x bus routing
+(groups/sends/sidechain) x track/bus automation x PDC x freeze x bus stems
+x HBM streaming, asserted against the composed f64/oracle references.
+
+The reference integrates every feature in one process loop
+(engine.cpp:1576-1654); each round-3 feature was validated against its own
+reference in isolation — this suite proves the same composition property
+for the rebuilt pipeline: a random draw over the full feature surface must
+match carve(oracle-exact per-track) -> reference_routed_finish(f64).
+
+Seeds: 50 topologies total; a fast slice runs in the default loop, the
+rest are slow-marked (full-suite only).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.test_carve import random_session
+from whitebox_tpu.core.formats import AudioFormat
+from whitebox_tpu.effects import (
+    Biquad, Compressor, EffectChain, Gain, Limiter, ParametricEQ,
+)
+from whitebox_tpu.ops.automation import AutomationLane, TrackAutomation
+from whitebox_tpu.render.bounce import bounce
+from whitebox_tpu.render.routing import reference_routed_finish
+from whitebox_tpu.timeline.carve import (
+    carve_session, render_segments_per_track_numpy,
+)
+
+RATE = 48000.0
+FAST_SEEDS = [0, 1, 2]
+SLOW_SEEDS = list(range(3, 50))
+
+
+def rms(x):
+    return float(np.sqrt(np.mean(np.asarray(x, np.float64) ** 2)))
+
+
+def build_session(seed):
+    """One random draw over the composed feature surface.
+
+    Track count and the chain vocabulary are intentionally small/fixed so
+    chunked-render programs share signatures across seeds (compile reuse
+    keeps 50 topologies affordable); the *topology* — map points, routing
+    edges, lane shapes, PDC — is what varies.
+    """
+    rng = np.random.default_rng(1000 + seed)
+    s = random_session(seed, rate=RATE, bpm=float(rng.uniform(80, 160)),
+                       n_tracks=4, formats=(AudioFormat.F32,), n_clips=2)
+
+    # tempo map: 1-3 extra points, mixed step/linear, sometimes ramp targets
+    for _ in range(int(rng.integers(1, 4))):
+        kw = {}
+        curve = str(rng.choice(["step", "linear"]))
+        if curve == "linear" and rng.random() < 0.5:
+            kw["bpm_end"] = float(rng.uniform(60, 180))
+        s.set_tempo_point(float(rng.uniform(0.25, 10.0)),
+                          float(rng.uniform(60, 180)), curve=curve, **kw)
+    # meter map: bar|beat addressing must coexist with the tempo map
+    if rng.random() < 0.5:
+        s.set_meter(int(rng.integers(1, 4)), int(rng.integers(2, 8)),
+                    int(rng.choice([4, 8])))
+
+    # routing topology
+    B = int(rng.integers(1, 3))
+    for b in range(B):
+        bus = s.add_bus(f"b{b}", volume_db=float(rng.uniform(-9, 3)),
+                        pan=float(rng.uniform(-0.6, 0.6)))
+        kind = int(rng.integers(4))
+        if kind == 1:
+            bus.effects = EffectChain([Biquad("lowpass", float(rng.uniform(900, 11000)))])
+        elif kind == 2:
+            bus.effects = EffectChain([Gain(float(rng.uniform(-6, 3))),
+                                       Biquad("highpass", float(rng.uniform(40, 300)))])
+        elif kind == 3:
+            bus.effects = EffectChain([
+                Compressor(-24.0, 4.0, sidechain=bool(rng.random() < 0.5))])
+        if rng.random() < 0.4:
+            bus.automation = TrackAutomation(
+                volume=AutomationLane().add(0.0, float(rng.uniform(0.3, 1.0)))
+                                       .add(3.0, float(rng.uniform(0.1, 1.0))))
+    for t in range(4):
+        if rng.random() < 0.5:
+            s.set_track_output(t, int(rng.integers(B)))
+        for _ in range(int(rng.integers(0, 2))):
+            s.add_send(t, int(rng.integers(B)),
+                       gain_db=float(rng.uniform(-12, 0)),
+                       pre_fader=bool(rng.random() < 0.3),
+                       sidechain=bool(rng.random() < 0.25))
+    # track chains + automation lanes (fader + pan)
+    for t in range(4):
+        if rng.random() < 0.4:
+            s.tracks[t].effects = EffectChain([
+                Biquad("lowpass", float(rng.uniform(2000, 14000)))])
+        if rng.random() < 0.5:
+            s.tracks[t].automation = TrackAutomation(
+                volume=AutomationLane().add(0.0, 1.0)
+                                       .add(2.0, float(rng.uniform(0.2, 1.0)))
+                                       .add(5.0, float(rng.uniform(0.4, 1.0))),
+                pan=(AutomationLane().add(0.0, float(rng.uniform(-0.8, 0.0)))
+                                     .add(4.0, float(rng.uniform(0.0, 0.8)))
+                     if rng.random() < 0.5 else None),
+            )
+    # master chain; a lookahead limiter exercises PDC's head trim
+    pdc = bool(rng.random() < 0.4)
+    if rng.random() < 0.6:
+        fx = [Biquad("highpass", float(rng.uniform(20, 60)))]
+        if pdc and rng.random() < 0.5:
+            fx.append(Limiter(-0.5))
+        s.master_effects = EffectChain(fx)
+    return s, pdc
+
+
+def _composed_reference(s, pdc):
+    """carve (oracle-contract exact) -> routed f64 finish."""
+    table, pool = carve_session(s, RATE, buffer_size=512)
+    pt = render_segments_per_track_numpy(table, pool)
+    return reference_routed_finish(pt, s, RATE, 2, pdc=pdc)
+
+
+def _check_seed(seed):
+    s, pdc = build_session(seed)
+    from whitebox_tpu.session.bus import session_has_routing
+
+    if not session_has_routing(s):
+        # the draw produced a flat session: still a valid composition
+        # (tempo map + lanes + chains through the scan/generic path)
+        pdc = False
+    res = bounce(s, RATE, engine="xla", chunk_frames=8192, pdc=pdc)
+    ref = _composed_reference(s, pdc)
+    n = min(res.audio.shape[1], ref.shape[1])
+    r = max(rms(ref[:, :n]), 1e-9)
+    err = rms(res.audio[:, :n] - ref[:, :n]) / r
+    assert err < 8e-5, f"seed {seed} (pdc={pdc}): relative rms err {err}"
+
+
+class TestComposedTopologies:
+    @pytest.mark.parametrize("seed", FAST_SEEDS)
+    def test_composed_render_matches_reference(self, seed):
+        _check_seed(seed)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("seed", SLOW_SEEDS)
+    def test_composed_render_matches_reference_slow(self, seed):
+        _check_seed(seed)
+
+
+@pytest.mark.slow
+class TestComposedFreeze:
+    @pytest.mark.parametrize("seed", [3, 7])
+    def test_freeze_under_map_and_routing(self, seed):
+        """Freezing a track must not change the composed mix (post-chain
+        pre-fader bake must commute with tempo maps + routing)."""
+        s, _ = build_session(seed)
+        live = bounce(s, RATE, engine="xla", chunk_frames=8192).audio
+        # freeze a track that has a chain if any, else track 0
+        slot = next((i for i, t in enumerate(s.tracks) if t.effects is not None), 0)
+        s.freeze_track(slot, RATE)
+        frozen = bounce(s, RATE, engine="xla", chunk_frames=8192).audio
+        n = min(live.shape[1], frozen.shape[1])
+        err = rms(frozen[:, :n] - live[:, :n]) / max(rms(live[:, :n]), 1e-9)
+        assert err < 5e-5, f"seed {seed}: freeze divergence {err}"
+
+
+@pytest.mark.slow
+class TestComposedStreaming:
+    @pytest.mark.parametrize("seed", [1, 4])
+    def test_streamed_matches_bounce(self, seed):
+        """HBM-streamed render == one-shot bounce for the composed session
+        (window split must preserve routing state handoff + mapped lanes)."""
+        from whitebox_tpu.render.stream_pool import bounce_streamed
+
+        s, _ = build_session(seed)
+        full = bounce(s, RATE, engine="xla", chunk_frames=8192).audio
+        streamed = bounce_streamed(s, RATE, max_pool_bytes=1 << 20,
+                                   window_frames=1 << 15)
+        n = min(full.shape[1], streamed.shape[1])
+        d = float(np.abs(full[:, :n] - streamed[:, :n]).max())
+        assert d <= 2.4e-7, f"seed {seed}: streamed divergence {d}"
+
+
+@pytest.mark.slow
+class TestComposedStems:
+    def test_stems_reconstruct_under_map(self):
+        """direct + sum(bus stems) -> master == full bounce, with a tempo
+        ramp + sidechain in play."""
+        from whitebox_tpu.render.stems import render_bus_stems
+
+        s, _ = build_session(2)
+        from whitebox_tpu.session.bus import session_has_routing
+
+        if not session_has_routing(s):
+            s.set_track_output(0, 0)
+        direct, bus, names = render_bus_stems(s, RATE)
+        total = jnp.asarray(direct + bus.sum(axis=0))
+        master = s.master_effects
+        if master is not None:
+            mc = master if isinstance(master, EffectChain) else EffectChain(list(master))
+            mc.prepare(RATE, 2)
+            total, _ = mc.process(total, mc.init_state(2))
+        recon = np.clip(np.asarray(total), -1.0, 1.0)
+        full = bounce(s, RATE, engine="xla", chunk_frames=8192).audio
+        n = min(recon.shape[1], full.shape[1])
+        err = rms(recon[:, :n] - full[:, :n]) / max(rms(full[:, :n]), 1e-9)
+        assert err < 5e-5, f"relative rms err {err}"

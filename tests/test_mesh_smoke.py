@@ -1,0 +1,98 @@
+"""Fast-tier mesh smoke tests (round-3 verdict: the fast loop never touched
+a mesh, letting stale expectations hide in the 28-minute slow tier).
+
+Tiny shapes — each case must stay <10 s on the 8-virtual-device CPU mesh —
+touching every sharded pipeline family: plain mix+psum, routed finisher,
+and the full-surface 2-D mesh. Deep/scale coverage stays in the slow tier
+(test_sharded.py, test_effects_sharded.py, test_routing.py)."""
+
+import jax
+import numpy as np
+import pytest
+
+from tests.test_carve import random_session
+from whitebox_tpu.core.formats import AudioFormat
+from whitebox_tpu.effects import Biquad, EffectChain, Gain
+from whitebox_tpu.ops.automation import AutomationLane, TrackAutomation
+from whitebox_tpu.parallel.mesh import make_render_mesh
+from whitebox_tpu.parallel.render_sharded import bounce_sharded
+from whitebox_tpu.render.bounce import bounce
+
+RATE = 48000.0
+
+
+def _tiny_session(seed, routed=False, lanes=False):
+    s = random_session(seed, rate=RATE, bpm=160.0, n_tracks=2,
+                       formats=(AudioFormat.F32,), n_clips=1)
+    if routed:
+        bus = s.add_bus("b", volume_db=-3.0)
+        bus.effects = EffectChain([Gain(-1.5)])
+        s.set_track_output(0, 0)
+        s.add_send(1, 0, gain_db=-6.0)
+    if lanes:
+        s.tracks[0].effects = EffectChain([Biquad("lowpass", 8000.0)])
+        s.tracks[0].automation = TrackAutomation(
+            volume=AutomationLane().add(0.0, 1.0).add(2.0, 0.4))
+    return s
+
+
+def test_routed_sharded_smoke():
+    """Routed finisher on the frames-only mesh (smoke for the slow
+    TestRoutedSharded scale cases)."""
+    assert len(jax.devices()) == 8
+    mesh = make_render_mesh(tracks_parallel=1, frames_parallel=8)
+    s = _tiny_session(5, routed=True)
+    single = bounce(s, RATE, engine="xla", chunk_frames=4096).audio
+    multi = bounce_sharded(s, RATE, mesh)
+    n = min(single.shape[1], multi.shape[1])
+    np.testing.assert_allclose(multi[:, :n], single[:, :n], atol=3e-6, rtol=1e-4)
+
+
+def test_full_surface_2d_mesh_smoke():
+    """Chains + automation + routing on the 2-D ('tracks','frames') mesh
+    (smoke for the slow full-surface 2-D cases)."""
+    assert len(jax.devices()) == 8
+    mesh = make_render_mesh(tracks_parallel=2, frames_parallel=4)
+    s = _tiny_session(6, routed=True, lanes=True)
+    single = bounce(s, RATE, engine="xla", chunk_frames=4096).audio
+    multi = bounce_sharded(s, RATE, mesh)
+    n = min(single.shape[1], multi.shape[1])
+    np.testing.assert_allclose(multi[:, :n], single[:, :n], atol=3e-6, rtol=1e-4)
+
+
+def test_streamed_smoke():
+    """HBM-streamed bounce == one-shot bounce on a tiny speed-1 session
+    (bit-exact contract; smoke for the slow composed-streaming cases)."""
+    from whitebox_tpu.render.stream_pool import bounce_streamed
+
+    s = _tiny_session(8)
+    full = bounce(s, RATE, engine="xla", chunk_frames=4096).audio
+    streamed = bounce_streamed(s, RATE, max_pool_bytes=1 << 18,
+                               window_frames=1 << 14)
+    n = min(full.shape[1], streamed.shape[1])
+    np.testing.assert_array_equal(streamed[:, :n], full[:, :n])
+
+
+def test_plain_mix_mesh_smoke():
+    """Plain mix + psum on the 2-D mesh (no chains) — the fastest mesh
+    round trip; catches mesh/pack regressions in seconds."""
+    import jax.numpy as jnp
+
+    from whitebox_tpu.ops.mix import pack_device_tables, render_chunk
+    from whitebox_tpu.parallel.render_sharded import (
+        render_chunk_sharded, shard_tables,
+    )
+    from whitebox_tpu.timeline.carve import carve_session
+
+    assert len(jax.devices()) == 8
+    mesh = make_render_mesh(tracks_parallel=2, frames_parallel=4)
+    s = _tiny_session(7)
+    table, pool = carve_session(s, RATE, buffer_size=512)
+    dev = pack_device_tables(table, pool, s, pad_tracks_to=8)
+    jt = dev.as_jax()
+    pool_dev = jnp.asarray(pool.data)
+    single = render_chunk(pool_dev, jt, jnp.int32(0), frames=4096)
+    multi = render_chunk_sharded(pool_dev, shard_tables(jt, mesh),
+                                 jnp.int32(0), frames=4096, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(multi), np.asarray(single),
+                               atol=2e-6, rtol=1e-5)

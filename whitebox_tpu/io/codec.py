@@ -99,8 +99,17 @@ def load() -> ctypes.CDLL | None:
         return _LIB
     _TRIED = True
     so = _NATIVE_DIR / "libwbcodec.so"
-    if not so.is_file():
+    src = _NATIVE_DIR / "wb_codec.cpp"
+    stale = (so.is_file() and src.is_file()
+             and so.stat().st_mtime < src.stat().st_mtime)
+    if not so.is_file() or stale:
+        # `make codec` has no .cpp dependency line, so a source edit leaves a
+        # stale .so in place — remove it first so make relinks. A failed
+        # rebuild of a stale lib falls back to loading nothing rather than
+        # silently running old code.
         try:
+            if stale:
+                so.unlink()
             subprocess.run(["make", "-C", str(_NATIVE_DIR), "codec"], check=True,
                            capture_output=True, timeout=120)
         except (subprocess.SubprocessError, FileNotFoundError, OSError):
