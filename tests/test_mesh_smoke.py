@@ -60,6 +60,28 @@ def test_full_surface_2d_mesh_smoke():
     np.testing.assert_allclose(multi[:, :n], single[:, :n], atol=3e-6, rtol=1e-4)
 
 
+@pytest.mark.slow
+def test_sharded_pdc_smoke():
+    """bounce_sharded(pdc=True): latent track chain fetch-ahead + master
+    head trim must match the single-chip streaming PDC render. (Slow: the
+    limiter-chain compile x two meshes; the multichip dryrun also covers
+    routed PDC on both mesh shapes.)"""
+    from whitebox_tpu.effects import Limiter
+
+    assert len(jax.devices()) == 8
+    s = _tiny_session(9, routed=True)
+    s.tracks[0].effects = EffectChain([Biquad("lowpass", 9000.0), Limiter(-1.0)])
+    s.master_effects = EffectChain([Biquad("highpass", 30.0), Limiter(-0.5)])
+    single = bounce(s, RATE, engine="xla", chunk_frames=4096, pdc=True).audio
+    for tp, fp in ((1, 8), (2, 4)):
+        mesh = make_render_mesh(tracks_parallel=tp, frames_parallel=fp)
+        multi = bounce_sharded(s, RATE, mesh, pdc=True)
+        n = min(single.shape[1], multi.shape[1])
+        np.testing.assert_allclose(multi[:, :n], single[:, :n],
+                                   atol=3e-6, rtol=1e-4,
+                                   err_msg=f"mesh {tp}x{fp}")
+
+
 def test_streamed_smoke():
     """HBM-streamed bounce == one-shot bounce on a tiny speed-1 session
     (bit-exact contract; smoke for the slow composed-streaming cases)."""

@@ -81,20 +81,38 @@ def time_stretch(audio, ratio: float, *, fft_size: int = 2048,
     # the bin's expected advance over the ACTUAL analysis hop dt, wrapped
     # to (-pi, pi], giving the per-bin frequency deviation
     dphase = jnp.diff(phase, axis=1, prepend=phase[:, :1])  # [C, T, K]
-    wkj = jnp.asarray(wk)
+    # all phase terms stay PRINCIPAL-VALUE-SIZED on device: unwrapped
+    # phases reach ~1e4 rad where f32 carries ~1e-3 rad of representation
+    # error and TPU sin/cos degrade further (limited range reduction).
+    # dt*wk and the nominal synthesis ramp wk*hs*t are host-wrapped
+    # EXACTLY (f64 / integer arithmetic); only the small heterodyne
+    # deviation accumulates in f32.
+    expected = jnp.asarray(  # (dt * wk) mod 2pi, exact in host f64
+        np.mod(dt[:, None] * wk[None, :], 2.0 * np.pi).astype(np.float32))
     dtj = jnp.asarray(dt.astype(np.float64))
-    expected = dtj[None, :, None] * wkj[None, None, :]
-    dev = dphase - expected
+    dev = dphase - expected[None]
     dev = dev - 2.0 * jnp.pi * jnp.round(dev / (2.0 * jnp.pi))  # principal value
-    # true per-sample frequency of the bin over this analysis step
-    omega = jnp.where(dtj[None, :, None] > 0, wkj[None, None, :] + dev /
-                      jnp.maximum(dtj[None, :, None], 1.0), wkj[None, None, :])
-    # synthesis phase: cumulative sum of omega * hs, anchored at frame 0
-    inc = omega * float(hs)
-    out_phase = phase[:, 0:1, :] + jnp.concatenate(
-        [jnp.zeros_like(inc[:, :1]), jnp.cumsum(inc[:, 1:], axis=1)], axis=1)
+    # deviation part of the synthesis increment: dev/dt per sample * hs
+    dev_inc = jnp.where(dtj[None, :, None] > 0,
+                        dev * (float(hs) / jnp.maximum(dtj, 1.0))[None, :, None],
+                        0.0)
+    # nominal synthesis ramp wk*hs*t, wrapped exactly: wk = 2pi*k/fft, so
+    # wk*hs*t mod 2pi = 2pi * ((k*hs*t) mod fft) / fft (host int64)
+    ki = np.arange(fft_size // 2 + 1, dtype=np.int64)
+    ti = np.arange(n_frames, dtype=np.int64)
+    nominal = jnp.asarray(
+        ((ti[:, None] * ((ki * hs) % fft_size)[None, :]) % fft_size)
+        .astype(np.float32) * np.float32(2.0 * np.pi / fft_size))  # [T, K]
+    out_phase = phase[:, 0:1, :] + nominal[None] + jnp.concatenate(
+        [jnp.zeros_like(dev_inc[:, :1]), jnp.cumsum(dev_inc[:, 1:], axis=1)],
+        axis=1)
+    # re-wrap the bounded sum before the transcendentals
+    out_phase = out_phase - 2.0 * jnp.pi * jnp.round(out_phase / (2.0 * jnp.pi))
 
-    out_spec = mag * jnp.exp(1j * out_phase)
+    # complex exp does not lower on this TPU backend (like complex-input
+    # FFT); build the spectrum from a real cos/sin pair instead
+    out_spec = jax.lax.complex(mag * jnp.cos(out_phase),
+                               mag * jnp.sin(out_phase))
     ysegs = jnp.fft.irfft(out_spec, fft_size, axis=-1) * jnp.asarray(win)[None, None, :]
 
     # ---- overlap-add + window-power normalization ----

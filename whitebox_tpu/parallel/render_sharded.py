@@ -112,6 +112,7 @@ def bounce_sharded(
     buffer_size: int = 512,
     channels: int = 2,
     master_effects=None,
+    pdc: bool = False,
 ):
     """Render a whole session over a ('tracks','frames') device mesh.
 
@@ -153,11 +154,11 @@ def bounce_sharded(
         # frames axis keeps the sequence-parallel state handoff
         return _bounce_sharded_fx_2d(session, sample_rate, mesh,
                                      buffer_size=buffer_size, channels=channels,
-                                     master_effects=master_effects)
+                                     master_effects=master_effects, pdc=pdc)
     if needs_per_track:
         return _bounce_sharded_fx(session, sample_rate, mesh,
                                   buffer_size=buffer_size, channels=channels,
-                                  master_effects=master_effects)
+                                  master_effects=master_effects, pdc=pdc)
     if master_effects is None and session.master_effects:
         ch = session.master_effects
         master_effects = list(ch.effects) if hasattr(ch, "effects") else list(ch)
@@ -181,6 +182,26 @@ def bounce_sharded(
         out = apply_chain_sharded(master_effects, out, mesh, float(sample_rate),
                                   channels=channels)
     return np.asarray(out)[:, : table.total_frames]
+
+
+def _pdc_latencies(fx, rfx, pdc: bool):
+    """(per-group chain latency, master latency) for PDC fetch-ahead;
+    zeros when pdc is off. Latent BUS chains raise: the sharded pipeline
+    streams bus chains framewise and does not carry their delay lines
+    (same contract as the single-chip streaming path, render/bounce.py)."""
+    if not pdc:
+        return [0] * len(fx.groups), 0
+    from whitebox_tpu.render.effects_generic import fx_latencies, stage_latency_frames
+
+    glat, mlat = fx_latencies(fx)
+    if rfx is not None and any(
+            stage_latency_frames(g.stages) > 0 for g in rfx.bus_groups):
+        raise ValueError(
+            "sharded PDC does not carry bus-chain latency; move lookahead "
+            "chains to tracks or the master, or render single-chip with "
+            "engine='auto'/'pallas' (the routed finisher compensates bus "
+            "latency)")
+    return glat, mlat
 
 
 def _pad_auto_tables(auto, Tp: int):
@@ -207,7 +228,8 @@ def _pad_auto_tables(auto, Tp: int):
 
 
 def _bounce_sharded_fx_2d(session, sample_rate: float, mesh: Mesh, *,
-                          buffer_size: int, channels: int, master_effects=None):
+                          buffer_size: int, channels: int, master_effects=None,
+                          pdc: bool = False):
     """Effectful sharded bounce on a full 2-D ('tracks','frames') mesh.
 
     Chains are per-track independent, so the tracks axis shards them
@@ -265,6 +287,8 @@ def _bounce_sharded_fx_2d(session, sample_rate: float, mesh: Mesh, *,
         gparams, mparams = device_params(fx)
         bparams = []
 
+    glat, mlat = _pdc_latencies(fx, rfx, pdc)
+
     table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
                                 out_channels=channels, slow_emit="runs")
     T = max(table.num_tracks, 1)
@@ -273,7 +297,7 @@ def _bounce_sharded_fx_2d(session, sample_rate: float, mesh: Mesh, *,
     dev = pack_device_tables(table, pool, session, channels=channels, pad_tracks_to=Tp)
     tables = shard_tables(dev.as_jax(), mesh)
     pool_dev = jax.device_put(jnp.asarray(pool.data), NamedSharding(mesh, P()))
-    frames = -(-max(table.total_frames, 1) // (fp * 512)) * (fp * 512)
+    frames = -(-(max(table.total_frames, 1) + mlat) // (fp * 512)) * (fp * 512)
     f_local = frames // fp
 
     auto = _pad_auto_tables(prepare_automation_tables(session, sample_rate), Tp)
@@ -287,31 +311,37 @@ def _bounce_sharded_fx_2d(session, sample_rate: float, mesh: Mesh, *,
     track_spec = P("tracks", None, "frames")
 
     # ---- stage 1: per-track contribs (+ synth) on the 2-D mesh ----
-    def tile_contrib(pool, tables, synth_t):
+    def tile_contrib(pool, tables, synth_t, off):
         from whitebox_tpu.midi.synth import render_synth_chunk
 
         base_f = jax.lax.axis_index("frames") * f_local
-        contribs = _tile_contribs(pool, tables, jnp.int32(0), f_local)
+        contribs = _tile_contribs(pool, tables, off, f_local)
         ti = jax.lax.axis_index("tracks")
         for t in sorted(synth_t.keys()):
-            sy = render_synth_chunk(synth_t[t], base_f, frames=f_local)
+            sy = render_synth_chunk(synth_t[t], base_f + off, frames=f_local)
             row = t - ti * T_local
             valid = (row >= 0) & (row < T_local)
             rowc = jnp.clip(row, 0, T_local - 1)
             contribs = contribs.at[rowc].add(jnp.where(valid, sy[None, :], 0.0))
         return contribs
 
-    contribs = jax.jit(shard_map(
+    contrib_fn = jax.jit(shard_map(
         tile_contrib, mesh=mesh,
-        in_specs=(P(), _TABLE_SPECS, rep(synth_tables)),
+        in_specs=(P(), _TABLE_SPECS, rep(synth_tables), P()),
         out_specs=track_spec,
-    ))(pool_dev, tables, synth_tables)  # [Tp, C, frames] sharded 2-D
+    ))
+    contribs = contrib_fn(pool_dev, tables, synth_tables,
+                          jnp.int32(0))  # [Tp, C, frames] sharded 2-D
+    # PDC fetch-ahead: latent groups read from a shifted contribution pass
+    # (one extra sharded mix dispatch per distinct latency class)
+    shifted = {lat: contrib_fn(pool_dev, tables, synth_tables, jnp.int32(lat))
+               for lat in sorted({l for l in glat if l > 0})}
 
     # ---- stage 2: chain groups, tracks axis sharded ----
     # per-effect parameters shard WITH their tracks (leading dim B), so a
     # device only applies the params of the rows it holds
     group_sharding = NamedSharding(mesh, track_spec)
-    for g, pl in zip(fx.groups, gparams):
+    for g, pl, lat in zip(fx.groups, gparams, glat):
         stages = tuple((k, s) for (k, s, _) in g.stages)
         B = len(g.track_idx)
         Bpad = -(-B // tp) * tp
@@ -332,7 +362,8 @@ def _bounce_sharded_fx_2d(session, sample_rate: float, mesh: Mesh, *,
 
         fn_g = shard_map(chain_tile, mesh=mesh,
                          in_specs=(track_spec, pspec), out_specs=track_spec)
-        xg = jax.device_put(contribs[jnp.asarray(idx_pad)], group_sharding)
+        src = shifted[lat] if lat > 0 else contribs
+        xg = jax.device_put(src[jnp.asarray(idx_pad)], group_sharding)
         yg = jax.jit(fn_g)(xg, pl_pad)
         contribs = contribs.at[jnp.asarray(g.track_idx)].set(yg[:B])
         contribs = jax.device_put(contribs, group_sharding)
@@ -413,11 +444,12 @@ def _bounce_sharded_fx_2d(session, sample_rate: float, mesh: Mesh, *,
                   rep(mparams), routing_spec, bauto_spec),
         out_specs=P(None, "frames"),
     ))(contribs, tables["track_gain"], auto, bparams, mparams, routing_dev, bauto)
-    return np.asarray(out)[:, : table.total_frames]
+    return np.asarray(out)[:, mlat : mlat + table.total_frames]
 
 
 def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
-                       buffer_size: int, channels: int, master_effects=None):
+                       buffer_size: int, channels: int, master_effects=None,
+                       pdc: bool = False):
     """Effectful sharded bounce on a frames-only mesh, mirroring the
     single-chip pipeline order (render/effects_generic._chunk_step):
     per-track mix (+ synth voices) -> per-track chains (grouped by
@@ -425,7 +457,12 @@ def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
     per-frame automation/fader gains -> ordered track sum -> master chain
     -> hard clip. Automation and synth are pure functions of the global
     frame index, so they shard trivially; only the chains need the
-    sequence-parallel handoff."""
+    sequence-parallel handoff.
+
+    ``pdc``: latent track chains get their per-track input re-rendered
+    that many frames ahead (one extra sharded mix pass per distinct
+    latency class), master latency is absorbed by rendering further and
+    trimming the head — the sharded form of bounce's streaming PDC."""
     import numpy as np
 
     from whitebox_tpu.ops.mix import pack_device_tables
@@ -466,14 +503,17 @@ def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
         gparams, mparams = device_params(fx)
         bparams, routing_dev = [], ()
 
+    glat, mlat = _pdc_latencies(fx, rfx, pdc)
+
     table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
                                 out_channels=channels, slow_emit="runs")
     dev = pack_device_tables(table, pool, session, channels=channels)
     tables = shard_tables(dev.as_jax(), mesh)
     pool_dev = jax.device_put(jnp.asarray(pool.data), NamedSharding(mesh, P()))
     # shards pad to PARAM_BLOCK multiples so timed-coefficient (TV biquad)
-    # param blocks stay aligned with the single-chip 512-frame grid
-    frames = -(-max(table.total_frames, 1) // (fp * 512)) * (fp * 512)
+    # param blocks stay aligned with the single-chip 512-frame grid; master
+    # latency renders further and trims the head (PDC)
+    frames = -(-(max(table.total_frames, 1) + mlat) // (fp * 512)) * (fp * 512)
     f_local = frames // fp
     T = max(table.num_tracks, 1)
 
@@ -495,12 +535,20 @@ def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
         from whitebox_tpu.midi.synth import render_synth_chunk
 
         base = jax.lax.axis_index("frames") * f_local
-        contribs = _tile_contribs(pool, tables, jnp.int32(0), f_local)
-        for t in sorted(synth_t.keys()):
-            sy = render_synth_chunk(synth_t[t], base, frames=f_local)
-            contribs = contribs.at[t].add(sy[None, :])
-        for tracks, stages, pl in zip(group_tracks, group_stages, gpar):
-            xg = contribs[tracks]
+
+        def contribs_at(off: int):
+            c = _tile_contribs(pool, tables, jnp.int32(off), f_local)
+            for t in sorted(synth_t.keys()):
+                sy = render_synth_chunk(synth_t[t], base + off, frames=f_local)
+                c = c.at[t].add(sy[None, :])
+            return c
+
+        contribs = contribs_at(0)
+        shifted = {}  # PDC fetch-ahead: one extra mix pass per latency class
+        for tracks, stages, pl, lat in zip(group_tracks, group_stages, gpar, glat):
+            if lat > 0 and lat not in shifted:
+                shifted[lat] = contribs_at(lat)
+            xg = (shifted[lat] if lat > 0 else contribs)[tracks]
             yg = chain_shard(list(stages), pl, xg, "frames", fp, rate)
             contribs = contribs.at[tracks].set(yg)
         gidx = base + jnp.arange(f_local, dtype=jnp.int32)
@@ -557,4 +605,4 @@ def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
     )
     out = jax.jit(fn)(pool_dev, tables, gparams, bparams, mparams, auto, synth_tables,
                       routing_dev, bauto)
-    return np.asarray(out)[:, : table.total_frames]
+    return np.asarray(out)[:, mlat : mlat + table.total_frames]
