@@ -381,7 +381,36 @@ def build_plan(
     )
 
 
-def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, interp: str, row_al_ref, delta_ref, ms_ref, me_ref, gain_ref, clampf_ref, fis_ref, fii_ref, foe_ref, foi_ref, slow_ref, sqhi_ref, sfh_ref, sfl_ref, ssh_ref, ssl_ref, tg_ref, pool_ref, out_ref, scratch, sv_ref, sems):
+def _lane_eval_kernel(xs_ref, ys_ref, cv_ref, tn_ref, g, simple: bool):
+    """In-kernel mirror of ops.automation.eval_lane_device: static sweep
+    over the lane's breakpoints with elementwise selects on [R, 128].
+
+    ``simple``: every point in the whole lane table is LINEAR (trace-time
+    fact) — skips the transcendental curve family entirely."""
+    from whitebox_tpu.ops.automation import _SENTINEL, _apply_curve
+
+    P = xs_ref.shape[-1]
+    val = jnp.full(g.shape, ys_ref[0, 0, 0], dtype=jnp.float32)
+    for i in range(P - 1):
+        x0 = xs_ref[0, 0, i]
+        x1 = xs_ref[0, 0, i + 1]
+        span = jnp.maximum(x1 - x0, 1)
+        u = jnp.clip((g - x0).astype(jnp.float32) / span.astype(jnp.float32), 0.0, 1.0)
+        u = jnp.where(x1 == _SENTINEL, jnp.float32(0.0), u)  # hold after last point
+        if not simple:
+            u = _apply_curve(u, cv_ref[0, 0, i], tn_ref[0, 0, i], jnp)
+        seg = ys_ref[0, 0, i] + u * (ys_ref[0, 0, i + 1] - ys_ref[0, 0, i])
+        val = jnp.where(g >= x0, seg, val)
+    return val
+
+
+def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, interp: str, has_auto, row_al_ref, delta_ref, ms_ref, me_ref, gain_ref, clampf_ref, fis_ref, fii_ref, foe_ref, foi_ref, slow_ref, sqhi_ref, sfh_ref, sfl_ref, ssh_ref, ssl_ref, tg_ref, *rest):
+    if has_auto:
+        (vxs_ref, vys_ref, vcv_ref, vtn_ref, pxs_ref, pys_ref, pcv_ref, ptn_ref,
+         mute_ref, use_ref, pool_ref, out_ref, scratch, sv_ref, sems) = rest
+        simple_v, simple_p = has_auto[1], has_auto[2]
+    else:
+        pool_ref, out_ref, scratch, sv_ref, sems = rest
     t = pl.program_id(1)
     n_tracks = pl.num_programs(1)
     R = TILE // 128  # output rows; scratch windows carry 8 extra rows (1024 elts)
@@ -410,6 +439,25 @@ def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, interp: str, row_al_
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
     pos = row_i * 128 + lane_i
     lane_big = jax.lax.broadcasted_iota(jnp.int32, (R + 16, 128), 1)
+
+    # per-frame automation gains, evaluated IN-KERNEL per (tile, track):
+    # automation-only sessions stay on the fused single-pass mix instead of
+    # materializing [T, C, F] per-track buffers for a finisher (2 extra
+    # HBM streams). Math mirrors effects_pipeline._frame_gains exactly.
+    if has_auto and not per_track:
+        posg = pl.program_id(0) * TILE + pos  # global frame index [R, 128]
+        vol = _lane_eval_kernel(vxs_ref, vys_ref, vcv_ref, vtn_ref, posg, simple_v)
+        panv = _lane_eval_kernel(pxs_ref, pys_ref, pcv_ref, ptn_ref, posg, simple_p)
+        use = use_ref[0, 0, 0] == 1
+        sqrt2 = jnp.float32(np.sqrt(2.0))
+        halfpi = jnp.float32(0.5 * np.pi)
+        px = 0.5 * (panv + 1.0)
+        gvec = []
+        for ch in range(C):
+            arg = (1.0 - px) if ch % 2 == 0 else px
+            coef = (jnp.sin(halfpi * arg) * sqrt2).astype(jnp.float32)
+            ga = (vol * coef) * mute_ref[0, 0, 0]
+            gvec.append(jnp.where(use, ga, tg_ref[0, 0, ch]))
 
     for k in range(K):
         active = me_ref[0, 0, 0, k] > ms_ref[0, 0, 0, k]
@@ -534,7 +582,10 @@ def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, interp: str, row_al_
                     # track volume*pan folds in here; per-track outputs leave
                     # it to the effects pipeline (chains run pre-gain,
                     # track.cpp:648-662 ordering)
-                    scaled = scaled * tg_ref[0, 0, ch]
+                    if has_auto:
+                        scaled = scaled * gvec[ch]
+                    else:
+                        scaled = scaled * tg_ref[0, 0, ch]
                 contrib = jnp.where(mask, scaled, 0.0)
                 if per_track:
                     out_ref[0, ch] += contrib  # block [1, C, R, 128]
@@ -549,9 +600,9 @@ def _mix_kernel(K: int, C: int, TILE: int, per_track: bool, interp: str, row_al_
             out_ref[:] = jnp.where(o < -1.0, jnp.float32(-1.0), o)
 
 
-@functools.partial(jax.jit, static_argnames=("n_tiles", "num_tracks", "K", "C", "TILE", "interpret", "per_track", "interp"))
-def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, slow, sqhi, sfh, sfl, ssh, ssl, tg, *, n_tiles, num_tracks, K, C, TILE, interpret=False, per_track=False, interp="linear"):
-    kernel = functools.partial(_mix_kernel, K, C, TILE, per_track, interp)
+@functools.partial(jax.jit, static_argnames=("n_tiles", "num_tracks", "K", "C", "TILE", "interpret", "per_track", "interp", "has_auto"))
+def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, slow, sqhi, sfh, sfl, ssh, ssl, tg, *auto, n_tiles, num_tracks, K, C, TILE, interpret=False, per_track=False, interp="linear", has_auto=False):
+    kernel = functools.partial(_mix_kernel, K, C, TILE, per_track, interp, has_auto)
     grid = (n_tiles, num_tracks)
     R = TILE // 128
     if per_track:
@@ -560,6 +611,18 @@ def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, s
     else:
         out_specs = pl.BlockSpec((C, R, 128), lambda i, t: (0, i, 0), memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((C, n_tiles * R, 128), jnp.float32)
+    auto_specs = []
+    if has_auto:
+        # lane breakpoint tables [T, 1, P] (+ [T, 1, 1] flags), one track
+        # row per grid cell in SMEM (trailing block dims must equal the
+        # array dims for the TPU lowering)
+        for a in auto[:8]:
+            Pn = a.shape[-1]
+            auto_specs.append(pl.BlockSpec((1, 1, Pn), lambda i, t: (t, 0, 0),
+                                           memory_space=pltpu.SMEM))
+        auto_specs += [pl.BlockSpec((1, 1, 1), lambda i, t: (t, 0, 0),
+                                    memory_space=pltpu.SMEM)
+                       for _ in auto[8:]]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -571,6 +634,7 @@ def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, s
             for _ in range(14)
         ] + [
             pl.BlockSpec((1, 1, C), lambda i, t: (t, 0, 0), memory_space=pltpu.SMEM),
+        ] + auto_specs + [
             pl.BlockSpec(memory_space=pl.ANY),  # pool stays in HBM
         ],
         out_specs=out_specs,
@@ -581,7 +645,7 @@ def _mix_call(pool2d, row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, s
             pltpu.SemaphoreType.DMA((K, C)),
         ],
         interpret=interpret,
-    )(row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, slow, sqhi, sfh, sfl, ssh, ssl, tg, pool2d)
+    )(row_al, delta, ms, me, gain, clampf, fis, fii, foe, foi, slow, sqhi, sfh, sfl, ssh, ssl, tg, *auto, pool2d)
 
 
 class PallasMixRenderer:
@@ -590,7 +654,7 @@ class PallasMixRenderer:
     def __init__(self, table: SegmentTable, pool: SamplePool, session: Session,
                  channels: int = 2, tile: int | None = None, interpret: bool = False,
                  plan: PallasMixPlan | None = None, interp: str = "linear",
-                 pool_device=None) -> None:
+                 pool_device=None, auto_tables=None) -> None:
         # Mosaic only compiles on TPU; CPU (tests / virtual meshes) interprets
         interpret = interpret or jax.default_backend() == "cpu"
         self.plan = plan or build_plan(table, pool, session, channels=channels, tile=tile)
@@ -622,8 +686,38 @@ class PallasMixRenderer:
         if interp not in ("linear", "catmull") and not poly_ok:
             raise ValueError(
                 f"pallas mix interp must be linear, catmull, or ('poly', coeffs); got {interp!r}")
+        has_auto = False
+        if auto_tables is not None:
+            # volume/pan lane breakpoint tables (effects_pipeline.
+            # prepare_automation_tables_host format — HOST numpy: the
+            # trace-time `simple` flags below read the curve tables, and a
+            # readback of device-resident lanes stalls on the axon relay)
+            # for IN-KERNEL per-frame gain evaluation — automation-only
+            # sessions render in the one fused pass (render_device)
+            # instead of per-track + finisher
+            from whitebox_tpu.ops.automation import CurveType
+
+            volh, panh, mute, use = auto_tables
+            r3 = lambda a: np.ascontiguousarray(
+                np.asarray(a).reshape(a.shape[0], 1, -1))
+            lanes = (r3(volh["xs"]), r3(volh["ys"]), r3(volh["cv"]), r3(volh["tn"]),
+                     r3(panh["xs"]), r3(panh["ys"]), r3(panh["cv"]), r3(panh["tn"]),
+                     r3(np.asarray(mute, np.float32)),
+                     r3(np.asarray(use, np.int32)))
+            self._args = self._args + tuple(jax.device_put(jnp.asarray(a)) for a in lanes)
+            from whitebox_tpu.ops.automation import _SENTINEL
+
+            def simple(lane):
+                # slot i's curve only evaluates when a segment [i, i+1)
+                # exists — padded/terminal slots never interpolate
+                cv, xs = np.asarray(lane["cv"]), np.asarray(lane["xs"])
+                seg = xs[:, 1:] != _SENTINEL
+                return bool((~seg | (cv[:, :-1] == int(CurveType.LINEAR))).all())
+
+            has_auto = (True, simple(volh), simple(panh))
         self._kw = dict(n_tiles=p.n_tiles, num_tracks=p.num_tracks, K=K,
-                        C=p.channels, TILE=p.tile, interpret=interpret, interp=interp)
+                        C=p.channels, TILE=p.tile, interpret=interpret, interp=interp,
+                        has_auto=has_auto)
         self.pool_device = self._args[0]
 
     def render_device(self):

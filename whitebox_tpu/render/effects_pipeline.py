@@ -252,6 +252,22 @@ def init_effect_states(T: int, C: int, S: int, Sm: int):
     )
 
 
+def prepare_automation_tables_host(session: Session, sample_rate: float):
+    """Host-side (numpy) twin of :func:`prepare_automation_tables` for the
+    in-kernel automation path: `PallasMixRenderer(auto_tables=...)` must
+    receive HOST arrays — it derives trace-time flags from the tables, and
+    a device->host readback of an already-uploaded lane stalls for minutes
+    on the axon relay (the params-as-jit-args rule, see CLAUDE.md)."""
+    from whitebox_tpu.ops.automation import pack_session_automation, session_has_automation
+
+    if not session_has_automation(session):
+        return None
+    vol, pan, mute = pack_session_automation(session, sample_rate)
+    use = np.array([t.automation is not None and t.automation.has_track_lanes()
+                    for t in session.tracks], dtype=bool)
+    return (vol, pan, mute, use)
+
+
 def prepare_automation_tables(session: Session, sample_rate: float):
     """Pack session automation lanes for the device (None if no lanes)."""
     from whitebox_tpu.ops.automation import pack_session_automation, session_has_automation
