@@ -60,19 +60,8 @@ struct CarveOut {
   bool error = false;
 };
 
-// core_math.h:209 beat_to_samples — two separately-rounded f64 multiplies
-inline double b2s(double beat, double rate, double bd) {
-  double sec = beat * bd;
-  return sec * rate;
-}
-
 // carve.py _u64_trunc: (uint64_t)(double) with negative-UB clamp
 inline int64_t u64_trunc(double x) { return x > 0.0 ? (int64_t)x : 0; }
-
-// np.searchsorted(a, v, side="left")
-inline int64_t lb(const double* a, int64_t n, double v) {
-  return std::lower_bound(a, a + n, v) - a;
-}
 
 struct Ctx {
   const double* P;  // [num_blocks + 1]
@@ -218,6 +207,20 @@ struct ClipCols {
   const float* gain;
   const int32_t *mode, *clip_id, *sid;
   const uint8_t *clampf, *skip;
+  // per-clip beat->sample conversions, precomputed HOST-SIDE by
+  // timeline/carve_native.py (v3 ABI): the Python front end evaluates the
+  // exact expressions of the Python walk — beat_to_samples when the
+  // session has one tempo, the TempoMap closed-form integrals when mapped
+  // — so this walk stays pure sample-domain arithmetic and serves BOTH.
+  const int64_t* ev_ka;       // searchsorted(P[1:], min_time, walk side), clamped
+  const double* ev_so_start;  // S[ka] + delta_samples(P[ka] -> min_time)
+  const int64_t* ev_ke;
+  const double* ev_so_stop;   // S[ke] + delta_samples(P[ke] -> max_time)
+  const double* pos0;         // delta_samples(min_time -> P[0]) (mid-start)
+  const int64_t* elapsed0;    // rint(pos0)
+  const int64_t* clip_frames; // rint(delta_samples(min_time -> max_time))
+  const int64_t* fin_frames;  // fade-in span in frames (local tempo)
+  const int64_t* fout_frames; // fade-out span in frames
 };
 
 // carve.py _carve_track_audio
@@ -239,27 +242,24 @@ void carve_track(const Ctx& c, const ClipCols& cc, int64_t c0, int64_t c1,
     int64_t play_global;
     double o0;
     if (first_mid_start) {
-      double rel = c.P[0] - cc.min_time[ci];  // track.cpp:372-388
-      double sample_pos = b2s(rel, c.rate, c.bd);
+      double sample_pos = cc.pos0[ci];  // track.cpp:372-388 (host-exact)
       o0 = (double)(int64_t)(cc.start_offset[ci] + sample_pos * clip_speed);
       play_global = 0;
     } else {
-      int64_t ka = lb(c.P + 1, c.num_blocks, cc.min_time[ci]);
+      int64_t ka = cc.ev_ka[ci];
       if (ka >= c.num_blocks) break;  // starts after window; later clips too
-      double so = c.S[ka] + b2s(cc.min_time[ci] - c.P[ka], c.rate, c.bd);
-      play_global = ka * c.bs + (u64_trunc(so) % c.bs);
+      play_global = ka * c.bs + (u64_trunc(cc.ev_so_start[ci]) % c.bs);
       o0 = (double)(int64_t)cc.start_offset[ci];  // (size_t) cast, track.cpp:366
     }
     first = false;
 
     // ---- Stop event position ----
-    int64_t ke = lb(c.P + 1, c.num_blocks, cc.max_time[ci]);
+    int64_t ke = cc.ev_ke[ci];
     int64_t stop_global;
     if (ke >= c.num_blocks) {
       stop_global = c.end_frame;
     } else {
-      double so = c.S[ke] + b2s(cc.max_time[ci] - c.P[ke], c.rate, c.bd);
-      stop_global = ke * c.bs + (u64_trunc(so) % c.bs);
+      stop_global = ke * c.bs + (u64_trunc(cc.ev_so_stop[ci]) % c.bs);
     }
 
     int64_t gs = play_global, ge = std::min(stop_global, c.end_frame);
@@ -271,14 +271,12 @@ void carve_track(const Ctx& c, const ClipCols& cc, int64_t c0, int64_t c1,
       int32_t fis = -NOFADE, foe = NOFADE;
       float fii = 1.0f, foi = 1.0f;
       if (cc.fade_start[ci] > 0.0 || cc.fade_end[ci] > 0.0) {
-        int64_t elapsed = 0;
-        if (first_mid_start)
-          elapsed = (int64_t)std::rint(b2s(c.P[0] - cc.min_time[ci], c.rate, c.bd));
+        int64_t elapsed = first_mid_start ? cc.elapsed0[ci] : 0;
         int64_t clip_begin = play_global - elapsed;
-        int64_t clip_frames = (int64_t)std::rint(b2s(cc.max_time[ci] - cc.min_time[ci], c.rate, c.bd));
+        int64_t clip_frames = cc.clip_frames[ci];
         int64_t clip_end = clip_begin + clip_frames;
-        int64_t fin_frames = (int64_t)std::rint(b2s(cc.fade_start[ci], c.rate, c.bd));
-        int64_t fout_frames = (int64_t)std::rint(b2s(cc.fade_end[ci], c.rate, c.bd));
+        int64_t fin_frames = cc.fin_frames[ci];
+        int64_t fout_frames = cc.fout_frames[ci];
         if (fin_frames > 0) {
           fis = (int32_t)clip_begin;
           fii = (float)(1.0 / (double)fin_frames);
@@ -429,12 +427,18 @@ void* wb_carve_audio(
     const double* count, const double* srate, const float* gain,
     const int32_t* mode, const int32_t* clip_id, const int32_t* sid,
     const uint8_t* clampf, const uint8_t* skip,
+    const int64_t* ev_ka, const double* ev_so_start,
+    const int64_t* ev_ke, const double* ev_so_stop,
+    const double* pos0, const int64_t* elapsed0, const int64_t* clip_frames,
+    const int64_t* fin_frames, const int64_t* fout_frames,
     int64_t* n_fast, int64_t* n_slow) {
   CarveOut* out = new CarveOut();
   Ctx c{P, S, num_blocks, bs, rate, bd, num_blocks * bs, runs != 0, out};
   ClipCols cc{min_time, max_time, start_offset, clip_speed, fade_start, fade_end,
               count,    srate,    gain,         mode,       clip_id,   sid,
-              clampf,   skip};
+              clampf,   skip,
+              ev_ka,    ev_so_start, ev_ke, ev_so_stop,
+              pos0,     elapsed0,    clip_frames, fin_frames, fout_frames};
   for (int32_t t = 0; t < n_tracks; t++) {
     carve_track(c, cc, clip_begin[t], clip_begin[t + 1], ci0[t], t);
     if (out->error) {

@@ -184,6 +184,6 @@ int32_t wb_build_mix_plan(
 }
 
 // Version marker for the loader (2: + wb_carve_audio, native/wb_carve.cpp)
-int32_t wb_native_version() { return 2; }
+int32_t wb_native_version() { return 3; }
 
 }  // extern "C"

@@ -95,6 +95,31 @@ def test_fuzz_native_matches_python(seed):
         _assert_tables_equal(t_py, t_nat, f"seed={seed} emit={emit} bs={bs}")
 
 
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_native_matches_python_mapped(seed):
+    """Tempo-mapped sessions on the native walk (v3 ABI: event positions
+    precomputed host-side with the TempoMap closed forms) must bit-match
+    the Python walk column-by-column, exactly like the unmapped fuzz."""
+    rng = np.random.default_rng(10_000 + seed)
+    s = _rand_session(rng)
+    for _ in range(int(rng.integers(1, 4))):
+        kw = {}
+        curve = str(rng.choice(["step", "linear"]))
+        if curve == "linear" and rng.random() < 0.5:
+            kw["bpm_end"] = float(rng.uniform(50, 200))
+        s.set_tempo_point(float(rng.uniform(0.1, 8.0)),
+                          float(rng.uniform(50, 200)), curve=curve, **kw)
+    rate = float(rng.choice([44100.0, 48000.0]))
+    bs = int(rng.choice([128, 256, 512]))
+    s.playhead_start = float(rng.choice([0.0, 0.0, rng.uniform(0.0, 1.5)]))
+    for emit in ("runs", "blocks"):
+        t_py, pool = carve_session(s, rate, buffer_size=bs, slow_emit=emit,
+                                   native=False)
+        t_nat, _ = carve_session(s, rate, buffer_size=bs, slow_emit=emit,
+                                 native=True, pool=pool)
+        _assert_tables_equal(t_py, t_nat, f"mapped seed={seed} emit={emit} bs={bs}")
+
+
 def test_degenerate_speed_exceeds_count():
     """speed > count-1 exhausts the source within one frame; the stall-retry
     logic in bidirectional mode must agree between the two walks."""

@@ -46,7 +46,7 @@ def load() -> ctypes.CDLL | None:
         lib = ctypes.CDLL(str(so))
     except OSError:
         return None
-    if lib.wb_native_version() not in (1, 2):
+    if lib.wb_native_version() not in (1, 2, 3):
         return None
 
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
@@ -77,7 +77,10 @@ def load() -> ctypes.CDLL | None:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         i32p, i32p, i32p, i32p, f32p, i32p, i32p, f32p, i32p, f32p, i32p,
     ]
-    if hasattr(lib, "wb_carve_audio"):  # version >= 2
+    # carve: the v3 ABI takes host-precomputed per-clip event positions
+    # (tempo-map-aware); an older .so would misread the call, so gate on
+    # the version, not just the symbol
+    if hasattr(lib, "wb_carve_audio") and lib.wb_native_version() >= 3:
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
         lib.wb_carve_audio.restype = ctypes.c_void_p
@@ -87,6 +90,7 @@ def load() -> ctypes.CDLL | None:
             i64p, i64p,
             f64p, f64p, f64p, f64p, f64p, f64p, f64p, f64p, f32p,
             i32p, i32p, i32p, u8p, u8p,
+            i64p, f64p, i64p, f64p, f64p, i64p, i64p, i64p, i64p,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ]
         _p = lambda t: np.ctypeslib.ndpointer(t, flags="C")  # noqa: E731
@@ -108,16 +112,18 @@ def load() -> ctypes.CDLL | None:
 
 def has_carve() -> bool:
     lib = load()
-    return lib is not None and hasattr(lib, "wb_carve_audio")
+    return (lib is not None and hasattr(lib, "wb_carve_audio")
+            and lib.wb_native_version() >= 3)
 
 
 def carve_audio(P, S, num_blocks, bs, rate, bd, runs, clip_begin, ci0, cols):
     """Native timeline carve (native/wb_carve.cpp). ``cols`` is the dict of
-    flattened per-clip column arrays. Returns (fast_cols, slow_cols) tuples
-    matching the Python carve's assembly layout, or None on fallback
-    (lib absent / unknown clip mode)."""
+    flattened per-clip column arrays incl. the host-precomputed event
+    positions (v3 ABI — tempo-map-aware). Returns (fast_cols, slow_cols)
+    tuples matching the Python carve's assembly layout, or None on
+    fallback (lib absent / unknown clip mode)."""
     lib = load()
-    if lib is None or not hasattr(lib, "wb_carve_audio"):
+    if not has_carve():
         return None
     n_fast = ctypes.c_int64(0)
     n_slow = ctypes.c_int64(0)
@@ -128,6 +134,9 @@ def carve_audio(P, S, num_blocks, bs, rate, bd, runs, clip_begin, ci0, cols):
         cols["fade_start"], cols["fade_end"], cols["count"], cols["srate"],
         cols["gain"], cols["mode"], cols["clip_id"], cols["sid"],
         cols["clampf"], cols["skip"],
+        cols["ev_ka"], cols["ev_so_start"], cols["ev_ke"], cols["ev_so_stop"],
+        cols["pos0"], cols["elapsed0"], cols["clip_frames"],
+        cols["fin_frames"], cols["fout_frames"],
         ctypes.byref(n_fast), ctypes.byref(n_slow),
     )
     if not h:

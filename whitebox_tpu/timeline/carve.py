@@ -509,17 +509,16 @@ def carve_session(
     if native is None:
         native = not (os.environ.get("WBTPU_NO_NATIVE_CARVE")
                       or os.environ.get("WBTPU_NO_NATIVE"))
-    if transport.mapped:
-        # the C++ walk speaks only the single-beat_duration arithmetic;
-        # tempo-mapped sessions take the Python walk (same emit machinery)
-        native = False
     native_out = None
     if native:
+        # tempo-mapped sessions ride the C++ walk too: every beat->sample
+        # conversion is precomputed host-side by carve_native (the v3 ABI),
+        # so the walk itself is map-agnostic sample arithmetic
         from whitebox_tpu.timeline import carve_native
 
         native_out = carve_native.carve_audio_tracks(
             session, P, S, num_blocks, buffer_size, transport.sample_rate,
-            transport.beat_duration, pool, slow_emit)
+            transport.beat_duration, pool, slow_emit, transport=transport)
 
     fast_arrays = None
     slow_arrays = None

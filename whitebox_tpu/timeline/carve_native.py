@@ -20,12 +20,19 @@ from whitebox_tpu.timeline.pool import SamplePool
 
 def carve_audio_tracks(session, P: np.ndarray, S: np.ndarray, num_blocks: int,
                        buffer_size: int, sample_rate: float, beat_duration: float,
-                       pool: SamplePool, slow_emit: str):
+                       pool: SamplePool, slow_emit: str, transport=None):
     """Carve all tracks' audio clips natively.
 
     Returns (fast_arrays, fast_flags, clamp_flags, slow_arrays) matching
     carve.carve_session's internal assembly layout (each ``*_arrays`` is the
     13-column tuple, or None when empty), or None to fall back to Python.
+
+    ``transport`` (BlockTransport) supplies the beat->sample conversions:
+    every per-clip event position is precomputed HERE with the exact
+    Python-walk expressions (``beat_to_samples`` unmapped, the TempoMap
+    closed-form integrals mapped), vectorized over all clips, so the C++
+    walk is pure sample-domain arithmetic and serves tempo-mapped sessions
+    too (they used to force the Python walk — config 7 was carve-bound).
 
     Raises the same overlapping-clips ValueError as the Python walk.
     """
@@ -103,9 +110,49 @@ def carve_audio_tracks(session, P: np.ndarray, S: np.ndarray, num_blocks: int,
                 ci0[t] = start_id
     clip_begin[len(tracks)] = i
 
+    # ---- per-clip event positions, vectorized with the Python walk's
+    #      exact expressions (carve._carve_track_audio lines ~135-185) ----
+    mapped = bool(transport is not None and transport.mapped)
+    side = "right" if mapped else "left"
+    ka = np.searchsorted(P[1:], mt, side=side).astype(np.int64)
+    ke = np.searchsorted(P[1:], xt, side=side).astype(np.int64)
+    kac = np.minimum(ka, max(num_blocks - 1, 0))
+    kec = np.minimum(ke, max(num_blocks - 1, 0))
+    if mapped:
+        tm = transport.tempo_map
+        _sec = lambda b: np.asarray(tm.beats_to_seconds(b), np.float64)
+
+        def dvec(a, b):  # TempoMap.delta_samples, elementwise
+            return (_sec(b) - _sec(a)) * sample_rate
+    else:
+        from whitebox_tpu.core.math import beat_to_samples
+
+        def dvec(a, b):  # the reference's two-rounding beat_to_samples
+            return np.asarray(beat_to_samples(
+                np.asarray(b, np.float64) - np.asarray(a, np.float64),
+                sample_rate, beat_duration), np.float64)
+
+    ev_so_start = np.ascontiguousarray(S[kac] + dvec(P[kac], mt))
+    ev_so_stop = np.ascontiguousarray(S[kec] + dvec(P[kec], xt))
+    pos0 = np.ascontiguousarray(dvec(mt, p0))  # used only when mid-start
+    elapsed0 = np.rint(pos0).astype(np.int64)
+    clip_frames = np.rint(dvec(mt, xt)).astype(np.int64)
+    if mapped:
+        # fades are beat SPANS anchored at the clip edges — under a map
+        # their frame lengths follow the local tempo there
+        fin_frames = np.rint(dvec(mt, mt + fs)).astype(np.int64)
+        fout_frames = np.rint(dvec(xt - fe, xt)).astype(np.int64)
+    else:
+        fin_frames = np.rint(dvec(0.0, fs)).astype(np.int64)
+        fout_frames = np.rint(dvec(0.0, fe)).astype(np.int64)
+
     cols = dict(min_time=mt, max_time=xt, start_offset=so, clip_speed=cs,
                 fade_start=fs, fade_end=fe, count=cnt, srate=sr, gain=gn,
-                mode=md, clip_id=cid, sid=sid, clampf=cl, skip=sk)
+                mode=md, clip_id=cid, sid=sid, clampf=cl, skip=sk,
+                ev_ka=ka, ev_so_start=ev_so_start, ev_ke=ke,
+                ev_so_stop=ev_so_stop, pos0=pos0, elapsed0=elapsed0,
+                clip_frames=clip_frames, fin_frames=fin_frames,
+                fout_frames=fout_frames)
     res = native.carve_audio(
         np.ascontiguousarray(P, np.float64), np.ascontiguousarray(S, np.float64),
         num_blocks, buffer_size, sample_rate, beat_duration,
