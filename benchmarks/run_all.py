@@ -19,13 +19,43 @@ import time
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def _rtf_pallas(session, rate, effects_mode=None, runs=3):
+def _rtf_pallas(session, rate, effects_mode=None, runs=3, auto_kernel=False):
     import jax
     import jax.numpy as jnp
 
     from whitebox_tpu.render.bounce import bounce
     from whitebox_tpu.ops.mix_pallas import PallasMixRenderer
     from whitebox_tpu.timeline.carve import carve_session
+
+    if auto_kernel:
+        # automation-only sessions ride the fused kernel with in-kernel
+        # lane evaluation (ops/mix_pallas._lane_eval_kernel): same
+        # resident-pool protocol as the plain configs — carve + lane pack
+        # + plan + render per iteration
+        from whitebox_tpu.render.effects_pipeline import prepare_automation_tables_host
+
+        @jax.jit
+        def checksum(x):
+            return x.sum()
+
+        t, p = carve_session(session, rate, buffer_size=512, slow_emit="runs")
+        auto_t = prepare_automation_tables_host(session, rate)
+        r0 = PallasMixRenderer(t, p, session, auto_tables=auto_t)
+        float(checksum(r0.render_device()))  # warm
+        pool_dev = r0.pool_device
+        best = None
+        frames = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            t, _ = carve_session(session, rate, buffer_size=512, slow_emit="runs", pool=p)
+            auto_t = prepare_automation_tables_host(session, rate)
+            r = PallasMixRenderer(t, p, session, pool_device=pool_dev,
+                                  auto_tables=auto_t)
+            float(checksum(r.render_device()))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            frames = r.plan.total_frames
+        return frames / rate / best
 
     if effects_mode is not None:
         r = bounce(session, rate, effects_mode=effects_mode)  # warm compile
@@ -80,7 +110,7 @@ def config2(duration):
             volume=AutomationLane().add(0.0, 1.0).add(beats * 0.5, 0.4).add(beats, 0.9),
             pan=AutomationLane().add(0.0, -0.8 + 0.05 * i).add(beats, 0.8 - 0.05 * i),
         )
-    return _rtf_pallas(s, 48000.0, effects_mode="scan")
+    return _rtf_pallas(s, 48000.0, auto_kernel=True)
 
 
 def _config3_session(duration):
@@ -229,6 +259,58 @@ def extra_sinc(duration):
     return frames / 48000.0 / best
 
 
+def extra_sinc_irrational(duration):
+    """128 tracks at IRRATIONAL clip speeds (semitone up/down, golden
+    ratio) under interpolation="sinc": every run rides the Taylor-
+    corrected prerender (timeline/prerender.py) — same protocol as
+    config 3, with the plan asserted to cover everything (the round-3
+    35x oversample fallback handled this entire class)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, build_plan
+    from whitebox_tpu.render.demo import make_demo_session
+    from whitebox_tpu.timeline.carve import carve_session
+    from whitebox_tpu.timeline.prerender import apply_prerender_device, plan_prerender
+
+    s = make_demo_session(
+        n_tracks=128, duration_seconds=duration, sample_rate=48000, seed=7,
+        clip_speeds=(2.0 ** (1.0 / 12.0), 2.0 ** (-1.0 / 12.0), 1.6180339887498949))
+
+    @jax.jit
+    def checksum(x):
+        return x.sum()
+
+    t, p = carve_session(s, 48000.0, buffer_size=512, slow_emit="runs")
+    flat = p.data
+    if flat.shape[0] % 128:
+        flat = np.pad(flat, (0, 128 - flat.shape[0] % 128))
+    pool_dev = jax.device_put(jnp.asarray(flat.reshape(-1, 128)))
+
+    def render():
+        t, p = carve_session(s, 48000.0, buffer_size=512, slow_emit="runs")
+        pplan = plan_prerender(t, p, partial=True)
+        assert pplan is not None and pplan.uncovered_rows is None, \
+            "irrational speeds must ride the Taylor prerender"
+        t2, p2, pool2d = apply_prerender_device(t, p, pplan, pool_device=pool_dev)
+        plan = build_plan(t2, p2, s, channels=2)
+        r = PallasMixRenderer(t2, p2, s, plan=plan, pool_device=pool2d)
+        float(checksum(r.render_device()))
+        return r
+
+    render()  # warm compile
+    best = None
+    frames = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = render()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        frames = r.plan.total_frames
+    return frames / 48000.0 / best
+
+
 def extra_reverse(duration):
     """128 tracks of LOOP_BIDIRECTIONAL resampled clips — reverse rows on
     the Pallas fast path (formerly a hard SlowRowsPresent -> XLA cliff)."""
@@ -292,7 +374,7 @@ def config7_tempo_mapped(duration):
         tr.automation = TrackAutomation(
             volume=AutomationLane().add(0.0, 1.0).add(beats * 0.5, 0.5).add(beats, 0.9),
         )
-    return _rtf_pallas(s, 48000.0, effects_mode="scan")
+    return _rtf_pallas(s, 48000.0, auto_kernel=True)
 
 
 def headline(duration):
@@ -325,6 +407,7 @@ def main() -> int:
         ("config5_128trk_eq_master_rtf", lambda: config5(args.duration)),
         ("extra_config3_linear_128trk_rtf", lambda: config3_linear(args.duration)),
         ("extra_sinc_oversample_128trk_rtf", lambda: extra_sinc(args.duration)),
+        ("extra_sinc_irrational_128trk_rtf", lambda: extra_sinc_irrational(args.duration)),
         ("extra_reverse_bidir_128trk_rtf", lambda: extra_reverse(args.duration)),
         ("config6_routed_sidechain_128trk_rtf", lambda: config6_routed(args.duration)),
         ("config7_tempo_mapped_128trk_rtf", lambda: config7_tempo_mapped(args.duration)),

@@ -116,8 +116,11 @@ class TestPreviewStreaming:
                            speeds=(44100.0 / 48000.0,), src_rates=(44100,))
         for mode in ("catmull", "sinc"):
             # engine auto = the same oversampled-sinc / pallas-catmull forms
-            # the preview uses (engine="xla" sinc is the direct 32-tap mode)
-            full = bounce(s, 48000.0, buffer_size=512, interpolation=mode).audio
+            # the preview uses (engine="xla" sinc is the direct 32-tap mode;
+            # prerender=False pins bounce to the preview's oversample form —
+            # the auto path upgrades to the exact/Taylor polyphase quality)
+            full = bounce(s, 48000.0, buffer_size=512, interpolation=mode,
+                          prerender=False).audio
             ps = PreviewStream(s, 48000.0, buffer_size=512, lookahead_blocks=8,
                                interpolation=mode)
             joined = np.concatenate(list(ps), axis=1)[:, : full.shape[1]]

@@ -42,20 +42,45 @@ class TestPlan:
         assert plan is not None and len(plan.runs) >= 1
         from whitebox_tpu.timeline.prerender import _canonical_matrix
 
-        for (Pp, Qp, ratio_key, n_sub) in plan.groups:
+        for (kind, Pp, Qp, ratio_key, n_sub) in plan.groups:
+            assert kind == "exact"
             assert n_sub >= 1 and (16 * Qp) % 128 == 0
             M, _ = _canonical_matrix(Pp, Qp, plan.taps, plan.atten_db, ratio_key)
             assert M.shape == (Qp, Pp + plan.taps)
         for p in plan.runs:
             assert 0 <= p.k0 < p.Qp
 
-    def test_irrational_speed_falls_back(self):
+    def test_irrational_speed_rides_taylor(self):
+        """Irrational speeds plan as Taylor-corrected groups (Q a multiple
+        of 128, bounded drift) instead of falling off to the oversample
+        path — the round-3 fallback cliff closed at the planner."""
         s = random_session(8, rate=48000, bpm=120.0, n_tracks=1, n_clips=1,
                            speeds=(0.9183746519,), src_rates=(48000.0,))
         table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
         if table.fast.all():
             pytest.skip("session carved fast-only")
+        plan = plan_prerender(table, pool)
+        assert plan is not None and plan.uncovered_rows is None
+        assert all(g[0] == "taylor" for g in plan.groups)
+        from whitebox_tpu.timeline.prerender import _TAYLOR_EBUDGET
+
+        for p in plan.runs:
+            assert p.taylor and p.Qp % 128 == 0
+            assert abs(p.e0) + p.L * abs(p.eps) <= _TAYLOR_EBUDGET + 1e-9
+
+    def test_pathological_near_simple_speed_falls_back(self):
+        """A speed a hair off a simple fraction (3/4 + 1e-9): the CF
+        convergent is the simple fraction itself, whose achievable anchor
+        grid (1/q_hat) is too coarse for the Taylor budget — the planner
+        must reject it rather than render out-of-budget phases."""
+        s = random_session(8, rate=48000, bpm=120.0, n_tracks=1, n_clips=1,
+                           speeds=(0.7500000001,), src_rates=(48000.0,))
+        table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
+        if table.fast.all():
+            pytest.skip("session carved fast-only")
         assert plan_prerender(table, pool) is None
+        plan = plan_prerender(table, pool, partial=True)
+        assert plan is None or plan.uncovered_rows is not None
 
     def test_all_fast_returns_none(self):
         s = random_session(9, rate=48000, bpm=120.0, n_tracks=1, n_clips=1)
@@ -201,50 +226,54 @@ class TestPartialPlan:
         assert part.uncovered_rows is None
         assert len(part.runs) == len(full.runs)
 
-    def test_partial_covers_rational_only(self):
+    def test_mixed_exact_and_taylor_full_coverage(self):
+        """Rational runs group "exact", irrational runs group "taylor" —
+        ONE plan covers the whole session (no oversample residue)."""
         s = self._mixed_session(seed=22)
         table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
         if table.fast.all():
             pytest.skip("carved fast-only")
-        assert plan_prerender(table, pool) is None  # strict mode: cliff
-        plan = plan_prerender(table, pool, partial=True)
         has_rational = (table.speed[~table.fast] == 0.5).any()
         has_irr = (table.speed[~table.fast] == self.IRR).any()
         if not (has_rational and has_irr):
             pytest.skip("seed produced a one-sided session")
-        assert plan is not None and plan.uncovered_rows is not None
-        # uncovered rows are exactly the irrational slow rows
-        unc = np.zeros(len(table), bool)
-        unc[plan.uncovered_rows] = True
-        slow = ~table.fast
-        np.testing.assert_array_equal(unc[slow], table.speed[slow] == self.IRR)
+        plan = plan_prerender(table, pool, partial=True)
+        assert plan is not None and plan.uncovered_rows is None
+        kinds = {g[0] for g in plan.groups}
+        assert kinds == {"exact", "taylor"}
 
     def test_partial_rewrite_keeps_residue_slow(self):
+        """A genuinely uncoverable speed (near-simple fraction: anchor grid
+        beyond budget) stays slow in the rewrite and rides the oversample
+        fallback; coverable runs in the SAME session still prerender."""
         from whitebox_tpu.timeline.oversample import oversample_slow_rows
 
-        s = self._mixed_session(seed=22)
+        BAD = 0.7500000001
+        s = random_session(22, rate=48000, bpm=120.0, n_tracks=4, n_clips=2,
+                           speeds=(0.5, BAD), src_rates=(48000.0,))
         table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
-        plan = plan_prerender(table, pool, partial=True)
-        if plan is None or plan.uncovered_rows is None:
+        slow = ~table.fast
+        if not ((table.speed[slow] == 0.5).any() and (table.speed[slow] == BAD).any()):
             pytest.skip("seed produced a one-sided session")
+        plan = plan_prerender(table, pool, partial=True)
+        assert plan is not None and plan.uncovered_rows is not None
+        unc = np.zeros(len(table), bool)
+        unc[plan.uncovered_rows] = True
+        np.testing.assert_array_equal(unc[slow], table.speed[slow] == BAD)
         t1, p1 = oversample_slow_rows(table, pool, rows=plan.uncovered_rows)
         t2, p2 = apply_prerender_host(t1, p1, plan)
         # residue rows survive as slow rows at U*speed; covered became fast
         slow2 = ~t2.fast
         assert slow2.sum() == len(plan.uncovered_rows)
         U = 4.0
-        np.testing.assert_allclose(np.unique(t2.speed[slow2]), U * self.IRR)
+        np.testing.assert_allclose(np.unique(t2.speed[slow2]), U * BAD)
 
     def test_mixed_bounce_sine_snr_both_paths(self):
         """A mixed session: one sine clip at a rational speed (rides the
         exact polyphase path) and one at a semitone irrational (rides the
-        oversample residue). Each must reconstruct its ideal resampled
-        sine at high SNR in ONE bounce — the composition the round-3
-        all-or-nothing plan couldn't express.
-
-        (Note: the two paths use different documented anti-alias cutoffs,
-        so a broadband sample-wise cross-comparison is meaningless — the
-        SNR-vs-ideal per path is the real contract.)"""
+        Taylor-corrected prerender). Each must reconstruct its ideal
+        resampled sine at high SNR in ONE bounce — the composition the
+        round-3 all-or-nothing plan couldn't express."""
         import os
         import tempfile
 
@@ -269,7 +298,7 @@ class TestPartialPlan:
 
             table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
             plan = plan_prerender(table, pool, partial=True)
-            assert plan is not None and plan.uncovered_rows is not None
+            assert plan is not None and plan.uncovered_rows is None
             res = bounce(s, RATE, interpolation="sinc", engine="pallas")
 
         out = np.asarray(res.audio)
@@ -278,7 +307,7 @@ class TestPartialPlan:
         # by sqrt(2). speed scales the sine's rendered frequency.
         amp = 0.5 * float(np.sqrt(2.0))
         lo, hi = 2000, int(1.5 * RATE)
-        for ch, speed, floor_db in ((0, 0.5, 90.0), (1, self.IRR, 85.0)):
+        for ch, speed, floor_db in ((0, 0.5, 90.0), (1, self.IRR, 90.0)):
             ideal = amp * np.sin(2 * np.pi * 1000.0 * speed * m)
             noise = out[ch, lo:hi] - ideal[lo:hi]
             snr = 10 * np.log10(np.mean(ideal[lo:hi] ** 2)
@@ -294,3 +323,137 @@ class TestPartialPlan:
             c.audio.mode = ClipMode.LOOP_BIDIRECTIONAL
         res = bounce(s, RATE, interpolation="sinc")
         assert np.isfinite(res.audio).all()
+
+
+def _long_clip_session(speed, beats=8.0, freq=1000.0):
+    """One long noise-free sine clip at ``speed`` (drives segmentation)."""
+    import numpy as np
+
+    from whitebox_tpu.core.formats import AudioFormat
+    from whitebox_tpu.session import Session
+    from whitebox_tpu.session.sample import Sample
+
+    rate = 48000
+    n = int(rate * 6)
+    t = np.arange(n) / rate
+    x = (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    s = Session(bpm=120.0)
+    a = s.sample_table.add_sample(
+        Sample.from_planar(x[None], rate, AudioFormat.F32, name="sine"),
+        key="mem:sine")
+    tr = s.add_track("t", volume_db=0.0)
+    s.add_audio_clip(tr, "c", 0.0, beats, asset=a, speed=speed)
+    return s
+
+
+class TestTaylor:
+    """Taylor-corrected prerender (irrational / off-grid phase ramps):
+    CF-convergent rational ramp + in-einsum derivative correction."""
+
+    def test_host_matches_per_frame_sinc_definition(self):
+        """The corrected block-banded matmul equals the direct per-frame
+        Kaiser-sinc evaluation at the TRUE irrational positions to the
+        Taylor residual (~1e-5 worst case; typically f32 rounding)."""
+        import math
+
+        from whitebox_tpu.ops.mix_pallas import _merge_slow_runs
+        from whitebox_tpu.ops.resample import _design_rows
+
+        sp = 0.9183746519
+        s = random_session(8, rate=48000, bpm=120.0, n_tracks=1, n_clips=1,
+                           speeds=(sp,), src_rates=(48000.0,))
+        table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
+        if table.fast.all():
+            pytest.skip("carved fast-only")
+        plan = plan_prerender(table, pool)
+        assert plan is not None
+        t2, p2 = apply_prerender_host(table, pool, plan, f64=True)
+        raws = sorted(_merge_slow_runs(table), key=lambda r: (r["trk"], r["d0"]))
+
+        def find_raw(trk, d0):
+            for r in raws:
+                if r["trk"] == trk and r["d0"] <= d0 < r["end"]:
+                    return r
+            raise AssertionError("segment without parent run")
+
+        half = plan.taps // 2
+        err = 0.0
+        checked = 0
+        for r in plan.runs[:4]:
+            rr = find_raw(r.trk, r.d0)
+            off = r.d0 - rr["d0"]
+            base = int(pool.channel_base[r.sid, 0])
+            out_base = int(p2.channel_base[r.new_sid, 0]) + r.k0
+            for k in range(0, min(r.L, 2000), 7):
+                x = rr["x0"] + (off + k) * rr["speed"]
+                ix = math.floor(x)
+                rows = _design_rows(np.array([x - ix]), rr["speed"],
+                                    plan.taps, 90.0)[0]
+                w = pool.data[base + ix - half + 1 : base + ix - half + 1 + plan.taps]
+                d = abs(float(w.astype(np.float64) @ rows) - p2.data[out_base + k])
+                err = max(err, d)
+                checked += 1
+        assert checked > 100
+        assert err < 2e-5, err
+
+    def test_long_run_segments_and_reanchors(self):
+        """A speed whose convergent drift exceeds the budget over the clip
+        length must split into re-anchored segments, each within budget,
+        tiling the destination contiguously."""
+        from whitebox_tpu.timeline.prerender import _TAYLOR_EBUDGET
+
+        golden = 1.6180339887498949
+        s = _long_clip_session(golden, beats=8.0)
+        table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
+        if table.fast.all():
+            pytest.skip("carved fast-only")
+        plan = plan_prerender(table, pool)
+        assert plan is not None
+        segs = sorted((p.d0, p.L) for p in plan.runs)
+        for (d0a, La), (d0b, _)in zip(segs, segs[1:]):
+            assert d0a + La == d0b  # contiguous tiling
+        for p in plan.runs:
+            assert abs(p.e0) + p.L * abs(p.eps) <= _TAYLOR_EBUDGET + 1e-9
+
+    def test_offgrid_rational_phase_rides_taylor(self):
+        """A rational speed whose start phase is off the 1/Q grid (x0*Q
+        non-integer) plans as a Taylor group with eps == 0 — pure e0
+        correction, no segmentation."""
+        from dataclasses import replace as dreplace
+
+        s = _long_clip_session(147.0 / 160.0, beats=2.0)
+        table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
+        assert not table.fast.all()
+        # shift every slow row's phase uniformly off the grid (keeps the
+        # run's per-block phase continuity intact)
+        frac = table.src_frac.copy()
+        frac[~table.fast] += 0.3333
+        table = dreplace(table, src_frac=frac)
+        plan = plan_prerender(table, pool)
+        assert plan is not None
+        assert any(p.taylor for p in plan.runs)
+        for p in plan.runs:
+            if p.taylor:
+                assert p.eps == 0.0 and abs(p.e0) <= 0.5 / (p.Qp // math_gcd(p.Pp, p.Qp)) + 1e-9
+
+    def test_device_matches_host_mixed(self):
+        """Mixed exact+taylor plan: device ext == host ext (f32)."""
+        s = random_session(11, rate=48000, bpm=120.0, n_tracks=2, n_clips=2,
+                           speeds=(2.0 ** (1.0 / 12.0), 147.0 / 160.0),
+                           src_rates=(48000.0,))
+        table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
+        if table.fast.all():
+            pytest.skip("carved fast-only")
+        plan = plan_prerender(table, pool)
+        assert plan is not None
+        t2, p2 = apply_prerender_host(table, pool, plan)
+        t2d, p2d, pool2d = apply_prerender_device(table, pool, plan)
+        np.testing.assert_array_equal(p2.channel_base, p2d.channel_base)
+        flat = np.asarray(pool2d).reshape(-1)
+        assert np.max(np.abs(flat[: p2.data.shape[0]] - p2.data)) < 1e-6
+
+
+def math_gcd(a, b):
+    import math
+
+    return math.gcd(a, b)

@@ -145,6 +145,12 @@ def _cmd_render(args) -> int:
         print(f"  loudness: I {lu.integrated_lufs:+.1f} LUFS  "
               f"M max {lu.momentary_max_lufs:+.1f}  S max {lu.shortterm_max_lufs:+.1f}  "
               f"LRA {lu.lra_lu:.1f} LU  TP {lu.true_peak_dbtp:+.1f} dBTP")
+        if result.frames < int(10.0 * result.stats.sample_rate):
+            # BS.1770-4 gating uses fixed 400 ms / 75 %-overlap blocks; on
+            # short program material the block phase alone legitimately
+            # moves I by ~0.2 LU (spec behavior, ops/loudness.py tests)
+            print("  note: program < 10 s — integrated loudness of short "
+                  "material varies ~0.2 LU with gating-block phase (BS.1770)")
     if args.meters and result.stats.track_peak is not None:
         from whitebox_tpu.core.math import linear_to_db
 

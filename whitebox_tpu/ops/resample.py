@@ -62,6 +62,89 @@ def _design_rows(fracs: np.ndarray, ratio: float, taps: int, atten_db: float,
     return rows
 
 
+def _sinc_d012(x: np.ndarray):
+    """(sinc, sinc', sinc'') of numpy's normalized sinc(x) = sin(pi x)/(pi x),
+    derivatives w.r.t. x, with series fallbacks near 0 (f64)."""
+    u = np.pi * np.asarray(x, np.float64)
+    small = np.abs(u) < 1e-4
+    us = np.where(small, 1.0, u)  # avoid 0-division in the masked lanes
+    s, c = np.sin(us), np.cos(us)
+    s0 = np.where(small, 1.0 - u * u / 6.0, s / us)
+    d1 = np.where(small, -u / 3.0 + u**3 / 30.0, (us * c - s) / us**2)
+    d2 = np.where(small, -1.0 / 3.0 + u * u / 10.0,
+                  ((2.0 - us * us) * s / us**3) - 2.0 * c / us**2)
+    return s0, np.pi * d1, np.pi * np.pi * d2
+
+
+def _i1_over_z(z: np.ndarray):
+    """I1(z)/z, smooth through z=0 (-> 1/2)."""
+    from scipy.special import i1
+
+    zs = np.where(z < 1e-6, 1.0, z)
+    return np.where(z < 1e-6, 0.5 + z * z / 16.0, i1(zs) / zs)
+
+
+def _i0_minus_2t1_over_z2(z: np.ndarray):
+    """(I0(z) - 2 I1(z)/z) / z^2, smooth through z=0 (-> 1/8).
+
+    Series: z^2/8 + z^4/96 + ... over z^2."""
+    from scipy.special import i0
+
+    zs = np.where(z < 1e-3, 1.0, z)
+    exact = (i0(zs) - 2.0 * _i1_over_z(zs)) / zs**2
+    return np.where(z < 1e-3, 0.125 + z * z / 96.0, exact)
+
+
+def _design_rows_d012(fracs: np.ndarray, ratio: float, taps: int, atten_db: float,
+                      cutoff: float | None = None):
+    """(rows, drows/dx, d2rows/dx2) of the NORMALIZED `_design_rows`
+    interpolator w.r.t. the interpolation position x (f64, analytic).
+
+    y(x0 + e) ~= rows@w + e*(rows1@w) + e^2/2*(rows2@w) — the Taylor
+    correction used by the prerender path for irrational/off-grid phase
+    ramps (timeline/prerender.py). Tap k weights source ``ix + k - taps//2
+    + 1`` exactly like `_design_rows`; increasing x = increasing frac."""
+    if cutoff is None:
+        cutoff = min(1.0, 1.0 / ratio) * 0.91
+    beta = _kaiser_beta(atten_db)
+    half = taps // 2
+    H = float(half)
+    i0b = float(np.i0(beta))
+    fr = np.asarray(fracs, np.float64)[:, None]
+    n = np.arange(taps, dtype=np.float64)[None, :] - (half - 1) - fr  # [F, taps]
+
+    s0, s1, s2 = _sinc_d012(cutoff * n)
+    h0 = cutoff * s0
+    h1 = cutoff**2 * s1   # dh/dn
+    h2 = cutoff**3 * s2   # d2h/dn2
+
+    g2 = np.maximum(0.0, 1.0 - (n / H) ** 2)
+    g = np.sqrt(g2)
+    z = beta * g
+    t1 = _i1_over_z(z)
+    t2 = _i0_minus_2t1_over_z2(z)
+    w0 = np.i0(z) / i0b
+    w1 = -(beta**2 * n / (H * H)) * t1 / i0b            # dw/dn (smooth at g=0)
+    w2 = -(beta**2 / (H * H)) * (t1 - (beta**2 * n * n / (H * H)) * t2) / i0b
+    sup = np.abs(n) <= H  # outside the window support everything is 0
+    w0, w1, w2 = (np.where(sup, a, 0.0) for a in (w0, w1, w2))
+
+    # r(frac); dn/dfrac = -1 so d/dfrac flips odd-order n-derivatives
+    r0 = h0 * w0
+    r1 = -(h1 * w0 + h0 * w1)
+    r2 = h2 * w0 + 2.0 * h1 * w1 + h0 * w2
+
+    # quotient rule through the DC normalization y = r / sum(r)
+    S0 = r0.sum(axis=1, keepdims=True)
+    S1 = r1.sum(axis=1, keepdims=True)
+    S2 = r2.sum(axis=1, keepdims=True)
+    y0 = r0 / S0
+    y1 = r1 / S0 - r0 * S1 / S0**2
+    y2 = (r2 / S0 - (2.0 * r1 * S1 + r0 * S2) / S0**2
+          + 2.0 * r0 * S1 * S1 / S0**3)
+    return y0, y1, y2
+
+
 def design_sinc_bank(
     ratio: float = 1.0,
     taps: int = DEFAULT_TAPS,

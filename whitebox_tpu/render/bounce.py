@@ -128,6 +128,7 @@ def bounce(
     engine: str = "auto",
     interpolation: str = "linear",
     effects_mode: str = "scan",
+    prerender: bool | None = None,
     meters: bool = False,
     pdc: bool = False,
     loudness: bool = False,
@@ -142,6 +143,11 @@ def bounce(
     ``buffer_size`` is the *emulated* engine block size — it defines event
     carving semantics (and the reference's boundary quirks), not the device
     schedule; the device renders ``chunk_frames`` frames per dispatch.
+
+    ``prerender``: None (auto) lets ``interpolation="sinc"`` pre-render
+    resampled runs via the exact/Taylor polyphase path; False forces the
+    oversampled-pool + poly-tap form (the PreviewStream approximation —
+    useful to reproduce exactly what a streaming preview plays).
 
     ``engine``: "pallas" (fused TPU kernel — handles both copy and
     linear-resampled segments in-kernel), "xla" (portable gather path), or
@@ -224,7 +230,8 @@ def bounce(
     interp = "linear"
     pre_pool_dev = None
     _pplan = None  # kept for the roofline cost estimate below
-    if interpolation == "sinc" and engine in ("auto", "pallas") and len(table) and not table.fast.all():
+    if (interpolation == "sinc" and engine in ("auto", "pallas") and len(table)
+            and not table.fast.all() and prerender is not False):
         # primary sinc path: pre-render every resampled run with the exact
         # polyphase matmul (MXU) into a speed-1 pool extension, then mix on
         # the pure fast path (timeline/prerender.py). Falls back to the
@@ -316,9 +323,22 @@ def bounce(
                 plan = None  # per-track buffers would blow HBM; chunked XLA path
         if plan is not None:
             from whitebox_tpu.render.effects_generic import session_fx_packable
+            from whitebox_tpu.render.effects_pipeline import prepare_automation_tables_host
 
+            auto_tables = None
+            if has_fx and not (session_has_effects(session) or has_midi
+                               or meters or has_routing):
+                # automation-only session: evaluate the volume/pan lanes
+                # IN the mix kernel (per-frame, the _frame_gains math) and
+                # keep the fused single-pass render — the per-track +
+                # finisher detour costs two extra [T, C, F] HBM streams
+                # (config 2 ran at 1/4 of the plain-mix RTF because of it).
+                # HOST tables: the renderer reads them at trace time
+                auto_tables = prepare_automation_tables_host(session, sample_rate)
+                has_fx = False
             renderer = PallasMixRenderer(table, pool, session, channels=channels, plan=plan,
-                                         interp=interp, pool_device=pre_pool_dev)
+                                         interp=interp, pool_device=pre_pool_dev,
+                                         auto_tables=auto_tables)
             if has_fx:
                 if not session_fx_packable(session) and effects_mode != "routed":
                     # nonlinear / long-memory chains (dynamics, delays,

@@ -26,8 +26,21 @@ into its rendered buffer. The mix then runs the config-1 fast path
 gathers. This is also a *quality* upgrade: the output is the exact
 Kaiser-sinc polyphase value, not the oversample+poly approximation.
 
-Runs with irrational speeds, off-grid phases, or reverse motion fall back
-to the oversample path (render.bounce dispatches).
+Runs with irrational speeds or off-grid phases ride the TAYLOR-corrected
+variant of the same machinery: approximate the speed by a continued-
+fraction convergent P/Q with Q forced to a multiple of 128 (CF of
+``128*speed``), render the rational ramp block-banded (blocks of 128
+canonical outputs sharing one dense [3*128, Wb] matrix slab — per-output
+cost ~``128*speed + taps`` MACs independent of Q, so Q can be ~20k and
+the drift ``eps = speed - P/Q`` is ~1e-8..1e-10/frame), and correct the
+residual phase error ``e(u) = e0 + (u - k0)*eps`` IN the same einsum with
+first/second-derivative matrix slabs (`ops.resample._design_rows_d012`):
+``y = y0 + e*y1 + e^2/2*y2``. Runs are segmented so ``|e|`` stays under
+``_TAYLOR_EBUDGET`` (~0.014 source samples → Taylor residual ≤ -100 dB,
+below the 90 dB Kaiser design). Off-grid rational phases reuse the same
+correction with ``eps = 0``. Only reverse motion, speeds > 8, and
+pathological near-simple-fraction speeds (coarse achievable anchor grid)
+fall back to the oversample path (render.bounce dispatches).
 
 Reference scope: quality mode the reference abandoned (sampler.cpp:61-86);
 phases snap to the exact rational grid (carve's f64 accumulation deviates
@@ -48,6 +61,79 @@ from whitebox_tpu.timeline.pool import _GUARD, SamplePool
 DEFAULT_TAPS = 32
 _QF = 16      # window rows per sub-run: one batched shape per ratio;
               # per-run padding <= _QF*Qp - 1 frames, window overlap 1/_QF
+
+_TAYLOR_QDEN = 160      # CF denominator cap for 128*speed: Q = 128*q' <= 20480
+_TAYLOR_EBUDGET = 0.014  # max |phase error| (source samples): residual ~ -100 dB
+_TAYLOR_MIN_SEG = 2048   # segments shorter than this aren't worth the padding
+_TAYLOR_MAX_SPEED = 8.0  # window memory scales with speed; beyond -> fallback
+_TAYLOR_BLK = 128        # canonical outputs per matrix slab (lane width)
+
+
+def _taylor_rational(speed: float):
+    """(P, Q, eps) with Q a multiple of 128 and ``eps = speed - P/Q`` the
+    CF-convergent error of ``128*speed`` (typically ~1/(128*q'^2)), or None
+    when the speed can't ride the Taylor path at all."""
+    if not np.isfinite(speed) or speed <= 0.0 or speed > _TAYLOR_MAX_SPEED:
+        return None
+    fr = Fraction(128.0 * speed).limit_denominator(_TAYLOR_QDEN)
+    if fr.numerator <= 0:
+        return None
+    P, Q = fr.numerator, 128 * fr.denominator
+    eps = (speed * Q - P) / Q  # f64; |eps| precision ~1e-12 — drift over a
+    # segment adds <= 1e-12 * 2^21 ~ 2e-6 to the budget, negligible
+    return P, Q, float(eps)
+
+
+def _taylor_anchor(x0: float, P: int, Q: int):
+    """Snap ``frac(x0)`` to the achievable canonical anchor grid.
+
+    Canonical fracs at output k are ``(k*P mod Q)/Q`` = multiples of
+    ``1/q_hat`` (q_hat = Q/gcd(P, Q)); returns (k0, W0, e0) with
+    ``x0 = W0 + (k0*P mod Q)/Q + e0`` and ``|e0| <= 1/(2*q_hat)``."""
+    import math as _math
+
+    g = _math.gcd(P, Q)
+    q_hat = Q // g
+    p_hat = (P // g) % q_hat
+    phi = x0 - _math.floor(x0)
+    r = int(round(phi * q_hat)) % q_hat
+    k0 = 0 if q_hat == 1 else (r * pow(p_hat, -1, q_hat)) % q_hat
+    # canonical position at buffer output k0 is W0 + (k0*P)//Q + frac —
+    # the integer advance to k0 must come out of the window base
+    anchor_frac = (k0 * P % Q) / Q
+    W0 = int(round(x0 - anchor_frac)) - (k0 * P) // Q
+    e0 = x0 - W0 - (k0 * P) // Q - anchor_frac
+    return k0, W0, e0, q_hat
+
+
+@functools.lru_cache(maxsize=None)
+def _taylor_matrices(P: int, Q: int, taps: int, atten_db: float):
+    """Block-banded Taylor slabs for the canonical ramp ``pos(m) = m*P/Q``.
+
+    Returns (M3 f32 [nblk, 3*BLK, Wb], M3 f64, d_b tuple[int], Wb): block b
+    holds the order-0/1/2 rows for canonical outputs ``m = b*BLK + j``,
+    band-placed at window column ``(m*P)//Q - d_b + t``. Per-output einsum
+    cost is ``3*Wb ~ 3*(BLK*speed + taps)`` MACs regardless of Q."""
+    from whitebox_tpu.ops.resample import _design_rows_d012
+
+    BLK = _TAYLOR_BLK
+    assert Q % BLK == 0
+    nblk = Q // BLK
+    m = np.arange(Q, dtype=np.int64)
+    num = m * P
+    d = (num // Q).astype(np.int64)
+    fr = (num % Q).astype(np.float64) / Q
+    y0, y1, y2 = _design_rows_d012(fr, P / Q, taps, atten_db)  # [Q, taps] f64
+    d_b = d[::BLK]                      # block base offsets
+    rel = d - np.repeat(d_b, BLK)       # in-block band offsets
+    Wb = int(rel.max()) + taps
+    M = np.zeros((nblk, 3 * BLK, Wb), dtype=np.float64)
+    b_i = (m // BLK)[:, None]
+    j_i = (m % BLK)[:, None]
+    cols = rel[:, None] + np.arange(taps)
+    for o, y in enumerate((y0, y1, y2)):
+        M[b_i, o * BLK + j_i, cols] = y
+    return M.astype(np.float32), M, tuple(int(v) for v in d_b), Wb
 
 
 def _rational_speed(speed: float, max_den: int = 4096):
@@ -103,7 +189,13 @@ class _RunPlan:
     new_sid: int = -1
     ext_base: int = -1     # channel-0 offset inside the ext region
     sub0: int = -1         # first sub-run index within the group batch
-    stride_group: int = 0  # channel separation (n_sub_g * _QF * Qp)
+    stride_group: int = 0  # channel separation (n_sub_g * stride)
+    # Taylor-corrected runs (irrational / off-grid ramps): c0 plays W0 (the
+    # integer anchor), k0 the canonical start output, and the residual
+    # phase error e(u) = e0 + (u - k0)*eps is corrected in the einsum
+    taylor: bool = False
+    eps: float = 0.0
+    e0: float = 0.0
 
 
 @dataclass
@@ -159,9 +251,7 @@ def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TA
     for ui, sp in enumerate(uspeeds):
         pq = _rational_speed(float(sp))
         if pq is None:
-            if not partial:
-                return None
-            ok_u[ui] = False
+            ok_u[ui] = False  # not exact-coverable; Taylor gets it below
             upqsp.append((1, 1, 1, 0))  # placeholder; run masked below
             continue
         P, Q = pq
@@ -171,36 +261,69 @@ def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TA
         upqsp.append((P, Q, s, pow(P, -1, Q)))
     upq = np.asarray(upqsp, np.int64)  # [U, 4]
     P_a, Q_a, s_a, Pinv_a = (upq[inv, j] for j in range(4))
-    cov = ok_u[inv]  # [n_runs] run coverable so far
+    cov = ok_u[inv]  # [n_runs] run exact-coverable so far
     N0f = x0s * Q_a
     N0 = np.round(N0f).astype(np.int64)
     offgrid = np.abs(N0f - N0) > 1e-6  # off the 1/Q grid: not a polyphase ramp
-    if offgrid.any():
-        if not partial:
-            return None
-        cov &= ~offgrid
+    cov &= ~offgrid
     # 128-aligned sub-run buffers (layout precondition, checked per ratio)
     stride_bad = (_QF * s_a * Q_a) % 128 != 0
-    if stride_bad.any():
+    cov &= ~stride_bad
+
+    # runs the exact path can't take get the Taylor-corrected path:
+    # CF-convergent rational ramp + in-einsum derivative correction, run
+    # segmented so the phase drift stays under budget
+    taylor_plans: list[_RunPlan] = []
+    fallback = np.zeros(cov.shape, dtype=bool)
+    for r in np.nonzero(~cov)[0]:
+        sp = float(speeds[r])
+        L = int(soa["end"][r] - soa["d0"][r])
+        x0 = float(x0s[r])
+        segs = None
+        pq = _taylor_rational(sp)
+        if pq is not None:
+            P, Q, eps = pq
+            _, _, _, q_hat = _taylor_anchor(x0, P, Q)
+            avail = _TAYLOR_EBUDGET - (0.5 / q_hat + 1e-9)
+            if avail > 0.0:
+                Lseg = L if abs(eps) < 1e-18 else int(avail / abs(eps))
+                if Lseg >= min(L, _TAYLOR_MIN_SEG):
+                    segs = []
+                    t = 0
+                    while t < L:
+                        Li = min(Lseg, L - t)
+                        k0, W0, e0, _ = _taylor_anchor(x0 + t * sp, P, Q)
+                        segs.append((t, Li, k0, W0, e0))
+                        t += Li
+        if segs is None:
+            fallback[r] = True
+            continue
+        for (t, Li, k0, W0, e0) in segs:
+            taylor_plans.append(_RunPlan(
+                trk=int(soa["trk"][r]), d0=int(soa["d0"][r]) + t, L=Li,
+                sid=int(soa["sid"][r]), c0=W0, k0=k0, Pp=P, Qp=Q,
+                nsub=-(-(k0 + Li) // Q), gain=float(soa["gain"][r]),
+                fis=int(soa["fis"][r]), fii=float(soa["fii"][r]),
+                foe=int(soa["foe"][r]), foi=float(soa["foi"][r]),
+                taylor=True, eps=eps, e0=e0))
+
+    if fallback.any():
         if not partial:
             return None
-        cov &= ~stride_bad
-    if partial and not cov.all():
-        if not cov.any():
+        if not (cov.any() or taylor_plans):
             return None
-        keep_runs = np.nonzero(cov)[0]
-        unc = np.nonzero(~cov)[0]
         slow_mask = ~table.fast
         unc_rows = []
-        for r in unc:
+        for r in np.nonzero(fallback)[0]:
             lo, hi = int(soa["row_lo"][r]), int(soa["row_hi"][r])
             rows = np.arange(lo, hi + 1)
             unc_rows.append(rows[slow_mask[lo : hi + 1]])
         uncovered_rows = np.concatenate(unc_rows)
-        soa = {k: v[keep_runs] for k, v in soa.items()}
-        P_a, Q_a, s_a, Pinv_a, N0 = (a[keep_runs] for a in (P_a, Q_a, s_a, Pinv_a, N0))
     else:
         uncovered_rows = None
+    keep_runs = np.nonzero(cov)[0]
+    soa = {k: v[keep_runs] for k, v in soa.items()}
+    P_a, Q_a, s_a, Pinv_a, N0 = (a[keep_runs] for a in (P_a, Q_a, s_a, Pinv_a, N0))
 
     k0_a = (N0 % Q_a * Pinv_a) % Q_a
     c0_a = (N0 - k0_a * P_a) // Q_a
@@ -218,20 +341,25 @@ def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TA
             soa["fii"].tolist(), soa["foe"].tolist(), soa["foi"].tolist())
     ]
 
-    # group-major layout: one group per ratio; channel-major inside
+    # group-major layout: one group per (kind, ratio); channel-major inside
     # (ratio key from the uniq table — a per-run Fraction here was ~30% of
     # the whole plan cost at 10k-run scale)
     by_shape: dict[tuple, list[_RunPlan]] = {}
     for i, p in enumerate(plans):
-        key = (p.Pp, p.Qp, (int(P_a[i]), int(Q_a[i])))
+        key = ("exact", p.Pp, p.Qp, (int(P_a[i]), int(Q_a[i])))
+        by_shape.setdefault(key, []).append(p)
+    for p in taylor_plans:
+        key = ("taylor", p.Pp, p.Qp, (p.Pp, p.Qp))
         by_shape.setdefault(key, []).append(p)
     ordered: list[_RunPlan] = []
     groups = []
     ext_off = 0
     for key in sorted(by_shape.keys()):
         runs = by_shape[key]
-        Pp, Qp, ratio_key = key
-        stride = _QF * Qp  # frames per sub-run buffer
+        kind, Pp, Qp, ratio_key = key
+        # frames per sub-run buffer: exact sub-runs batch _QF canonical
+        # window rows; taylor sub-runs are one canonical period each
+        stride = Qp if kind == "taylor" else _QF * Qp
         if stride % 128:
             return None  # layout needs 128-aligned sub-run buffers
         n_sub_g = sum(p.nsub for p in runs)
@@ -245,17 +373,23 @@ def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TA
         for p in runs:
             p.stride_group = n_sub_g * stride  # channel separation
         ordered.extend(runs)
-        groups.append((Pp, Qp, ratio_key, n_sub_g))
+        groups.append((kind, Pp, Qp, ratio_key, n_sub_g))
         ext_off += n_sub_g * stride * C
 
     # device read guard: the last sub-run's window may overshoot the pool
     # (vectorized over runs x channels)
     pool_len = pool.data.shape[0]
     pool_len += (-pool_len) % 128
-    Pp_a = s_a * P_a
-    win_last = (pool.channel_base[soa["sid"]].astype(np.int64) + (
-        c0_a - (half - 1) + (nsub_a - 1) * _QF * Pp_a)[:, None])
-    guard = int(max(0, (win_last + ((_QF + 1) * Pp_a)[:, None]).max() - pool_len))
+    guard = 0
+    if plans:
+        Pp_a = s_a * P_a
+        win_last = (pool.channel_base[soa["sid"]].astype(np.int64) + (
+            c0_a - (half - 1) + (nsub_a - 1) * _QF * Pp_a)[:, None])
+        guard = int(max(0, (win_last + ((_QF + 1) * Pp_a)[:, None]).max() - pool_len))
+    for p in taylor_plans:
+        base = int(pool.channel_base[p.sid].max())
+        win_end = base + p.c0 - (half - 1) + (p.nsub - 1) * p.Pp + p.Pp + taps + 2
+        guard = max(guard, win_end - pool_len)
     guard += (-guard) % 128
     return PrerenderPlan(runs=ordered, groups=groups, ext_len=ext_off,
                          guard=max(guard, 0), taps=taps, atten_db=float(atten_db),
@@ -341,14 +475,10 @@ def _render_ext_body(pool2d, group_args, layout):
     # the minor axis is 50x WORSE (5.9 s) — never index per-element.
     pad_rows = guard // 128 + 2  # row-gather may touch ceil(need/128)+1 rows past the end
     p2 = jnp.concatenate([pool2d, jnp.zeros((pad_rows, 128), jnp.float32)])
-    # one batched einsum per ratio; the transposed batch [C, n_sub, F]
-    # IS the group's ext segment (channel-major layout)
-    pieces = [pool2d.reshape(-1)]
-    for (Pp, Qp, _n), (starts_g, M) in zip(groups, group_args):
-        need = (_QF + 1) * Pp
+
+    def fetch(sT, need):
+        # aligned 128-row gather + in-register barrel shift (see note above)
         nrow = -(-need // 128) + 1
-        sT = starts_g.T  # [C, n_sub]: batch channel-major so the group
-        # output IS its ext segment with no 0.9 GB transpose at the end
         a = sT // 128
         B = p2[a[..., None] + jnp.arange(nrow)]  # [C, n_sub, nrow, 128]
         B = B.reshape(C, sT.shape[1], nrow * 128)
@@ -356,6 +486,39 @@ def _render_ext_body(pool2d, group_args, layout):
         for k in range(7):  # barrel shift: B_final[u] = B[u + r]
             bit = 1 << k
             B = jnp.where((r & bit) != 0, jnp.roll(B, -bit, axis=-1), B)
+        return B
+
+    # one batched einsum per ratio; the transposed batch [C, n_sub, F]
+    # IS the group's ext segment (channel-major layout)
+    pieces = [pool2d.reshape(-1)]
+    for g, ga in zip(groups, group_args):
+        if g[0] == "taylor":
+            _, P, Q, n_sub, Wb, d_b = g
+            starts_g, M3, e0s, epss = ga
+            BLK = _TAYLOR_BLK
+            nblk = Q // BLK
+            need = d_b[-1] + Wb
+            sT = starts_g.T  # [C, n_sub]
+            B = fetch(sT, need)
+            ns = sT.shape[1]
+            # static per-block window slices -> block-banded operand
+            Xb = jnp.stack([B[:, :, db : db + Wb] for db in d_b], axis=2)
+            # orders 0/1/2 stacked along j: [C, n_sub, nblk, 3, BLK]
+            out = jnp.einsum("csbw,bjw->csbj", Xb, M3,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+            out = out.reshape(C, ns, nblk, 3, BLK)
+            m = jnp.arange(Q, dtype=jnp.float32).reshape(nblk, BLK)
+            E = e0s[:, None, None] + m[None] * epss[:, None, None]  # [ns, nblk, BLK]
+            y = out[:, :, :, 0] + E * out[:, :, :, 1] + (0.5 * E * E) * out[:, :, :, 2]
+            pieces.append(y.reshape(-1))
+            continue
+        _, Pp, Qp, _n = g
+        starts_g, M = ga
+        need = (_QF + 1) * Pp
+        sT = starts_g.T  # [C, n_sub]: batch channel-major so the group
+        # output IS its ext segment with no 0.9 GB transpose at the end
+        B = fetch(sT, need)
         A = B[:, :, :need].reshape(C, sT.shape[1], _QF + 1, Pp)
         # window = own P'-row + the next row's first `taps` columns
         Xr = jnp.concatenate([A[:, :, :_QF], A[:, :, 1:, :taps]], axis=-1)  # [C, n_sub, QF, Pp+taps]
@@ -409,33 +572,52 @@ def prerender_tables(table: SegmentTable, pool: SamplePool, plan: PrerenderPlan,
     return _rewrite(table, pool, plan, ext_origin=int(np.prod(pool_device.shape)))
 
 
+def _device_group_args(plan: PrerenderPlan, pool: SamplePool):
+    """(group_args, layout_groups): per-group device operands + the static
+    layout entries consumed by `_render_ext_body`."""
+    import jax.numpy as jnp
+
+    group_args = []
+    layout_groups = []
+    for (starts, extras), (kind, Pp, Qp, ratio_key, n_sub) in zip(
+            _group_starts(plan, pool), plan.groups):
+        if kind == "taylor":
+            M3, _, d_b, Wb = _taylor_matrices(Pp, Qp, plan.taps, plan.atten_db)
+            e0s, epss = extras
+            group_args.append((jnp.asarray(starts), jnp.asarray(M3),
+                               jnp.asarray(e0s), jnp.asarray(epss)))
+            layout_groups.append(("taylor", Pp, Qp, n_sub, Wb, d_b))
+        else:
+            M, _ = _canonical_matrix(Pp, Qp, plan.taps, plan.atten_db, ratio_key)
+            group_args.append((jnp.asarray(starts), jnp.asarray(M)))
+            layout_groups.append(("exact", Pp, Qp, n_sub))
+    return group_args, tuple(layout_groups)
+
+
 def render_prerendered_fused(plan: PrerenderPlan, pool: SamplePool, renderer,
                              pool_device):
     """Single-dispatch render: prerender the runs AND run the mix kernel in
     one jitted program. ``renderer``: a PallasMixRenderer built on the
     rewritten table with ``pool_device`` (its device pool arg is replaced
     by the fused computation). Returns the device output array."""
-    import jax.numpy as jnp
-
     C = pool.channel_base.shape[1]
-    group_args = []
-    for starts, (Pp, Qp, ratio_key, _n) in zip(_group_starts(plan, pool), plan.groups):
-        M, _ = _canonical_matrix(Pp, Qp, plan.taps, plan.atten_db, ratio_key)
-        group_args.append((jnp.asarray(starts), jnp.asarray(M)))
-    layout = (C, plan.guard, tuple((g[0], g[1], g[3]) for g in plan.groups), plan.taps)
+    group_args, layout_groups = _device_group_args(plan, pool)
+    layout = (C, plan.guard, layout_groups, plan.taps)
     fn = _fused_render_fn(layout, tuple(sorted(renderer._kw.items())))
     return fn(pool_device, group_args, tuple(renderer._args[1:]))
 
 
 def _group_starts(plan: PrerenderPlan, pool: SamplePool):
-    """Per-group sub-run window starts [n_sub, C] int32 (host, vectorized)."""
+    """Per-group (starts [n_sub, C] int32, taylor_extras) — extras is
+    (e0_sub f32 [n_sub], eps_sub f32 [n_sub]) for taylor groups, else None
+    (host, vectorized)."""
     half = plan.taps // 2
-    C = pool.channel_base.shape[1]
     out = []
     i0 = 0
-    for (Pp, Qp, ratio_key, n_sub) in plan.groups:
-        i1 = i0
-        while i1 < len(plan.runs) and (plan.runs[i1].Pp, plan.runs[i1].Qp) == (Pp, Qp):
+    for (kind, Pp, Qp, ratio_key, n_sub) in plan.groups:
+        i1, acc = i0, 0
+        while acc < n_sub:
+            acc += plan.runs[i1].nsub
             i1 += 1
         runs = plan.runs[i0:i1]
         i0 = i1
@@ -445,9 +627,20 @@ def _group_starts(plan: PrerenderPlan, pool: SamplePool):
         parent = np.repeat(np.arange(len(runs)), nsub)
         j = np.arange(nsub.sum()) - np.repeat(np.cumsum(nsub) - nsub, nsub)
         base = pool.channel_base[sid[parent]].astype(np.int64)  # [n_sub, C]
-        starts = base + (c0[parent] - (half - 1) + j * (_QF * Pp))[:, None]
+        extras = None
+        if kind == "taylor":
+            # window advance per canonical period is exactly Pp source
+            # samples; residual error at the period start is e0 + drift
+            starts = base + (c0[parent] - (half - 1) + j * Pp)[:, None]
+            k0 = np.array([p.k0 for p in runs], np.int64)[parent]
+            e0 = np.array([p.e0 for p in runs], np.float64)[parent]
+            eps = np.array([p.eps for p in runs], np.float64)[parent]
+            e0_sub = e0 + (j * Qp - k0) * eps
+            extras = (e0_sub.astype(np.float32), eps.astype(np.float32))
+        else:
+            starts = base + (c0[parent] - (half - 1) + j * (_QF * Pp))[:, None]
         assert starts.shape[0] == n_sub
-        out.append(starts.astype(np.int32))
+        out.append((starts.astype(np.int32), extras))
     return out
 
 
@@ -473,12 +666,8 @@ def apply_prerender_device(table: SegmentTable, pool: SamplePool, plan: Prerende
         pool_device = jax.device_put(jnp.asarray(flat.reshape(-1, 128)))
     pool_len = int(np.prod(pool_device.shape))
 
-    group_args = []
-    for starts, (Pp, Qp, ratio_key, _n) in zip(_group_starts(plan, pool), plan.groups):
-        M, _ = _canonical_matrix(Pp, Qp, plan.taps, plan.atten_db, ratio_key)
-        group_args.append((jnp.asarray(starts), jnp.asarray(M)))
-
-    layout = (C, plan.guard, tuple((g[0], g[1], g[3]) for g in plan.groups), plan.taps)
+    group_args, layout_groups = _device_group_args(plan, pool)
+    layout = (C, plan.guard, layout_groups, plan.taps)
     pool2d_full = _render_ext_fn(pool_device, group_args, layout=layout)
     table2, pool2 = _rewrite(table, pool, plan, ext_origin=pool_len)
     return table2, pool2, pool2d_full
@@ -497,18 +686,50 @@ def apply_prerender_host(table: SegmentTable, pool: SamplePool, plan: PrerenderP
         flat = np.pad(flat, (0, 128 - flat.shape[0] % 128))
     pool_len = flat.shape[0]
     flatg = np.pad(flat, (0, plan.guard)) if plan.guard else flat
+    def _fetch(start: int, need: int) -> np.ndarray:
+        # windows near sample 0 may start negative (half-1 pre-ring); the
+        # device reads its zero padding there — mirror with zeros
+        seg = flatg[max(start, 0) : start + need]
+        if start < 0:
+            seg = np.pad(seg, (min(-start, need), 0))
+        if seg.shape[0] < need:
+            seg = np.pad(seg, (0, need - seg.shape[0]))
+        return seg
+
     ext = np.zeros(plan.ext_len + _GUARD, dtype=np.float32)  # incl. tail guard
     ext_off = 0
-    for starts, (Pp, Qp, ratio_key, n_sub) in zip(_group_starts(plan, pool), plan.groups):
+    for (starts, extras), (kind, Pp, Qp, ratio_key, n_sub) in zip(
+            _group_starts(plan, pool), plan.groups):
+        if kind == "taylor":
+            M3f, M3_64, d_b, Wb = _taylor_matrices(Pp, Qp, plan.taps, plan.atten_db)
+            M3 = M3_64 if f64 else M3f
+            BLK = _TAYLOR_BLK
+            nblk = Qp // BLK
+            stride = Qp
+            need = d_b[-1] + Wb
+            e0s, epss = extras
+            m = np.arange(Qp, dtype=np.float64).reshape(nblk, BLK)
+            for s in range(n_sub):
+                E = np.float64(e0s[s]) + m * np.float64(epss[s])
+                if not f64:
+                    E = E.astype(np.float32)
+                for ch in range(C):
+                    seg = _fetch(int(starts[s, ch]), need)
+                    Xb = np.stack([seg[db : db + Wb] for db in d_b])  # [nblk, Wb]
+                    out = np.einsum("bw,bjw->bj", Xb.astype(M3.dtype), M3)
+                    out = out.reshape(nblk, 3, BLK)
+                    y = out[:, 0] + E * out[:, 1] + (0.5 * E * E) * out[:, 2]
+                    o = ext_off + (ch * n_sub + s) * stride
+                    ext[o : o + stride] = y.reshape(-1).astype(np.float32)
+            ext_off += n_sub * stride * C
+            continue
         Mf, M64 = _canonical_matrix(Pp, Qp, plan.taps, plan.atten_db, ratio_key)
         M = M64 if f64 else Mf
         stride = _QF * Qp
         need = (_QF + 1) * Pp
         for s in range(n_sub):
             for ch in range(C):
-                seg = flatg[starts[s, ch] : starts[s, ch] + need]
-                if seg.shape[0] < need:
-                    seg = np.pad(seg, (0, need - seg.shape[0]))
+                seg = _fetch(int(starts[s, ch]), need)
                 A = seg.reshape(_QF + 1, Pp)
                 Xr = np.concatenate([A[:_QF], A[1:, : plan.taps]], axis=-1)
                 y = (Xr.astype(M.dtype) @ M.T).reshape(-1)
