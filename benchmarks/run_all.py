@@ -414,11 +414,32 @@ def main() -> int:
         ("headline_128trk_bounce_rtf", lambda: headline(args.duration)),
     ]:
         t0 = time.perf_counter()
+        failed = False
         try:
             results[name] = round(float(fn()), 1)
         except Exception as e:  # keep going; report the failure
             results[name] = f"ERROR: {e}"
+            failed = True
         print(f"{name}: {results[name]}  ({time.perf_counter() - t0:.0f}s incl. compile)", flush=True)
+        if failed:
+            # isolate configs: the failure's traceback (and any stray
+            # reference) must not pin GBs of HBM for the remaining configs
+            # — one OOM used to cascade RESOURCE_EXHAUSTED through every
+            # config after it. Drop every live array (cached device
+            # constants re-upload lazily) and the jit caches that may bake
+            # big constants into executables.
+            import gc
+
+            import jax
+
+            gc.collect()
+            for a in jax.live_arrays():
+                try:
+                    a.delete()
+                except Exception:
+                    pass
+            jax.clear_caches()
+            gc.collect()
 
     if args.json:
         print(json.dumps(results))

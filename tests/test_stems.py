@@ -52,3 +52,24 @@ class TestStemsInterpolation:
             q, names2 = render_stems(s, 48000.0, interpolation=mode)
             assert names2 == names and q.shape == lin.shape
             assert np.abs(q - lin).max() > 0  # resampled rows differ
+
+    def test_stems_sinc_matches_bounce_form(self):
+        # stems play the SAME sinc quality form as bounce (the exact/Taylor
+        # polyphase prerender): a solo'd sinc bounce == that track's stem
+        from tests.test_carve import random_session
+        from whitebox_tpu.render.bounce import bounce
+        from whitebox_tpu.render.stems import render_stems
+
+        s = random_session(82, rate=48000, bpm=120.0, n_tracks=2, n_clips=2,
+                           speeds=(44100.0 / 48000.0,), src_rates=(44100,))
+        stems, _ = render_stems(s, 48000.0, interpolation="sinc")
+        for t in range(2):
+            keep = [tr.mute for tr in s.tracks]
+            for i, tr in enumerate(s.tracks):
+                tr.mute = i != t
+            solo = bounce(s, 48000.0, interpolation="sinc").audio
+            for tr, m in zip(s.tracks, keep):
+                tr.mute = m
+            n = min(stems.shape[2], solo.shape[1])
+            np.testing.assert_allclose(np.clip(stems[t][:, :n], -1.0, 1.0),
+                                       solo[:, :n], atol=5e-5)

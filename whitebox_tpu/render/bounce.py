@@ -236,32 +236,9 @@ def bounce(
         # polyphase matmul (MXU) into a speed-1 pool extension, then mix on
         # the pure fast path (timeline/prerender.py). Falls back to the
         # oversampled-pool form for non-rational/off-grid/reverse runs.
-        from whitebox_tpu.timeline.prerender import apply_prerender_device, plan_prerender
+        from whitebox_tpu.timeline.prerender import resolve_sinc_pallas
 
-        pplan = plan_prerender(table, pool, partial=True)
-        if pplan is not None:
-            if pplan.uncovered_rows is not None:
-                # mixed session: rational runs ride the exact polyphase
-                # path; the residue (irrational speeds, off-grid phases,
-                # reverse) plays from the oversampled fallback pool at
-                # U*speed through the poly-tap kernel path
-                from whitebox_tpu.ops.resample import design_poly_interp
-                from whitebox_tpu.timeline.oversample import (
-                    OVERSAMPLE_FACTOR, oversample_slow_rows,
-                )
-
-                table, pool = oversample_slow_rows(
-                    table, pool, rows=pplan.uncovered_rows)
-                interp = ("poly", design_poly_interp(OVERSAMPLE_FACTOR))
-                _log.debug("sinc prerender: partial, %d residual rows via "
-                           "oversample fallback", len(pplan.uncovered_rows))
-            table, pool, pre_pool_dev = apply_prerender_device(table, pool, pplan)
-            _pplan = pplan
-            _log.debug("sinc prerender: %d runs -> fast rows", len(pplan.runs))
-        else:
-            from whitebox_tpu.timeline.oversample import resolve_interpolation
-
-            table, pool, interp = resolve_interpolation(table, pool, "sinc")
+        table, pool, interp, pre_pool_dev, _pplan = resolve_sinc_pallas(table, pool)
     elif interpolation == "sinc" and engine == "xla" and len(table) and not table.fast.all():
         # direct 32-tap windowed sinc (per-frame gathers; the slowest but
         # most literal definition — kept for comparison). abs: reverse rows

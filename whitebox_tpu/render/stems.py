@@ -59,7 +59,15 @@ def _render_per_track(session: Session, sample_rate: float, buffer_size: int,
 
     table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
                                 out_channels=channels, slow_emit="runs")
-    table, pool, interp = resolve_interpolation(table, pool, interpolation)
+    pre_pool_dev = None
+    if interpolation == "sinc" and len(table) and not table.fast.all():
+        # same quality form as bounce: exact/Taylor polyphase prerender
+        # with the oversample kernel path for the residue
+        from whitebox_tpu.timeline.prerender import resolve_sinc_pallas
+
+        table, pool, interp, pre_pool_dev, _ = resolve_sinc_pallas(table, pool)
+    else:
+        table, pool, interp = resolve_interpolation(table, pool, interpolation)
     T = len(session.tracks)
     total = table.total_frames
 
@@ -69,14 +77,16 @@ def _render_per_track(session: Session, sample_rate: float, buffer_size: int,
         plan = build_plan(table, pool, session, channels=channels,
                           max_slots=16 if isinstance(interp, tuple) else 8)
         renderer = PallasMixRenderer(table, pool, session, channels=channels, plan=plan,
-                                     interp=interp)
+                                     interp=interp, pool_device=pre_pool_dev)
         F_pad = plan.n_tiles * plan.tile
         per_track = renderer.render_device_per_track().reshape(plan.num_tracks, channels, F_pad)
         per_track = per_track[:T]
     except Exception:
         dev = pack_device_tables(table, pool, session, channels=channels)
         jt = jax.device_put(dev.as_jax())
-        pool_dev = jax.device_put(jnp.asarray(pool.data))
+        # the prerendered pool extension lives device-side only
+        pool_dev = (pre_pool_dev.reshape(-1) if pre_pool_dev is not None
+                    else jax.device_put(jnp.asarray(pool.data)))
         per_track = render_chunk_per_track(pool_dev, jt, jnp.int32(0),
                                            frames=max(total, 1), interp=interp)[:T]
 

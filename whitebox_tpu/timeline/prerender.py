@@ -460,6 +460,18 @@ def _rewrite(table: SegmentTable, pool: SamplePool, plan: PrerenderPlan,
     return table2, pool2
 
 
+#: cap on a prerender group's live gather+einsum intermediates; groups
+#: bigger than this render in sequential sub-run slabs (lax.scan)
+_EXT_SLAB_BYTES = 256 * 1024 * 1024
+
+
+def _ext_chunk(n_sub: int, per_sub_bytes: int) -> int:
+    """Sub-runs per slab so one slab's intermediates stay under
+    _EXT_SLAB_BYTES (>=128, multiple of 8 for gather-friendly batching)."""
+    c = max(128, _EXT_SLAB_BYTES // max(per_sub_bytes, 1))
+    return min(n_sub, (c // 8) * 8)
+
+
 def _render_ext_body(pool2d, group_args, layout):
     """TRACED: compute the prerendered full pool [rows, 128]."""
     import jax
@@ -489,7 +501,12 @@ def _render_ext_body(pool2d, group_args, layout):
         return B
 
     # one batched einsum per ratio; the transposed batch [C, n_sub, F]
-    # IS the group's ext segment (channel-major layout)
+    # IS the group's ext segment (channel-major layout). Groups whose
+    # window gather + einsum intermediates would exceed _EXT_SLAB_BYTES
+    # render in bounded sub-run slabs under lax.scan (sequential by
+    # construction — a 60 s 128-track session's gathers peaked >10 GB
+    # unchunked and OOM'd a 16 GB v5e; the scan caps live intermediates
+    # at ext + one slab).
     pieces = [pool2d.reshape(-1)]
     for g, ga in zip(groups, group_args):
         if g[0] == "taylor":
@@ -498,36 +515,75 @@ def _render_ext_body(pool2d, group_args, layout):
             BLK = _TAYLOR_BLK
             nblk = Q // BLK
             need = d_b[-1] + Wb
-            sT = starts_g.T  # [C, n_sub]
-            B = fetch(sT, need)
-            ns = sT.shape[1]
-            # static per-block window slices -> block-banded operand
-            Xb = jnp.stack([B[:, :, db : db + Wb] for db in d_b], axis=2)
-            # orders 0/1/2 stacked along j: [C, n_sub, nblk, 3, BLK]
-            out = jnp.einsum("csbw,bjw->csbj", Xb, M3,
-                             precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)
-            out = out.reshape(C, ns, nblk, 3, BLK)
+            nrow = -(-need // 128) + 1
             m = jnp.arange(Q, dtype=jnp.float32).reshape(nblk, BLK)
-            E = e0s[:, None, None] + m[None] * epss[:, None, None]  # [ns, nblk, BLK]
-            y = out[:, :, :, 0] + E * out[:, :, :, 1] + (0.5 * E * E) * out[:, :, :, 2]
-            pieces.append(y.reshape(-1))
+
+            def taylor_slab(sT, e0c, epsc):
+                # sT [C, n], e0c/epsc [n] -> y [C, n, Q]
+                B = fetch(sT, need)
+                # static per-block window slices -> block-banded operand
+                Xb = jnp.stack([B[:, :, db : db + Wb] for db in d_b], axis=2)
+                # orders 0/1/2 stacked along j: [C, n, nblk, 3, BLK]
+                out = jnp.einsum("csbw,bjw->csbj", Xb, M3,
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32)
+                out = out.reshape(C, sT.shape[1], nblk, 3, BLK)
+                E = e0c[:, None, None] + m[None] * epsc[:, None, None]
+                return out[:, :, :, 0] + E * out[:, :, :, 1] + (0.5 * E * E) * out[:, :, :, 2]
+
+            per_sub = C * 4 * (nrow * 128 + nblk * Wb + nblk * 3 * BLK + Q)
+            chunk = _ext_chunk(n_sub, per_sub)
+            if chunk >= n_sub:
+                pieces.append(taylor_slab(starts_g.T, e0s, epss).reshape(-1))
+                continue
+            S = -(-n_sub // chunk)
+            padn = S * chunk - n_sub
+            sTp = jnp.pad(starts_g, ((0, padn), (0, 0))).T.reshape(C, S, chunk)
+            e0p = jnp.pad(e0s, (0, padn)).reshape(S, chunk)
+            epp = jnp.pad(epss, (0, padn)).reshape(S, chunk)
+            buf0 = jnp.zeros((C, S * chunk, Q), jnp.float32)
+
+            def step(buf, s):
+                y = taylor_slab(sTp[:, s], e0p[s], epp[s])
+                return jax.lax.dynamic_update_slice(buf, y, (0, s * chunk, 0)), None
+
+            buf, _ = jax.lax.scan(step, buf0, jnp.arange(S))
+            pieces.append(buf[:, :n_sub].reshape(-1))
             continue
-        _, Pp, Qp, _n = g
+        _, Pp, Qp, n_sub = g
         starts_g, M = ga
         need = (_QF + 1) * Pp
-        sT = starts_g.T  # [C, n_sub]: batch channel-major so the group
-        # output IS its ext segment with no 0.9 GB transpose at the end
-        B = fetch(sT, need)
-        A = B[:, :, :need].reshape(C, sT.shape[1], _QF + 1, Pp)
-        # window = own P'-row + the next row's first `taps` columns
-        Xr = jnp.concatenate([A[:, :, :_QF], A[:, :, 1:, :taps]], axis=-1)  # [C, n_sub, QF, Pp+taps]
-        # HIGHEST: the TPU default matmul precision is bf16, which
-        # floors the resampler at ~-60 dB; bf16x3 restores f32 quality
-        out = jnp.einsum("csqw,jw->csqj", Xr, M,
-                         precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)  # [C, n_sub, QF, Qp]
-        pieces.append(out.reshape(-1))
+
+        def rat_slab(sT):
+            # sT [C, n]: batch channel-major so the group output IS its
+            # ext segment with no 0.9 GB transpose at the end
+            B = fetch(sT, need)
+            A = B[:, :, :need].reshape(C, sT.shape[1], _QF + 1, Pp)
+            # window = own P'-row + the next row's first `taps` columns
+            Xr = jnp.concatenate([A[:, :, :_QF], A[:, :, 1:, :taps]], axis=-1)
+            # HIGHEST: the TPU default matmul precision is bf16, which
+            # floors the resampler at ~-60 dB; bf16x3 restores f32 quality
+            return jnp.einsum("csqw,jw->csqj", Xr, M,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)  # [C, n, QF, Qp]
+
+        nrow_r = -(-need // 128) + 1
+        per_sub = C * 4 * (nrow_r * 128 + 2 * _QF * (Pp + taps) + _QF * Qp)
+        chunk = _ext_chunk(n_sub, per_sub)
+        if chunk >= n_sub:
+            pieces.append(rat_slab(starts_g.T).reshape(-1))
+            continue
+        S = -(-n_sub // chunk)
+        padn = S * chunk - n_sub
+        sTp = jnp.pad(starts_g, ((0, padn), (0, 0))).T.reshape(C, S, chunk)
+        buf0 = jnp.zeros((C, S * chunk, _QF * Qp), jnp.float32)
+
+        def step(buf, s):
+            y = rat_slab(sTp[:, s]).reshape(C, chunk, _QF * Qp)
+            return jax.lax.dynamic_update_slice(buf, y, (0, s * chunk, 0)), None
+
+        buf, _ = jax.lax.scan(step, buf0, jnp.arange(S))
+        pieces.append(buf[:, :n_sub].reshape(-1))
     # fresh tail guard: the mix kernel's fixed DMA windows read past
     # the last ext buffer
     pieces.append(jnp.zeros(_GUARD, jnp.float32))
@@ -739,3 +795,42 @@ def apply_prerender_host(table: SegmentTable, pool: SamplePool, plan: PrerenderP
     table2, pool2 = _rewrite(table, pool, plan, ext_origin=pool_len)
     pool2 = replace(pool2, data=np.concatenate([flat, ext]))
     return table2, pool2
+
+
+def resolve_sinc_pallas(table: SegmentTable, pool: SamplePool):
+    """Shared ``interpolation="sinc"`` front-end for the Pallas fast path
+    (bounce AND the stems exporters — both must play the same quality form).
+
+    Pre-renders every coverable resampled run with the exact/Taylor
+    polyphase matmuls into a speed-1 pool extension; the residue
+    (off-grid phases, reverse, pathological ratios) is oversampled 4x and
+    plays through the LS-optimal 6-tap kernel path. Returns
+    ``(table, pool, interp, pre_pool_dev, pplan)`` where ``pplan`` is None
+    when no run qualified (the whole session took the oversample form).
+    """
+    import logging
+
+    _log = logging.getLogger("whitebox_tpu.timeline.prerender")
+    pplan = plan_prerender(table, pool, partial=True)
+    if pplan is None:
+        from whitebox_tpu.timeline.oversample import resolve_interpolation
+
+        table, pool, interp = resolve_interpolation(table, pool, "sinc")
+        return table, pool, interp, None, None
+    interp = "linear"
+    if pplan.uncovered_rows is not None:
+        # mixed session: rational/Taylor runs ride the exact polyphase
+        # path; the residue plays from the oversampled fallback pool at
+        # U*speed through the poly-tap kernel path
+        from whitebox_tpu.ops.resample import design_poly_interp
+        from whitebox_tpu.timeline.oversample import (
+            OVERSAMPLE_FACTOR, oversample_slow_rows,
+        )
+
+        table, pool = oversample_slow_rows(table, pool, rows=pplan.uncovered_rows)
+        interp = ("poly", design_poly_interp(OVERSAMPLE_FACTOR))
+        _log.debug("sinc prerender: partial, %d residual rows via "
+                   "oversample fallback", len(pplan.uncovered_rows))
+    table, pool, pre_pool_dev = apply_prerender_device(table, pool, pplan)
+    _log.debug("sinc prerender: %d runs -> fast rows", len(pplan.runs))
+    return table, pool, interp, pre_pool_dev, pplan
