@@ -452,6 +452,34 @@ class TestTaylor:
         flat = np.asarray(pool2d).reshape(-1)
         assert np.max(np.abs(flat[: p2.data.shape[0]] - p2.data)) < 1e-6
 
+    def test_device_slab_chunked_matches_unchunked(self, monkeypatch):
+        """Big groups render in bounded lax.scan slabs (OOM guard); slab
+        boundaries and sub-run padding must not change a single sample.
+        Forces chunking by shrinking the slab budget (both branches:
+        exact-rational AND taylor)."""
+        import whitebox_tpu.timeline.prerender as pr
+
+        s = random_session(13, rate=48000, bpm=120.0, n_tracks=3, n_clips=3,
+                           speeds=(2.0 ** (1.0 / 12.0), 147.0 / 160.0,
+                                   1.6180339887498949),
+                           src_rates=(48000.0,))
+        table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
+        if table.fast.all():
+            pytest.skip("carved fast-only")
+        plan = plan_prerender(table, pool)
+        assert plan is not None
+        kinds = {g[0] for g in plan.groups}
+        assert "taylor" in kinds, "session must exercise the taylor branch"
+        _, _, full = apply_prerender_device(table, pool, plan)
+        ref = np.asarray(full)
+        monkeypatch.setattr(pr, "_EXT_SLAB_BYTES", 1 << 16)  # force many slabs
+        pr._render_ext_fn = None  # drop the jitted unchunked program
+        try:
+            _, _, chunked = apply_prerender_device(table, pool, plan)
+            np.testing.assert_array_equal(np.asarray(chunked), ref)
+        finally:
+            pr._render_ext_fn = None  # don't leak the tiny-slab program
+
 
 def math_gcd(a, b):
     import math

@@ -544,7 +544,7 @@ def _render_ext_body(pool2d, group_args, layout):
             buf0 = jnp.zeros((C, S * chunk, Q), jnp.float32)
 
             def step(buf, s):
-                y = taylor_slab(sTp[:, s], e0p[s], epp[s])
+                y = taylor_slab(sTp[:, s], e0p[s], epp[s]).reshape(C, chunk, Q)
                 return jax.lax.dynamic_update_slice(buf, y, (0, s * chunk, 0)), None
 
             buf, _ = jax.lax.scan(step, buf0, jnp.arange(S))
@@ -628,6 +628,37 @@ def prerender_tables(table: SegmentTable, pool: SamplePool, plan: PrerenderPlan,
     return _rewrite(table, pool, plan, ext_origin=int(np.prod(pool_device.shape)))
 
 
+#: device-resident canonical matrices, keyed by (kind, P', Q', taps,
+#: atten, backend). The matrices are pure functions of the ratio — tens of
+#: MB each at large Q' — and repeated renders used to re-upload them every
+#: iteration (~79 MB/render at 128-track irrational scale; the relay
+#: moves ~25-50 MB/s, so the upload WAS the prerender wall time).
+_DEVICE_MAT_CACHE: dict = {}
+
+
+def _device_matrix(kind: str, Pp: int, Qp: int, taps: int, atten_db: float, ratio_key):
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    key = (kind, Pp, Qp, taps, atten_db, ratio_key, backend)
+    hit = _DEVICE_MAT_CACHE.get(key)
+    if hit is not None:
+        try:  # a crash-cleanup (bench OOM isolation) may have deleted it
+            if not hit.is_deleted():
+                return hit
+        except AttributeError:
+            return hit
+    if kind == "taylor":
+        M3, _, _, _ = _taylor_matrices(Pp, Qp, taps, atten_db)
+        dev = jax.device_put(jnp.asarray(M3))
+    else:
+        M, _ = _canonical_matrix(Pp, Qp, taps, atten_db, ratio_key)
+        dev = jax.device_put(jnp.asarray(M))
+    _DEVICE_MAT_CACHE[key] = dev
+    return dev
+
+
 def _device_group_args(plan: PrerenderPlan, pool: SamplePool):
     """(group_args, layout_groups): per-group device operands + the static
     layout entries consumed by `_render_ext_body`."""
@@ -638,14 +669,17 @@ def _device_group_args(plan: PrerenderPlan, pool: SamplePool):
     for (starts, extras), (kind, Pp, Qp, ratio_key, n_sub) in zip(
             _group_starts(plan, pool), plan.groups):
         if kind == "taylor":
-            M3, _, d_b, Wb = _taylor_matrices(Pp, Qp, plan.taps, plan.atten_db)
+            _, _, d_b, Wb = _taylor_matrices(Pp, Qp, plan.taps, plan.atten_db)
             e0s, epss = extras
-            group_args.append((jnp.asarray(starts), jnp.asarray(M3),
+            group_args.append((jnp.asarray(starts),
+                               _device_matrix("taylor", Pp, Qp, plan.taps,
+                                              plan.atten_db, ratio_key),
                                jnp.asarray(e0s), jnp.asarray(epss)))
             layout_groups.append(("taylor", Pp, Qp, n_sub, Wb, d_b))
         else:
-            M, _ = _canonical_matrix(Pp, Qp, plan.taps, plan.atten_db, ratio_key)
-            group_args.append((jnp.asarray(starts), jnp.asarray(M)))
+            group_args.append((jnp.asarray(starts),
+                               _device_matrix("exact", Pp, Qp, plan.taps,
+                                              plan.atten_db, ratio_key)))
             layout_groups.append(("exact", Pp, Qp, n_sub))
     return group_args, tuple(layout_groups)
 
