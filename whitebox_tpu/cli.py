@@ -268,6 +268,12 @@ def _cmd_loudness(args) -> int:
         print(f"{args.src}: I {st.integrated_lufs:+.1f} LUFS  "
               f"M max {st.momentary_max_lufs:+.1f}  S max {st.shortterm_max_lufs:+.1f}  "
               f"LRA {st.lra_lu:.1f} LU  TP {st.true_peak_dbtp:+.1f} dBTP")
+        if f32.shape[1] < int(10.0 * float(info.sample_rate)):
+            # BS.1770-4 gating uses fixed 400 ms / 75 %-overlap blocks; on
+            # short program material the block phase alone legitimately
+            # moves I by ~0.2 LU (spec behavior, ops/loudness.py tests)
+            print("  note: program < 10 s — integrated loudness of short "
+                  "material varies ~0.2 LU with gating-block phase (BS.1770)")
     return 0
 
 
