@@ -191,18 +191,71 @@ class TestNumerics:
         snr = 10 * np.log10(np.mean(ideal[lo:hi] ** 2) / max(np.mean(noise ** 2), 1e-30))
         assert snr > 90.0, f"SNR {snr:.1f} dB"
 
-    def test_reverse_runs_fall_back_and_render(self):
-        from whitebox_tpu.render.bounce import bounce
+    def test_reverse_runs_ride_prerender(self):
+        """Reverse runs plan as mirrored forward ramps: the rewrite row
+        reads the rendered buffer backward (speed -1.0, src_int at the
+        last valid output) and the buffer holds the exact per-frame sinc
+        values of the REVERSE phase ramp."""
+        from whitebox_tpu.ops.mix_pallas import _merge_slow_runs
+        from whitebox_tpu.ops.resample import _design_rows
         from whitebox_tpu.session.clip import ClipMode
 
         s = _session(14, n_tracks=1, n_clips=1)
         for c in s.tracks[0].clips:
             c.audio.mode = ClipMode.LOOP_BIDIRECTIONAL
         table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
-        if not table.fast.all():
-            assert plan_prerender(table, pool) is None  # negative-speed runs
-        res = bounce(s, RATE, interpolation="sinc")  # oversample fallback
-        assert res.audio.shape[0] == 2 and np.isfinite(res.audio).all()
+        if table.fast.all() or not (table.speed[~table.fast] < 0).any():
+            pytest.skip("carve emitted no reverse runs")
+        plan = plan_prerender(table, pool)
+        assert plan is not None and any(p.rev for p in plan.runs)
+        t2, p2 = apply_prerender_host(table, pool, plan)
+        # rewritten reverse rows read backward at exact integer phases
+        new = t2.sample_id >= pool.num_samples
+        assert (t2.speed[new & (t2.speed < 0)] == -1.0).all()
+        assert (t2.src_frac[new] == 0.0).all()
+        # buffer values == direct per-frame Kaiser-sinc at the reverse ramp
+        runs_raw = _merge_slow_runs(table)
+        raw_of = {(r["trk"], r["d0"]): r for r in runs_raw}
+        half = plan.taps // 2
+        checked = 0
+        for p in plan.runs:
+            if not p.rev or (p.trk, p.d0) not in raw_of:
+                continue  # taylor sub-segments shift d0; exact runs match
+            rr = raw_of[(p.trk, p.d0)]
+            base = int(pool.channel_base[p.sid, 0])
+            out_base = int(p2.channel_base[p.new_sid, 0])
+            err = 0.0
+            for j in range(0, min(p.L, 600)):
+                x = rr["x0"] + j * rr["speed"]  # reverse ramp (speed < 0)
+                ix = math.floor(x)
+                rows = _design_rows(np.array([x - ix]), abs(rr["speed"]),
+                                    plan.taps, 90.0)[0]
+                w = pool.data[base + ix - half + 1 : base + ix - half + 1 + plan.taps]
+                got = p2.data[out_base + (p.k0 + p.L - 1) - j]  # backward read
+                err = max(err, abs(float(w.astype(np.float64) @ rows) - got))
+            assert err < 5e-7, err
+            checked += 1
+        assert checked >= 1
+
+    def test_reverse_bounce_matches_host_mirror(self):
+        """End-to-end: a bidirectional sinc bounce equals the host mix of
+        the rewritten table (device reverse slow path == host mirror)."""
+        from whitebox_tpu.render.bounce import bounce
+        from whitebox_tpu.session.clip import ClipMode
+
+        s = _session(15, n_tracks=2, n_clips=2)
+        for c in s.tracks[0].clips:
+            c.audio.mode = ClipMode.LOOP_BIDIRECTIONAL
+        table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
+        if table.fast.all() or not (table.speed[~table.fast] < 0).any():
+            pytest.skip("carve emitted no reverse runs")
+        plan = plan_prerender(table, pool)
+        assert plan is not None
+        t2, p2 = apply_prerender_host(table, pool, plan)
+        ref = _mix_reference(s, t2, p2)
+        res = bounce(s, RATE, interpolation="sinc", engine="pallas")
+        n = min(ref.shape[1], res.audio.shape[1])
+        assert np.max(np.abs(res.audio[:, :n] - ref[:, :n])) < 3e-6
 
 
 class TestPartialPlan:

@@ -38,7 +38,13 @@ first/second-derivative matrix slabs (`ops.resample._design_rows_d012`):
 ``y = y0 + e*y1 + e^2/2*y2``. Runs are segmented so ``|e|`` stays under
 ``_TAYLOR_EBUDGET`` (~0.014 source samples → Taylor residual ≤ -100 dB,
 below the 90 dB Kaiser design). Off-grid rational phases reuse the same
-correction with ``eps = 0``. Only reverse motion, speeds > 8, and
+correction with ``eps = 0``.
+
+Reverse motion (LOOP_REVERSE / BIDIRECTIONAL, speed < 0) rides the same
+machinery: the run is planned and rendered as its mirrored FORWARD ramp
+(sinc interpolation is direction-independent) and the rewrite emits a
+speed = -1.0 row reading the rendered buffer backward at exact integer
+phases through the planned reverse slow path. Only speeds > 8 and
 pathological near-simple-fraction speeds (coarse achievable anchor grid)
 fall back to the oversample path (render.bounce dispatches).
 
@@ -196,6 +202,13 @@ class _RunPlan:
     taylor: bool = False
     eps: float = 0.0
     e0: float = 0.0
+    # reverse runs (speed < 0, LOOP_REVERSE / BIDIRECTIONAL): the run is
+    # planned and rendered as its MIRRORED forward ramp (x0' = x0 +
+    # (L-1)*speed, speed' = |speed| — sinc interpolation is direction-
+    # independent, so the forward-rendered buffer holds exactly the values
+    # the reverse output needs in reverse order) and the rewrite emits a
+    # speed = -1.0 row reading the buffer backward at exact integer phases
+    rev: bool = False
 
 
 @dataclass
@@ -242,9 +255,16 @@ def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TA
 
     # vectorized per-run arithmetic: rationalize each DISTINCT speed once,
     # then batch the modular phase decomposition (thousands of runs would
-    # otherwise pay a Python Fraction + pow() each)
-    speeds = soa["speed"]
-    x0s = soa["x0"]
+    # otherwise pay a Python Fraction + pow() each).
+    # Reverse runs (speed < 0) are planned as their MIRRORED forward ramp:
+    # x(u) = x0 + u*speed for u in [0, L) descends, so the forward ramp
+    # x'(v) = (x0 + (L-1)*speed) + v*|speed| visits the same positions in
+    # reverse order — the rendered buffer serves the reverse output via a
+    # speed = -1.0 rewrite row (see _rewrite).
+    L_all = (soa["end"] - soa["d0"]).astype(np.int64)
+    rev_all = soa["speed"] < 0.0
+    speeds = np.abs(soa["speed"])
+    x0s = np.where(rev_all, soa["x0"] + (L_all - 1) * soa["speed"], soa["x0"])
     uspeeds, inv = np.unique(speeds, return_inverse=True)
     ok_u = np.ones(uspeeds.size, dtype=bool)
     upqsp = []
@@ -298,14 +318,18 @@ def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TA
         if segs is None:
             fallback[r] = True
             continue
+        rev_r = bool(rev_all[r])
         for (t, Li, k0, W0, e0) in segs:
+            # forward-ramp segment [t, t+Li) maps to reverse dst frames
+            # [d0 + L-t-Li, d0 + L-t) — segment v plays at u = L-1-(t+v)
+            d0_t = (L - t - Li) if rev_r else t
             taylor_plans.append(_RunPlan(
-                trk=int(soa["trk"][r]), d0=int(soa["d0"][r]) + t, L=Li,
+                trk=int(soa["trk"][r]), d0=int(soa["d0"][r]) + d0_t, L=Li,
                 sid=int(soa["sid"][r]), c0=W0, k0=k0, Pp=P, Qp=Q,
                 nsub=-(-(k0 + Li) // Q), gain=float(soa["gain"][r]),
                 fis=int(soa["fis"][r]), fii=float(soa["fii"][r]),
                 foe=int(soa["foe"][r]), foi=float(soa["foi"][r]),
-                taylor=True, eps=eps, e0=e0))
+                taylor=True, eps=eps, e0=e0, rev=rev_r))
 
     if fallback.any():
         if not partial:
@@ -323,7 +347,8 @@ def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TA
         uncovered_rows = None
     keep_runs = np.nonzero(cov)[0]
     soa = {k: v[keep_runs] for k, v in soa.items()}
-    P_a, Q_a, s_a, Pinv_a, N0 = (a[keep_runs] for a in (P_a, Q_a, s_a, Pinv_a, N0))
+    P_a, Q_a, s_a, Pinv_a, N0, rev_k = (
+        a[keep_runs] for a in (P_a, Q_a, s_a, Pinv_a, N0, rev_all))
 
     k0_a = (N0 % Q_a * Pinv_a) % Q_a
     c0_a = (N0 - k0_a * P_a) // Q_a
@@ -333,12 +358,13 @@ def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TA
     plans = [
         _RunPlan(trk=trk, d0=d0, L=L, sid=sid, c0=c0, k0=k0,
                  Pp=Pp, Qp=Qp, nsub=nsub,
-                 gain=gain, fis=fis, fii=fii, foe=foe, foi=foi)
-        for trk, d0, L, sid, c0, k0, Pp, Qp, nsub, gain, fis, fii, foe, foi in zip(
+                 gain=gain, fis=fis, fii=fii, foe=foe, foi=foi, rev=rev)
+        for trk, d0, L, sid, c0, k0, Pp, Qp, nsub, gain, fis, fii, foe, foi, rev in zip(
             soa["trk"].tolist(), soa["d0"].tolist(), L_a.tolist(), soa["sid"].tolist(),
             c0_a.tolist(), k0_a.tolist(), (s_a * P_a).tolist(), (s_a * Q_a).tolist(),
             nsub_a.tolist(), soa["gain"].tolist(), soa["fis"].tolist(),
-            soa["fii"].tolist(), soa["foe"].tolist(), soa["foi"].tolist())
+            soa["fii"].tolist(), soa["foe"].tolist(), soa["foi"].tolist(),
+            rev_k.tolist())
     ]
 
     # group-major layout: one group per (kind, ratio); channel-major inside
@@ -419,16 +445,21 @@ def _rewrite(table: SegmentTable, pool: SamplePool, plan: PrerenderPlan,
         return np.concatenate([a[keep], np.asarray(vals, dt)])
 
     runs = plan.runs
+    # reverse runs were rendered as their mirrored FORWARD ramp: the row
+    # reads the buffer backward (speed -1.0 from the last valid output) at
+    # exact integer phases — bit-exact through the planned reverse slow
+    # path (frac is exactly 0, so interpolation degenerates to the sample)
     table2 = SegmentTable(
         track=cat(table.track, [p.trk for p in runs], np.int32),
         dst_start=cat(table.dst_start, [p.d0 for p in runs], np.int32),
         length=cat(table.length, [p.L for p in runs], np.int32),
         sample_id=cat(table.sample_id, [p.new_sid for p in runs], np.int32),
-        src_int=cat(table.src_int, [p.k0 for p in runs], np.int32),
+        src_int=cat(table.src_int,
+                    [p.k0 + p.L - 1 if p.rev else p.k0 for p in runs], np.int32),
         src_frac=cat(table.src_frac, [0.0] * len(runs), np.float64),
-        speed=cat(table.speed, [1.0] * len(runs), np.float64),
+        speed=cat(table.speed, [-1.0 if p.rev else 1.0 for p in runs], np.float64),
         gain=cat(table.gain, [p.gain for p in runs], np.float32),
-        fast=cat(table.fast, [True] * len(runs), bool),
+        fast=cat(table.fast, [not p.rev for p in runs], bool),
         clamp=cat(table.clamp, [False] * len(runs), bool),
         clip_id=cat(table.clip_id, [-1] * len(runs), np.int32),
         fin_start=cat(table.fin_start, [p.fis for p in runs], np.int32),
@@ -835,9 +866,9 @@ def resolve_sinc_pallas(table: SegmentTable, pool: SamplePool):
     """Shared ``interpolation="sinc"`` front-end for the Pallas fast path
     (bounce AND the stems exporters — both must play the same quality form).
 
-    Pre-renders every coverable resampled run with the exact/Taylor
-    polyphase matmuls into a speed-1 pool extension; the residue
-    (off-grid phases, reverse, pathological ratios) is oversampled 4x and
+    Pre-renders every coverable resampled run (forward AND reverse) with
+    the exact/Taylor polyphase matmuls into a speed-1 pool extension; the
+    residue (pathological ratios, speeds > 8) is oversampled 4x and
     plays through the LS-optimal 6-tap kernel path. Returns
     ``(table, pool, interp, pre_pool_dev, pplan)`` where ``pplan`` is None
     when no run qualified (the whole session took the oversample form).
