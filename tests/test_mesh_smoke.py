@@ -118,3 +118,41 @@ def test_plain_mix_mesh_smoke():
                                  jnp.int32(0), frames=4096, mesh=mesh)
     np.testing.assert_allclose(np.asarray(multi), np.asarray(single),
                                atol=2e-6, rtol=1e-5)
+
+
+def test_sinc_sharded_smoke():
+    """interpolation="sinc" on the mesh: the host prerender rewrite plays
+    resampled clips (forward rational + irrational + reverse) at exact
+    polyphase quality through the linear sharded mix. Reference = the
+    single-chip host mirror of the same rewrite."""
+    from whitebox_tpu.timeline.carve import (
+        carve_session, render_segments_per_track_numpy,
+    )
+    from whitebox_tpu.timeline.prerender import apply_prerender_host, plan_prerender
+    from whitebox_tpu.session.clip import ClipMode
+
+    assert len(jax.devices()) == 8
+    mesh = make_render_mesh(tracks_parallel=1, frames_parallel=8)
+    s = random_session(31, rate=RATE, bpm=160.0, n_tracks=2,
+                       formats=(AudioFormat.F32,), n_clips=1,
+                       speeds=(0.5, 2.0 ** (1.0 / 12.0)),
+                       src_rates=(48000.0,))
+    for c in s.tracks[0].clips:
+        c.audio.mode = ClipMode.LOOP_BIDIRECTIONAL
+    table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
+    if table.fast.all():
+        pytest.skip("carved fast-only")
+    plan = plan_prerender(table, pool, partial=True)
+    assert plan is not None and plan.uncovered_rows is None
+    t2, p2 = apply_prerender_host(table, pool, plan)
+    pt = render_segments_per_track_numpy(t2, p2)
+    ref = np.zeros((2, pt.shape[2]))
+    for t, tr in enumerate(s.tracks):
+        vol = np.float32(0.0) if tr.mute else tr.volume_linear
+        pan = tr.pan_coeffs
+        for ch in range(2):
+            ref[ch] += pt[t][ch] * float(np.float32(vol * np.float32(pan[ch])))
+    ref = np.clip(ref, -1, 1).astype(np.float32)
+    multi = bounce_sharded(s, RATE, mesh, interpolation="sinc")
+    n = min(ref.shape[1], multi.shape[1])
+    np.testing.assert_allclose(multi[:, :n], ref[:, :n], atol=3e-6, rtol=1e-4)

@@ -104,6 +104,37 @@ def render_chunk_sharded(pool, tables, chunk_start, frames: int, mesh: Mesh):
     return fn(pool, tables, chunk_start)
 
 
+def _resolve_sinc_host(table, pool, interpolation: str):
+    """Quality-mode front-end for mesh renders.
+
+    ``interpolation="sinc"`` rewrites the table with the HOST prerender
+    (timeline/prerender.py apply_prerender_host): every resampled run —
+    forward or reverse, rational or Taylor-corrected irrational — becomes
+    a speed ±1.0 row over exactly-rendered polyphase content, which the
+    linear sharded mix plays exactly (integer phases degenerate linear
+    interpolation to the sample). Requires full coverage; the pathological
+    residue class (speeds > 8, near-simple fractions) has no sharded
+    fallback — render single-chip for the oversample form.
+    """
+    if interpolation == "linear":
+        return table, pool
+    if interpolation != "sinc":
+        raise NotImplementedError(
+            f"bounce_sharded supports interpolation='linear'/'sinc', got "
+            f"{interpolation!r} (catmull is a single-chip kernel mode)")
+    if not len(table) or table.fast.all():
+        return table, pool
+    from whitebox_tpu.timeline.prerender import apply_prerender_host, plan_prerender
+
+    plan = plan_prerender(table, pool, partial=True)
+    if plan is None or plan.uncovered_rows is not None:
+        raise NotImplementedError(
+            "bounce_sharded(interpolation='sinc') needs full prerender "
+            "coverage (|speed| <= 8, non-pathological ratios); render "
+            "single-chip for the oversample fallback")
+    return apply_prerender_host(table, pool, plan)
+
+
 def bounce_sharded(
     session,
     sample_rate: float,
@@ -113,6 +144,7 @@ def bounce_sharded(
     channels: int = 2,
     master_effects=None,
     pdc: bool = False,
+    interpolation: str = "linear",
 ):
     """Render a whole session over a ('tracks','frames') device mesh.
 
@@ -125,6 +157,11 @@ def bounce_sharded(
     Returns [channels, frames] np.float32. Sum association is
     shard-deterministic but differs from the single-chip flat order (see
     module docstring); use the single-chip strict path for bit-parity work.
+
+    ``interpolation="sinc"`` renders resampled clips at exact polyphase
+    quality on the mesh via the host prerender rewrite (the rewritten
+    rows play at speed ±1.0, which the linear sharded mix reproduces
+    exactly); see ``_resolve_sinc_host`` for the coverage contract.
 
     ``master_effects`` defaults to the session's own master chain.
     Per-track effect chains, automation lanes, and MIDI synth all render
@@ -154,11 +191,13 @@ def bounce_sharded(
         # frames axis keeps the sequence-parallel state handoff
         return _bounce_sharded_fx_2d(session, sample_rate, mesh,
                                      buffer_size=buffer_size, channels=channels,
-                                     master_effects=master_effects, pdc=pdc)
+                                     master_effects=master_effects, pdc=pdc,
+                                     interpolation=interpolation)
     if needs_per_track:
         return _bounce_sharded_fx(session, sample_rate, mesh,
                                   buffer_size=buffer_size, channels=channels,
-                                  master_effects=master_effects, pdc=pdc)
+                                  master_effects=master_effects, pdc=pdc,
+                                  interpolation=interpolation)
     if master_effects is None and session.master_effects:
         ch = session.master_effects
         master_effects = list(ch.effects) if hasattr(ch, "effects") else list(ch)
@@ -167,6 +206,7 @@ def bounce_sharded(
     fp = mesh.shape["frames"]
     table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
                                 out_channels=channels, slow_emit="runs")
+    table, pool = _resolve_sinc_host(table, pool, interpolation)
     T = max(table.num_tracks, 1)
     dev = pack_device_tables(table, pool, session, channels=channels,
                              pad_tracks_to=-(-T // tp) * tp)
@@ -229,7 +269,7 @@ def _pad_auto_tables(auto, Tp: int):
 
 def _bounce_sharded_fx_2d(session, sample_rate: float, mesh: Mesh, *,
                           buffer_size: int, channels: int, master_effects=None,
-                          pdc: bool = False):
+                          pdc: bool = False, interpolation: str = "linear"):
     """Effectful sharded bounce on a full 2-D ('tracks','frames') mesh.
 
     Chains are per-track independent, so the tracks axis shards them
@@ -291,6 +331,7 @@ def _bounce_sharded_fx_2d(session, sample_rate: float, mesh: Mesh, *,
 
     table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
                                 out_channels=channels, slow_emit="runs")
+    table, pool = _resolve_sinc_host(table, pool, interpolation)
     T = max(table.num_tracks, 1)
     Tp = -(-T // tp) * tp
     T_local = Tp // tp
@@ -449,7 +490,7 @@ def _bounce_sharded_fx_2d(session, sample_rate: float, mesh: Mesh, *,
 
 def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
                        buffer_size: int, channels: int, master_effects=None,
-                       pdc: bool = False):
+                       pdc: bool = False, interpolation: str = "linear"):
     """Effectful sharded bounce on a frames-only mesh, mirroring the
     single-chip pipeline order (render/effects_generic._chunk_step):
     per-track mix (+ synth voices) -> per-track chains (grouped by
@@ -507,6 +548,7 @@ def _bounce_sharded_fx(session, sample_rate: float, mesh: Mesh, *,
 
     table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
                                 out_channels=channels, slow_emit="runs")
+    table, pool = _resolve_sinc_host(table, pool, interpolation)
     dev = pack_device_tables(table, pool, session, channels=channels)
     tables = shard_tables(dev.as_jax(), mesh)
     pool_dev = jax.device_put(jnp.asarray(pool.data), NamedSharding(mesh, P()))
