@@ -72,3 +72,46 @@ class TestStreaming:
         n = min(ref.shape[1], got.shape[1])
         scale = max(float(np.max(np.abs(ref))), 1e-6)
         assert np.max(np.abs(got[:, :n] - ref[:, :n])) / scale < 1e-4
+
+
+class TestStreamedSinc:
+    def test_sinc_streamed_matches_resident_prerender(self):
+        """interpolation="sinc" under a pool cap rides the HOST prerender
+        rewrite (exact polyphase; the ext content span-packs like any other
+        source) and matches the resident Pallas sinc bounce."""
+        from whitebox_tpu.session.clip import ClipMode
+        from whitebox_tpu.timeline.prerender import plan_prerender
+
+        s = random_session(44, rate=48000, bpm=120.0, n_tracks=3, n_clips=2,
+                           speeds=(0.5, 2.0 ** (1.0 / 12.0)),
+                           src_rates=(48000.0,))
+        for c in s.tracks[0].clips:
+            c.audio.mode = ClipMode.LOOP_BIDIRECTIONAL
+        table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
+        if table.fast.all():
+            pytest.skip("carved fast-only")
+        assert plan_prerender(table, pool, partial=True) is not None
+        ref = bounce(s, RATE, interpolation="sinc", engine="pallas").audio
+        got = bounce_streamed(s, RATE, interpolation="sinc",
+                              max_pool_bytes=_cap_for(pool, 0.5),
+                              window_frames=8192)
+        n = min(ref.shape[1], got.shape[1])
+        # device ext vs host ext render differ at f32 rounding; phases and
+        # content are the same exact polyphase values
+        np.testing.assert_allclose(got[:, :n], ref[:, :n], atol=4e-6)
+
+    def test_sinc_streamed_cap_counts_ext(self):
+        """The prerendered ext is span-packed under the same cap: windows
+        exist and respect max_pool_bytes with resampled content."""
+        from whitebox_tpu.timeline.prerender import resolve_sinc_host
+
+        s = random_session(45, rate=48000, bpm=120.0, n_tracks=4, n_clips=2,
+                           speeds=(147.0 / 160.0,), src_rates=(48000.0,))
+        table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="blocks")
+        t2, p2, interp = resolve_sinc_host(table, pool)
+        if t2 is table:
+            pytest.skip("carved fast-only")
+        assert interp == "linear"
+        cap = _cap_for(p2, 0.3)
+        windows = plan_stream_windows(t2, p2, 8192, 2, cap)
+        assert all(w.pool_bytes <= cap for w in windows)

@@ -171,7 +171,15 @@ def bounce_streamed(
     assert window_frames % 512 == 0, "windows must stay PARAM_BLOCK-aligned"
     table, pool = carve_session(session, sample_rate, buffer_size=buffer_size,
                                 out_channels=channels, slow_emit="blocks")
-    table, pool, interp = resolve_interpolation(table, pool, interpolation)
+    if interpolation == "sinc":
+        # exact-polyphase quality under the pool cap: the host prerender
+        # rewrite is SMALLER than the 4x oversampled copies (ext ~= output
+        # length) and the windows span-pack it like any other content
+        from whitebox_tpu.timeline.prerender import resolve_sinc_host
+
+        table, pool, interp = resolve_sinc_host(table, pool)
+    else:
+        table, pool, interp = resolve_interpolation(table, pool, interpolation)
     windows = plan_stream_windows(table, pool, window_frames, channels, max_pool_bytes)
     pool_elems = max(-(-max_pool_bytes // 4), _ALIGN * 2)
     pool_elems += (-pool_elems) % _ALIGN

@@ -794,6 +794,34 @@ def apply_prerender_device(table: SegmentTable, pool: SamplePool, plan: Prerende
     return table2, pool2, pool2d_full
 
 
+def resolve_sinc_host(table: SegmentTable, pool: SamplePool):
+    """HOST-side ``interpolation="sinc"`` front-end (streamed / sharded /
+    XLA renders whose pools live in host memory): same dispatch as
+    ``resolve_sinc_pallas`` but the ext renders in NumPy and lands in
+    ``pool.data``. Returns ``(table, pool, interp)`` — ``interp`` is
+    "linear" when the prerender covers everything (rewritten rows play at
+    speed ±1.0, exact under linear interpolation) or the poly-tap tuple
+    when a pathological residue rode the oversample fallback."""
+    if not len(table) or table.fast.all():
+        return table, pool, "linear"
+    pplan = plan_prerender(table, pool, partial=True)
+    if pplan is None:
+        from whitebox_tpu.timeline.oversample import resolve_interpolation
+
+        return resolve_interpolation(table, pool, "sinc")
+    interp = "linear"
+    if pplan.uncovered_rows is not None:
+        from whitebox_tpu.ops.resample import design_poly_interp
+        from whitebox_tpu.timeline.oversample import (
+            OVERSAMPLE_FACTOR, oversample_slow_rows,
+        )
+
+        table, pool = oversample_slow_rows(table, pool, rows=pplan.uncovered_rows)
+        interp = ("poly", design_poly_interp(OVERSAMPLE_FACTOR))
+    table, pool = apply_prerender_host(table, pool, pplan)
+    return table, pool, interp
+
+
 def apply_prerender_host(table: SegmentTable, pool: SamplePool, plan: PrerenderPlan,
                          f64: bool = False):
     """NumPy twin of the device path (tests / XLA fallback): returns
