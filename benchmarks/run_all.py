@@ -220,10 +220,11 @@ def extra_sinc(duration):
     """FORCED oversample fallback: config 3's session pushed through the
     4x-oversampled pool + LS-optimal 6-tap Pallas path. NOT the production
     sinc form — `bounce(interpolation="sinc")` routes every coverable run
-    (all rational AND irrational/off-grid ratios, via the Taylor-corrected
-    prerender) onto the exact polyphase matmul path measured by config 3 /
-    extra_sinc_irrational; this fallback only serves reverse-sinc rows and
-    pathological ratios. Kept as a floor metric for that residue class."""
+    (all rational AND irrational/off-grid ratios via the Taylor-corrected
+    prerender, reverse runs as mirrored forward ramps) onto the exact
+    polyphase matmul path measured by config 3 / extra_sinc_irrational;
+    this fallback only serves speeds > 8 and pathological near-simple-
+    fraction ratios. Kept as a floor metric for that residue class."""
     import jax
     import jax.numpy as jnp
 
