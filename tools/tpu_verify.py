@@ -262,6 +262,45 @@ def check_sinc_partial():
     return {"snr_db": float(snr)}
 
 
+def check_sinc_reverse():
+    """Reverse/bidirectional runs through the sinc prerender (mirrored
+    forward ramps, speed -1.0 backward reads): device render matches the
+    host mirror of the same rewrite."""
+    from tests.test_carve import random_session
+    from whitebox_tpu.core.formats import AudioFormat
+    from whitebox_tpu.render.bounce import bounce
+    from whitebox_tpu.session.clip import ClipMode
+    from whitebox_tpu.timeline.carve import (
+        carve_session, render_segments_per_track_numpy,
+    )
+    from whitebox_tpu.timeline.prerender import apply_prerender_host, plan_prerender
+
+    s = random_session(15, rate=RATE, bpm=120.0, n_tracks=2,
+                       formats=(AudioFormat.F32,), n_clips=2,
+                       speeds=(0.5, float(2 ** (1 / 12))), src_rates=(48000.0,))
+    for c in s.tracks[0].clips:
+        c.audio.mode = ClipMode.LOOP_BIDIRECTIONAL
+    table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
+    plan = plan_prerender(table, pool, partial=True)
+    assert plan is not None and plan.uncovered_rows is None
+    assert any(p.rev for p in plan.runs), "session must exercise reverse runs"
+    t2, p2 = apply_prerender_host(table, pool, plan)
+    pt = render_segments_per_track_numpy(t2, p2)
+    ref = np.zeros((2, pt.shape[2]))
+    for t, tr in enumerate(s.tracks):
+        vol = np.float32(0.0) if tr.mute else tr.volume_linear
+        pan = tr.pan_coeffs
+        for ch in range(2):
+            ref[ch] += pt[t][ch] * float(np.float32(vol * np.float32(pan[ch])))
+    ref = np.clip(ref, -1, 1)
+    res = bounce(s, RATE, interpolation="sinc", engine="pallas")
+    audio = np.asarray(res.audio, np.float64)
+    n = min(ref.shape[1], audio.shape[1])
+    err = float(np.max(np.abs(audio[:, :n] - ref[:, :n])))
+    assert err < 3e-6, f"reverse sinc device vs host mirror: {err}"
+    return {"max_abs_err": err}
+
+
 def check_record_preview():
     """Streaming record ingestion finalize == concatenated chunks."""
     from tests.test_carve import random_session
@@ -293,6 +332,7 @@ CHECKS = [
     ("freeze", check_freeze),
     ("stretch", check_stretch),
     ("sinc_partial", check_sinc_partial),
+    ("sinc_reverse", check_sinc_reverse),
     ("record_ingest", check_record_preview),
 ]
 
