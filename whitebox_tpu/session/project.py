@@ -364,6 +364,15 @@ def write_project(session: Session, path, timeline_view=(0.0, 1.0)) -> None:
             }
         if track.output_bus is not None:
             extras["out_bus"] = int(track.output_bus)  # extension key (routing)
+        if getattr(track, "input", None) is not None or getattr(track, "armed", False):
+            # recording input assignment, stored as the reference's packed
+            # u32 (track_input.h:20-22) + the arm flag
+            from whitebox_tpu.session.input import TrackInput
+
+            inp = track.input if track.input is not None else TrackInput()
+            extras["input"] = int(inp.as_packed_u32())
+            if track.armed:
+                extras["armed"] = True
         if track.sends:
             extras["sends"] = [
                 {"bus": int(s.bus), "gain": float(s.gain_db), "pre": bool(s.pre_fader),
@@ -597,6 +606,12 @@ def read_project(path, search_dirs: list | None = None) -> Session:
             track.effects = _chain_from_doc(t["fx"])
         if t.get("out_bus") is not None:
             track.output_bus = int(t["out_bus"])
+        if t.get("input") is not None:
+            from whitebox_tpu.session.input import TrackInput, TrackInputType
+
+            inp = TrackInput.from_packed_u32(int(t["input"]))
+            track.input = None if inp.type == TrackInputType.NONE else inp
+            track.armed = bool(t.get("armed", False))
         if t.get("sends"):
             from whitebox_tpu.session.bus import Send
 

@@ -54,6 +54,13 @@ class Track:
     #: clips, effect chain, and effect-param lanes, kept so
     #: unfreeze_track restores the live track. None == not frozen.
     frozen: object = None
+    #: recording input assignment (session/input.py TrackInput — the
+    #: track_input.h:17-30 model: None/Midi/ExternalStereo/ExternalMono +
+    #: capture-stream index). None == TrackInputType.NONE.
+    input: object = None
+    #: record-arm flag (track_input.h:36 TrackInputAttr.armed); armed
+    #: tracks with external inputs join input groups for capture fan-out.
+    armed: bool = False
 
     # ---- audio-thread parameter mapping (track.cpp:608-643) ----
 
