@@ -163,8 +163,12 @@ class TestComposedTopologies:
 # synth numpy -> routed f64 finish.
 # ---------------------------------------------------------------------------
 
-FULL_FAST_SEEDS = [100, 101]
-FULL_SLOW_SEEDS = list(range(102, 130))
+# seed 111's draw (sinc + Taylor prerender + MIDI + chains + buses, no
+# PDC) is the cheapest full-vocabulary composition (~70 s CPU, compile-
+# dominated); the PDC+sinc+routed draws compile >100 s and live in the
+# slow tier with the rest
+FULL_FAST_SEEDS = [111]
+FULL_SLOW_SEEDS = [s for s in range(100, 130) if s not in FULL_FAST_SEEDS]
 
 _SPEED_MENU = (0.5, 160.0 / 147.0, 2.0 ** (1.0 / 12.0), 1.0881922865173543)
 _LOOPABLE = ("ONE_SHOT_REVERSE", "LOOP_STRAIGHT", "LOOP_REVERSE",

@@ -156,3 +156,47 @@ def test_sinc_sharded_smoke():
     multi = bounce_sharded(s, RATE, mesh, interpolation="sinc")
     n = min(ref.shape[1], multi.shape[1])
     np.testing.assert_allclose(multi[:, :n], ref[:, :n], atol=3e-6, rtol=1e-4)
+
+
+def test_sharded_sinc_pathological_contract():
+    """The documented residue-class contract (VERDICT r4 #8): speeds the
+    exact/Taylor prerender can't cover (|speed| > 8) raise loudly from
+    bounce_sharded(interpolation="sinc") with the single-chip hint instead
+    of silently degrading — the oversample fallback is a single-chip
+    kernel mode."""
+    assert len(jax.devices()) == 8
+    mesh = make_render_mesh(tracks_parallel=1, frames_parallel=8)
+    s = random_session(33, rate=RATE, bpm=160.0, n_tracks=2,
+                       formats=(AudioFormat.F32,), n_clips=1,
+                       speeds=(9.3,), src_rates=(48000.0,))
+    with pytest.raises(NotImplementedError, match="single-chip"):
+        bounce_sharded(s, RATE, mesh, interpolation="sinc")
+    # the same session renders single-chip through the oversample fallback
+    res = bounce(s, RATE, interpolation="sinc", prerender=False)
+    assert np.isfinite(res.audio).all()
+
+
+def test_oversample_device_pool_cache_identity():
+    """device_pool_cached returns THE SAME resident array for
+    byte-identical pools (no re-upload) and a different one as soon as
+    the content changes (exact hash — no fingerprint aliasing)."""
+    from whitebox_tpu.timeline.carve import carve_session
+    from whitebox_tpu.timeline.oversample import (
+        device_pool_cached, oversample_slow_rows,
+    )
+
+    s = random_session(34, rate=RATE, bpm=160.0, n_tracks=2,
+                       formats=(AudioFormat.F32,), n_clips=1,
+                       speeds=(9.3,), src_rates=(48000.0,))
+    table, pool = carve_session(s, RATE, buffer_size=512, slow_emit="runs")
+    _, p1 = oversample_slow_rows(table, pool)
+    _, p2 = oversample_slow_rows(table, pool)  # fresh host rebuild, same bytes
+    a1 = device_pool_cached(p1)
+    a2 = device_pool_cached(p2)
+    assert a1 is a2
+    p3_data = p1.data.copy()
+    p3_data[7] += 0.25
+    from dataclasses import replace
+
+    p3 = replace(p1, data=p3_data)
+    assert device_pool_cached(p3) is not a1

@@ -263,9 +263,17 @@ def bounce(
         # 6-tap reconstruction (timeline/oversample.py) — sinc-class
         # quality at slow-path speed instead of taps gathers per frame.
         # speed==1 rows stay bit-exact in every mode.
-        from whitebox_tpu.timeline.oversample import resolve_interpolation
+        from whitebox_tpu.timeline.oversample import (
+            device_pool_cached, resolve_interpolation,
+        )
 
+        pool0 = pool
         table, pool, interp = resolve_interpolation(table, pool, interpolation)
+        if pool is not pool0 and engine in ("auto", "pallas"):
+            # the 4x oversampled pool is byte-identical render to render:
+            # keep it device-resident instead of re-uploading ~4x the
+            # session's samples every bounce (VERDICT r4 #8)
+            pre_pool_dev = device_pool_cached(pool)
 
     # roofline accounting (render/roofline.py): the minimum HBM/MXU spend
     # this render requires; stats.roofline_fraction compares device time

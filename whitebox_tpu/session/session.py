@@ -1133,28 +1133,42 @@ class Session:
                           id(b.effects) if b.effects else 0,
                           len(b.effects) if b.effects else 0,
                           auto_key(getattr(b, "automation", None))))
+        # the clip loop below is the preview path's per-pull cost at scale
+        # (thousands of clips): flat tuple literals + bound locals, no
+        # method calls or tuple concatenation in the body
+        from whitebox_tpu.session.clip import ClipType
+
+        _AUDIO = ClipType.AUDIO
+        _MIDI = ClipType.MIDI
+        append = items.append
         for t in self.tracks:
             a = t.automation
-            items.append((t.volume_db, t.pan, t.mute, t.solo, len(t.clips),
-                          t.frozen is not None,
-                          t.output_bus if t.output_bus is not None else -1,
-                          tuple((s.bus, s.gain_db, s.pre_fader, s.sidechain) for s in t.sends),
-                          id(t.effects) if t.effects else 0,
-                          len(t.effects) if t.effects else 0,
-                          auto_key(a)))
+            append((t.volume_db, t.pan, t.mute, t.solo, len(t.clips),
+                    t.frozen is not None,
+                    t.output_bus if t.output_bus is not None else -1,
+                    tuple((s.bus, s.gain_db, s.pre_fader, s.sidechain) for s in t.sends),
+                    id(t.effects) if t.effects else 0,
+                    len(t.effects) if t.effects else 0,
+                    auto_key(a)))
             for c in t.clips:
-                base = (c.min_time, c.max_time, c.start_offset, bool(c.active), int(c.type))
-                if c.is_audio() and c.audio is not None:
-                    d = c.audio
-                    items.append(base + (id(d.asset), d.gain, d.speed, d.fade_start,
-                                         d.fade_end, int(d.mode)))
-                elif c.is_midi() and c.midi is not None:
-                    d = c.midi
-                    notes_ver = (getattr(d.asset.notes, "version", 0)
-                                 if d.asset is not None else 0)
-                    items.append(base + (id(d.asset), d.transpose, d.rate, notes_ver))
-                else:
-                    items.append(base)
+                ctype = c.type
+                d = c.audio
+                if ctype == _AUDIO and d is not None:
+                    append((c.min_time, c.max_time, c.start_offset,
+                            not c.active, 0,
+                            id(d.asset), d.gain, d.speed, d.fade_start,
+                            d.fade_end, int(d.mode)))
+                    continue
+                d = c.midi
+                if ctype == _MIDI and d is not None:
+                    append((c.min_time, c.max_time, c.start_offset,
+                            not c.active, 1,
+                            id(d.asset), d.transpose, d.rate,
+                            (getattr(d.asset.notes, "version", 0)
+                             if d.asset is not None else 0)))
+                    continue
+                append((c.min_time, c.max_time, c.start_offset,
+                        not c.active, int(ctype)))
         return hash(tuple(items))
 
     def __repr__(self) -> str:

@@ -39,34 +39,41 @@ def carve_audio_tracks(session, P: np.ndarray, S: np.ndarray, num_blocks: int,
     if not native.has_carve():
         return None
 
+    from bisect import bisect_right
+
+    from whitebox_tpu.session.clip import ClipType
+
     tracks = session.tracks
-    n_clips = sum(len(t.clips) for t in tracks)
-    mt = np.empty(n_clips, np.float64)
-    xt = np.empty(n_clips, np.float64)
-    so = np.zeros(n_clips, np.float64)
-    cs = np.ones(n_clips, np.float64)
-    fs = np.zeros(n_clips, np.float64)
-    fe = np.zeros(n_clips, np.float64)
-    cnt = np.zeros(n_clips, np.float64)
-    sr = np.zeros(n_clips, np.float64)
-    gn = np.zeros(n_clips, np.float32)
-    md = np.zeros(n_clips, np.int32)
-    cid = np.zeros(n_clips, np.int32)
-    sid = np.zeros(n_clips, np.int32)
-    cl = np.zeros(n_clips, np.uint8)
-    sk = np.ones(n_clips, np.uint8)
+    # column collection runs through Python lists: list.append is ~10x a
+    # numpy scalar store, and this flatten loop IS the host carve cost at
+    # 128-track scale (it outweighs the C++ walk itself)
+    mt_l: list = []
+    xt_l: list = []
+    so_l: list = []
+    cs_l: list = []
+    fs_l: list = []
+    fe_l: list = []
+    cnt_l: list = []
+    sr_l: list = []
+    gn_l: list = []
+    md_l: list = []
+    cid_l: list = []
+    sid_l: list = []
+    cl_l: list = []
+    sk_l: list = []
     clip_begin = np.zeros(len(tracks) + 1, np.int64)
     ci0 = np.full(len(tracks), -1, np.int64)
 
     index_of = pool.index_of
     p0 = float(P[0])
+    _AUDIO = ClipType.AUDIO
+    _F32 = AudioFormat.F32
     i = 0
     for t, track in enumerate(tracks):
         clips = track.clips
         clip_begin[t] = i
         prev_max = None
         prev = None
-        last_max = None
         for c in clips:
             m, x = c.min_time, c.max_time
             if prev_max is not None and m < prev_max:
@@ -76,39 +83,67 @@ def carve_audio_tracks(session, P: np.ndarray, S: np.ndarray, num_blocks: int,
                     f"[{m},{x}) — use Session.delete_region/add APIs"
                 )
             prev_max, prev = x, c
-            mt[i], xt[i] = m, x
-            if c.is_audio() and c.audio is not None and c.audio.asset is not None:
-                a = c.audio
+            mt_l.append(m)
+            xt_l.append(x)
+            a = c.audio if c.type == _AUDIO else None
+            if a is not None and a.asset is not None:
                 smp = a.asset.sample
-                sk[i] = 0
                 _id = c.id
                 if not (-2147483648 <= _id <= 2147483647):
                     # stale/INVALID ids (edit-API bypass): let the Python
                     # walk handle it and surface its exact errors
                     return None
-                cid[i] = _id
-                so[i] = c.start_offset
-                cs[i] = a.speed
-                fs[i] = a.fade_start
-                fe[i] = a.fade_end
-                cnt[i] = float(smp.count)
-                sr[i] = float(smp.sample_rate)
-                gn[i] = np.float32(a.gain)
-                md[i] = int(a.mode)
-                sid[i] = index_of[id(a.asset)]
-                cl[i] = smp.format != AudioFormat.F32
+                sk_l.append(0)
+                cid_l.append(_id)
+                so_l.append(c.start_offset)
+                cs_l.append(a.speed)
+                fs_l.append(a.fade_start)
+                fe_l.append(a.fade_end)
+                cnt_l.append(smp.count)
+                sr_l.append(smp.sample_rate)
+                gn_l.append(a.gain)
+                md_l.append(int(a.mode))
+                sid_l.append(index_of[id(a.asset)])
+                cl_l.append(smp.format != _F32)
+            else:
+                sk_l.append(1)
+                cid_l.append(0)
+                so_l.append(0.0)
+                cs_l.append(1.0)
+                fs_l.append(0.0)
+                fe_l.append(0.0)
+                cnt_l.append(0.0)
+                sr_l.append(0.0)
+                gn_l.append(0.0)
+                md_l.append(0)
+                sid_l.append(0)
+                cl_l.append(False)
             i += 1
         # find_next_clip(P[0]) (track.cpp:182 clamp-to-last semantics)
         if clips:
-            last_max = clips[-1].max_time
-            if last_max >= p0:
-                seg = xt[clip_begin[t]:i]
-                j = min(int(np.searchsorted(seg, p0, side="right")), len(clips) - 1)
+            if xt_l[i - 1] >= p0:
+                j = min(bisect_right(xt_l, p0, clip_begin[t], i) - clip_begin[t],
+                        len(clips) - 1)
                 start_id = clips[j].id
                 if not (0 <= start_id < len(clips)):
                     return None  # stale ids: let the Python walk surface it
                 ci0[t] = start_id
     clip_begin[len(tracks)] = i
+
+    mt = np.asarray(mt_l, np.float64)
+    xt = np.asarray(xt_l, np.float64)
+    so = np.asarray(so_l, np.float64)
+    cs = np.asarray(cs_l, np.float64)
+    fs = np.asarray(fs_l, np.float64)
+    fe = np.asarray(fe_l, np.float64)
+    cnt = np.asarray(cnt_l, np.float64)
+    sr = np.asarray(sr_l, np.float64)
+    gn = np.asarray(gn_l, np.float32)
+    md = np.asarray(md_l, np.int32)
+    cid = np.asarray(cid_l, np.int32)
+    sid = np.asarray(sid_l, np.int32)
+    cl = np.asarray(cl_l, np.uint8)
+    sk = np.asarray(sk_l, np.uint8)
 
     # ---- per-clip event positions, vectorized with the Python walk's
     #      exact expressions (carve._carve_track_audio lines ~135-185) ----
