@@ -122,20 +122,64 @@ def _rtf_pallas(session, rate, effects_mode=None, iters=5, auto_kernel=False,
     cs = _checksum()
 
     if effects_mode is not None:
-        kw = dict(effects_mode=effects_mode)
-        if routed_chunk is not None:
-            kw["routed_chunk"] = routed_chunk
-        r = bounce(session, rate, **kw)  # warm compile
-        hosts, e2es, devlegs = [], [], []
+        # mirror bounce's Pallas plan path, but build every jitted program
+        # (mix kernel, finisher) ONCE and iterate carve + tables + render
+        # through the SAME objects: calling bounce() per iteration creates
+        # fresh jit closures whose relay compiles don't reuse (the sweep
+        # that taught this burned 90 min on 3 configs). The timed quantity
+        # is unchanged: carve + plan + upload + device render per iteration.
+        import jax.numpy as jnp
+
+        from whitebox_tpu.ops.mix_pallas import build_plan
+        from whitebox_tpu.render.effects_pipeline import prepare_automation_tables
+        from whitebox_tpu.render.roofline import estimate_bounce_cost
+
+        def prep():
+            t, p = carve_session(session, rate, buffer_size=512, slow_emit="runs")
+            plan = build_plan(t, p, session, channels=2)
+            return t, p, plan
+
+        t, p, plan = prep()
+        T, F_pad = plan.num_tracks, plan.n_tiles * plan.tile
+        tg = jnp.asarray(plan.track_gain)
+        auto = prepare_automation_tables(session, rate)
+        if effects_mode == "routed":
+            from whitebox_tpu.render.routing import (
+                make_routed_finisher, prepare_routed_fx,
+            )
+
+            rfx = prepare_routed_fx(session, rate, 2)
+            finish = make_routed_finisher(rfx, T, 2, chunk=routed_chunk,
+                                          valid_frames=plan.total_frames)
+        elif effects_mode == "fir":
+            from whitebox_tpu.render.effects_fir import prepare_fir_finish
+
+            fir = prepare_fir_finish(session, rate, tg, auto, 2)
+            finish = lambda pt, _tg, _auto: fir(pt)
+        else:
+            raise ValueError(effects_mode)
+
+        def run_fx(renderer):
+            pt = renderer.render_device_per_track().reshape(T, 2, F_pad)
+            return finish(pt, tg, auto)
+
+        r0 = PallasMixRenderer(t, p, session, plan=plan)
+        float(cs(run_fx(r0)))  # warm compile (mix kernel + finisher)
+        pool_dev = r0.pool_device
+        hosts, e2es = [], []
+        r = r0
         for _ in range(iters):
-            r = bounce(session, rate, **kw)
-            hosts.append(r.stats.carve_seconds)
-            devlegs.append(r.stats.device_seconds)
-            e2es.append(r.stats.carve_seconds + r.stats.device_seconds)
-        # bounce's device_seconds is one dispatch+sync window; fence it
-        device_s = max(statistics.median(devlegs) - dispatch_baseline(), 0.0)
-        sol = r.stats.cost.sol_seconds() if r.stats.cost is not None else None
-        return _result(rate, r.stats.frames, hosts, e2es, device_s, sol)
+            t0 = time.perf_counter()
+            t, _ = carve_session(session, rate, buffer_size=512,
+                                 slow_emit="runs", pool=p)
+            plan_i = build_plan(t, p, session, channels=2)
+            r = PallasMixRenderer(t, p, session, plan=plan_i, pool_device=pool_dev)
+            hosts.append(time.perf_counter() - t0)
+            float(cs(run_fx(r)))
+            e2es.append(time.perf_counter() - t0)
+        device_s = _fence_device(lambda: run_fx(r))
+        sol = estimate_bounce_cost(t, session, plan.total_frames, 2).sol_seconds()
+        return _result(rate, plan.total_frames, hosts, e2es, device_s, sol)
 
     auto_tables = None
     if auto_kernel:
