@@ -53,6 +53,8 @@ def time_coef(seconds, sample_rate: float):
 def onepole_scan_t(x, a, y0):
     """onepole_scan that also returns the cumulative transition m[n] =
     a^(n+1) (the injection weights for chunk/shard state handoff)."""
+    from whitebox_tpu.ops.scan_util import hillis_scan
+
     x = jnp.asarray(x, jnp.float32)
     a = jnp.broadcast_to(jnp.asarray(a, jnp.float32), x.shape)
     b = (1.0 - a) * x
@@ -60,7 +62,7 @@ def onepole_scan_t(x, a, y0):
     def comb(l, r):  # composition: later(earlier(y)) = m_r*(m_l*y+b_l)+b_r
         return l[0] * r[0], r[0] * l[1] + r[1]
 
-    m, bb = jax.lax.associative_scan(comb, (a, b), axis=-1)
+    m, bb = hillis_scan(comb, (a, b), (1.0, 0.0))
     y = m * y0[..., None] + bb
     return y, y[..., -1], m
 
@@ -76,14 +78,20 @@ def onepole_scan(x, a, y0):
 
 def maxdecay_scan_t(v, rho, e0):
     """maxdecay_scan that also returns the cumulative decay d[n] = rho^(n+1)
-    (the injection weights for chunk/shard state handoff)."""
+    (the injection weights for chunk/shard state handoff).
+
+    hillis_scan left identity: the detector values v are >= 0 (gain
+    reductions / openness targets), so (-1, 1) satisfies
+    comb(identity, r) == r exactly."""
+    from whitebox_tpu.ops.scan_util import hillis_scan
+
     v = jnp.asarray(v, jnp.float32)
     d = jnp.broadcast_to(jnp.asarray(rho, jnp.float32), v.shape)
 
     def comb(l, r):  # decay the earlier span's max by the later span's length
         return jnp.maximum(l[0] * r[1], r[0]), l[1] * r[1]
 
-    m, dd = jax.lax.associative_scan(comb, (v, d), axis=-1)
+    m, dd = hillis_scan(comb, (v, d), (-1.0, 1.0))
     e = jnp.maximum(m, e0[..., None] * dd)
     return e, e[..., -1], dd
 

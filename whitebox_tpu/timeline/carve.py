@@ -501,8 +501,11 @@ def carve_session(
 
     P = transport.playhead_grid(num_blocks)
     S = transport.sample_position_grid(num_blocks)
+    # one edit-stamp computation serves both content caches (pool + the
+    # native flatten) — the stamp walk itself is ~1/3 of a warm carve
+    stamp = session.edit_stamp()
     if pool is None:
-        pool = build_sample_pool(session, out_channels=out_channels)
+        pool = build_sample_pool(session, out_channels=out_channels, _stamp=stamp)
 
     import os
 
@@ -518,7 +521,8 @@ def carve_session(
 
         native_out = carve_native.carve_audio_tracks(
             session, P, S, num_blocks, buffer_size, transport.sample_rate,
-            transport.beat_duration, pool, slow_emit, transport=transport)
+            transport.beat_duration, pool, slow_emit, transport=transport,
+            _stamp=stamp)
 
     fast_arrays = None
     slow_arrays = None

@@ -13,41 +13,50 @@ from __future__ import annotations
 
 import numpy as np
 
+from collections import OrderedDict
+
 from whitebox_tpu.core.formats import AudioFormat
 from whitebox_tpu.io import native
 from whitebox_tpu.timeline.pool import SamplePool
 
+#: flattened clip columns keyed by (id(session), edit_stamp, pool sid
+#: mapping) — the per-clip Python loop below IS the host carve cost at
+#: 128-track scale (~4900 clips x 14 appends), and between edits it
+#: recomputes byte-identical arrays every render. The reference engine
+#: never re-walks the session either: its carve state lives across blocks
+#: and Track::internal_state_changed invalidates it (track.cpp:289-345);
+#: edit_stamp() is this build's version of that invalidation signal (the
+#: same one render.preview trusts for live re-carve).
+_FLATTEN_CACHE: OrderedDict = OrderedDict()
+_FLATTEN_CACHE_MAX = 8
 
-def carve_audio_tracks(session, P: np.ndarray, S: np.ndarray, num_blocks: int,
-                       buffer_size: int, sample_rate: float, beat_duration: float,
-                       pool: SamplePool, slow_emit: str, transport=None):
-    """Carve all tracks' audio clips natively.
 
-    Returns (fast_arrays, fast_flags, clamp_flags, slow_arrays) matching
-    carve.carve_session's internal assembly layout (each ``*_arrays`` is the
-    13-column tuple, or None when empty), or None to fall back to Python.
+def _flatten_clips(session, pool: SamplePool, _stamp: int | None = None):
+    """Content-only flatten of all tracks' clips into column arrays.
 
-    ``transport`` (BlockTransport) supplies the beat->sample conversions:
-    every per-clip event position is precomputed HERE with the exact
-    Python-walk expressions (``beat_to_samples`` unmapped, the TempoMap
-    closed-form integrals mapped), vectorized over all clips, so the C++
-    walk is pure sample-domain arithmetic and serves tempo-mapped sessions
-    too (they used to force the Python walk — config 7 was carve-bound).
-
-    Raises the same overlapping-clips ValueError as the Python walk.
-    """
-    if not native.has_carve():
-        return None
-
-    from bisect import bisect_right
-
+    Returns (cols14, allid, clip_begin) — cols14 is the 14-tuple
+    (mt, xt, so, cs, fs, fe, cnt, sr, gn, md, cid, sid, cl, sk); allid
+    holds every clip's id (incl. non-audio, for the find_next_clip walk);
+    or None to fall back to the Python walk. Raises the overlap
+    ValueError exactly like carve._carve_track_audio. Pure function of
+    session content + the pool's asset->sid mapping, so results cache by
+    edit stamp."""
     from whitebox_tpu.session.clip import ClipType
 
+    index_of = pool.index_of
+    stamp = _stamp if _stamp is not None else session.edit_stamp()
+    key = (id(session), stamp,
+           hash(tuple(index_of.values())), hash(tuple(index_of.keys())))
+    hit = _FLATTEN_CACHE.get(key)
+    if hit is not None:
+        _FLATTEN_CACHE.move_to_end(key)
+        return hit
     tracks = session.tracks
     # column collection runs through Python lists: list.append is ~10x a
-    # numpy scalar store, and this flatten loop IS the host carve cost at
-    # 128-track scale (it outweighs the C++ walk itself)
+    # numpy scalar store, and this flatten loop WAS the host carve cost at
+    # 128-track scale (it outweighs the C++ walk itself) — hence the cache
     mt_l: list = []
+    allid_l: list = []
     xt_l: list = []
     so_l: list = []
     cs_l: list = []
@@ -62,10 +71,7 @@ def carve_audio_tracks(session, P: np.ndarray, S: np.ndarray, num_blocks: int,
     cl_l: list = []
     sk_l: list = []
     clip_begin = np.zeros(len(tracks) + 1, np.int64)
-    ci0 = np.full(len(tracks), -1, np.int64)
 
-    index_of = pool.index_of
-    p0 = float(P[0])
     _AUDIO = ClipType.AUDIO
     _F32 = AudioFormat.F32
     i = 0
@@ -85,6 +91,7 @@ def carve_audio_tracks(session, P: np.ndarray, S: np.ndarray, num_blocks: int,
             prev_max, prev = x, c
             mt_l.append(m)
             xt_l.append(x)
+            allid_l.append(c.id)
             a = c.audio if c.type == _AUDIO else None
             if a is not None and a.asset is not None:
                 smp = a.asset.sample
@@ -119,15 +126,6 @@ def carve_audio_tracks(session, P: np.ndarray, S: np.ndarray, num_blocks: int,
                 sid_l.append(0)
                 cl_l.append(False)
             i += 1
-        # find_next_clip(P[0]) (track.cpp:182 clamp-to-last semantics)
-        if clips:
-            if xt_l[i - 1] >= p0:
-                j = min(bisect_right(xt_l, p0, clip_begin[t], i) - clip_begin[t],
-                        len(clips) - 1)
-                start_id = clips[j].id
-                if not (0 <= start_id < len(clips)):
-                    return None  # stale ids: let the Python walk surface it
-                ci0[t] = start_id
     clip_begin[len(tracks)] = i
 
     mt = np.asarray(mt_l, np.float64)
@@ -144,6 +142,58 @@ def carve_audio_tracks(session, P: np.ndarray, S: np.ndarray, num_blocks: int,
     sid = np.asarray(sid_l, np.int32)
     cl = np.asarray(cl_l, np.uint8)
     sk = np.asarray(sk_l, np.uint8)
+
+    out = ((mt, xt, so, cs, fs, fe, cnt, sr, gn, md, cid, sid, cl, sk),
+           np.asarray(allid_l, np.int64), clip_begin)
+    _FLATTEN_CACHE[key] = out
+    while len(_FLATTEN_CACHE) > _FLATTEN_CACHE_MAX:
+        _FLATTEN_CACHE.popitem(last=False)
+    return out
+
+
+def carve_audio_tracks(session, P: np.ndarray, S: np.ndarray, num_blocks: int,
+                       buffer_size: int, sample_rate: float, beat_duration: float,
+                       pool: SamplePool, slow_emit: str, transport=None,
+                       _stamp: int | None = None):
+    """Carve all tracks' audio clips natively.
+
+    Returns (fast_arrays, fast_flags, clamp_flags, slow_arrays) matching
+    carve.carve_session's internal assembly layout (each ``*_arrays`` is the
+    13-column tuple, or None when empty), or None to fall back to Python.
+
+    ``transport`` (BlockTransport) supplies the beat->sample conversions:
+    every per-clip event position is precomputed HERE with the exact
+    Python-walk expressions (``beat_to_samples`` unmapped, the TempoMap
+    closed-form integrals mapped), vectorized over all clips, so the C++
+    walk is pure sample-domain arithmetic and serves tempo-mapped sessions
+    too (they used to force the Python walk — config 7 was carve-bound).
+
+    The clip flatten is cached by ``session.edit_stamp()`` (see
+    ``_flatten_clips``); everything downstream — the start-clip walk, the
+    event-position vector math, the C++ walk itself — runs per call.
+
+    Raises the same overlapping-clips ValueError as the Python walk.
+    """
+    if not native.has_carve():
+        return None
+
+    fl = _flatten_clips(session, pool, _stamp=_stamp)
+    if fl is None:
+        return None
+    (mt, xt, so, cs, fs, fe, cnt, sr, gn, md, cid, sid, cl, sk), allid, clip_begin = fl
+
+    tracks = session.tracks
+    p0 = float(P[0])
+    ci0 = np.full(len(tracks), -1, np.int64)
+    # find_next_clip(P[0]) (track.cpp:182 clamp-to-last semantics)
+    for t in range(len(tracks)):
+        b, e = int(clip_begin[t]), int(clip_begin[t + 1])
+        if e > b and xt[e - 1] >= p0:
+            j = min(int(np.searchsorted(xt[b:e], p0, side="right")), e - b - 1)
+            start_id = int(allid[b + j])
+            if not (0 <= start_id < e - b):
+                return None  # stale ids: let the Python walk surface it
+            ci0[t] = start_id
 
     # ---- per-clip event positions, vectorized with the Python walk's
     #      exact expressions (carve._carve_track_audio lines ~135-185) ----

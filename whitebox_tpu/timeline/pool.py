@@ -39,15 +39,32 @@ MAX_TILE_FRAMES = 32768
 # windows are (tile/128 + 16) rows of 128 plus the 1024-alignment slack
 _GUARD = MAX_TILE_FRAMES + 16 * 128 + 256
 
+#: pools keyed by (id(session), edit_stamp, out_channels, pad, align) —
+#: the concat of every asset's normalized channels is pure memcpy cost
+#: repeated per render between edits. Safe to share: nothing in the repo
+#: writes pool.data in place (extensions concatenate into fresh arrays),
+#: and Sample buffers are immutable once registered (RecordingTake grows
+#: a private buffer and registers a NEW asset on finalize). Same
+#: invalidation signal the live preview trusts (session.edit_stamp).
+_POOL_CACHE: dict = {}
+_POOL_CACHE_MAX = 4
 
-def build_sample_pool(session: Session, out_channels: int = 2, pad: int = SAMPLE_PADDING, lane_align: int = 128) -> SamplePool:
+
+def build_sample_pool(session: Session, out_channels: int = 2, pad: int = SAMPLE_PADDING, lane_align: int = 128, _stamp: int | None = None) -> SamplePool:
     """Collect every asset referenced by an audio clip into one pool.
 
     Channels are aligned to ``lane_align`` so per-channel bases sit on TPU
     lane boundaries, and the whole pool carries leading/trailing zero guard
     bands sized for the Pallas kernel's fixed windows (bases are pre-offset
-    by the lead guard).
+    by the lead guard). Cached by edit stamp (see ``_POOL_CACHE``);
+    ``_stamp`` lets carve_session share one stamp computation across the
+    pool and flatten caches (it IS session.edit_stamp() when given).
     """
+    key = (id(session), _stamp if _stamp is not None else session.edit_stamp(),
+           out_channels, pad, lane_align)
+    hit = _POOL_CACHE.get(key)
+    if hit is not None:
+        return hit
     assets = []
     seen = set()
     for track in session.tracks:
@@ -87,10 +104,14 @@ def build_sample_pool(session: Session, out_channels: int = 2, pad: int = SAMPLE
     data = np.concatenate(chunks)
     if channel_base.max(initial=0) + (counts.max(initial=0) + pad) >= 2**31:
         raise ValueError("sample pool exceeds int32 addressing (>2^31 elements)")
-    return SamplePool(
+    pool = SamplePool(
         data=data,
         channel_base=channel_base.astype(np.int32),
         counts=counts,
         rates=rates,
         index_of=index_of,
     )
+    _POOL_CACHE[key] = pool
+    while len(_POOL_CACHE) > _POOL_CACHE_MAX:
+        _POOL_CACHE.pop(next(iter(_POOL_CACHE)))
+    return pool

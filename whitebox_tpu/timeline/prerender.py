@@ -56,6 +56,7 @@ by <=1e-6/Q — inside the documented resampling contract).
 from __future__ import annotations
 
 import functools
+import math
 from dataclasses import dataclass, replace
 from fractions import Fraction
 
@@ -73,21 +74,54 @@ _TAYLOR_EBUDGET = 0.014  # max |phase error| (source samples): residual ~ -100 d
 _TAYLOR_MIN_SEG = 2048   # segments shorter than this aren't worth the padding
 _TAYLOR_MAX_SPEED = 8.0  # window memory scales with speed; beyond -> fallback
 _TAYLOR_BLK = 128        # canonical outputs per matrix slab (lane width)
+_TAYLOR_MAT_BYTES = 96 * 1024 * 1024  # f32 device matrix cap per ratio
+_TAYLOR_K0_BUDGET = 0.004  # |e0| share spent buying a small k0 (head pad)
+_TAYLOR_K0_DMAX = 256      # anchor search halfwidth cap (host memory)
+#: host cost of one _RunPlan in rendered-output equivalents (~7 us per
+#: plan vs ~1 ns per ext output on v5e) — the exchange rate the adaptive
+#: convergent chooser uses to trade segment count against padding
+_TAYLOR_ALPHA = 7000.0
 
 
-def _taylor_rational(speed: float):
-    """(P, Q, eps) with Q a multiple of 128 and ``eps = speed - P/Q`` the
-    CF-convergent error of ``128*speed`` (typically ~1/(128*q'^2)), or None
-    when the speed can't ride the Taylor path at all."""
+def _taylor_candidates(speed: float) -> list:
+    """Every viable (P, Q, eps) Taylor ramp for ``speed``: the CF
+    convergents of ``128*speed`` (best rational approximations — each
+    lengthens the drift-budget segment by ~q'_next/q'_prev) plus the
+    legacy ``limit_denominator`` pick, capped by the per-ratio device
+    matrix budget. The planner picks per session from the measured
+    run-length distribution (see plan_prerender): small Q wins for short
+    runs (tail padding ~Q/2 per segment), big Q for long runs (fewer
+    segments = fewer plans + less head padding)."""
     if not np.isfinite(speed) or speed <= 0.0 or speed > _TAYLOR_MAX_SPEED:
-        return None
-    fr = Fraction(128.0 * speed).limit_denominator(_TAYLOR_QDEN)
-    if fr.numerator <= 0:
-        return None
-    P, Q = fr.numerator, 128 * fr.denominator
-    eps = (speed * Q - P) / Q  # f64; |eps| precision ~1e-12 — drift over a
-    # segment adds <= 1e-12 * 2^21 ~ 2e-6 to the budget, negligible
-    return P, Q, float(eps)
+        return []
+    x = 128.0 * speed
+    Wb = int(128 * speed) + DEFAULT_TAPS  # ~ band width -> matrix bytes/Q
+    cands: dict = {}
+
+    def add(num: int, den: int):
+        if num <= 0 or den <= 0 or 3 * (128 * den) * Wb * 4 > _TAYLOR_MAT_BYTES:
+            return
+        Q = 128 * den
+        cands.setdefault((num, Q), float((speed * Q - num) / Q))
+
+    fr = Fraction(x).limit_denominator(_TAYLOR_QDEN)
+    add(fr.numerator, fr.denominator)
+    h0, h1 = 1, int(math.floor(x))
+    k0_, k1 = 0, 1
+    add(h1, k1)
+    y = x - math.floor(x)
+    for _ in range(64):
+        if y <= 1e-15:
+            break
+        y = 1.0 / y
+        ai = int(y)
+        y -= ai
+        h0, h1 = h1, ai * h1 + h0
+        k0_, k1 = k1, ai * k1 + k0_
+        if 3 * (128 * k1) * Wb * 4 > _TAYLOR_MAT_BYTES:
+            break
+        add(h1, k1)
+    return [(P, Q, e) for (P, Q), e in cands.items()]
 
 
 def _taylor_anchor(x0: float, P: int, Q: int):
@@ -292,44 +326,112 @@ def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TA
 
     # runs the exact path can't take get the Taylor-corrected path:
     # CF-convergent rational ramp + in-einsum derivative correction, run
-    # segmented so the phase drift stays under budget
+    # segmented so the phase drift stays under budget. Grouped by unique
+    # speed: rationalize + modular-inverse once per speed, then the
+    # per-segment anchor math (_taylor_anchor's body) runs as vectorized
+    # int64 over every segment of every run at once — the per-run Python
+    # loop was ~0.45 s host at 5k runs / 19k segments (128-track
+    # irrational-speed sessions), dominating the render's host leg.
     taylor_plans: list[_RunPlan] = []
+    tay_guard_parts: list[np.ndarray] = []
     fallback = np.zeros(cov.shape, dtype=bool)
-    for r in np.nonzero(~cov)[0]:
-        sp = float(speeds[r])
-        L = int(soa["end"][r] - soa["d0"][r])
-        x0 = float(x0s[r])
-        segs = None
-        pq = _taylor_rational(sp)
-        if pq is not None:
-            P, Q, eps = pq
-            _, _, _, q_hat = _taylor_anchor(x0, P, Q)
-            avail = _TAYLOR_EBUDGET - (0.5 / q_hat + 1e-9)
-            if avail > 0.0:
-                Lseg = L if abs(eps) < 1e-18 else int(avail / abs(eps))
-                if Lseg >= min(L, _TAYLOR_MIN_SEG):
-                    segs = []
-                    t = 0
-                    while t < L:
-                        Li = min(Lseg, L - t)
-                        k0, W0, e0, _ = _taylor_anchor(x0 + t * sp, P, Q)
-                        segs.append((t, Li, k0, W0, e0))
-                        t += Li
-        if segs is None:
-            fallback[r] = True
+    unc = np.nonzero(~cov)[0]
+    for ui in (np.unique(inv[unc]) if unc.size else ()):
+        runs_u = unc[inv[unc] == ui]
+        sp = float(uspeeds[ui])
+        L_u = L_all[runs_u]
+        # adaptive convergent choice: the drift budget per segment is
+        # Lseg ~ avail/|eps|, so a deeper convergent (bigger Q) buys fewer
+        # segments — at ~Q/2 tail padding each. Minimize the measured
+        # total: n_seg*(E[k0] + Q/2 + alpha) over this speed's actual run
+        # lengths, with runs no candidate can hold costed at the
+        # oversample fallback's ~20x-per-output penalty.
+        best = None
+        for (Pc, Qc, ec) in _taylor_candidates(sp):
+            gc_ = math.gcd(Pc, Qc)
+            qh_c = Qc // gc_
+            D_c = max(min(int(_TAYLOR_K0_BUDGET * qh_c - 0.5),
+                          _TAYLOR_K0_DMAX), 0)
+            avail_c = _TAYLOR_EBUDGET - ((D_c + 0.5) / qh_c + 1e-9)
+            if avail_c <= 0.0:
+                continue
+            Lseg_c = None if abs(ec) < 1e-18 else int(avail_c / abs(ec))
+            if Lseg_c is not None and Lseg_c < _TAYLOR_MIN_SEG:
+                continue
+            Ls = L_u if Lseg_c is None else np.minimum(L_u, Lseg_c)
+            valid = (Ls >= np.minimum(L_u, _TAYLOR_MIN_SEG))
+            nseg_c = -(-L_u[valid] // np.maximum(Ls[valid], 1))
+            ek0 = qh_c / (2.0 * (D_c + 1))
+            cost = float((nseg_c * (ek0 + Qc / 2.0 + _TAYLOR_ALPHA)).sum()
+                         + 20.0 * L_u[~valid].sum())
+            if best is None or cost < best[0]:
+                best = (cost, Pc, Qc, ec, D_c, avail_c)
+        if best is None:
+            fallback[runs_u] = True
             continue
-        rev_r = bool(rev_all[r])
-        for (t, Li, k0, W0, e0) in segs:
-            # forward-ramp segment [t, t+Li) maps to reverse dst frames
-            # [d0 + L-t-Li, d0 + L-t) — segment v plays at u = L-1-(t+v)
-            d0_t = (L - t - Li) if rev_r else t
-            taylor_plans.append(_RunPlan(
-                trk=int(soa["trk"][r]), d0=int(soa["d0"][r]) + d0_t, L=Li,
-                sid=int(soa["sid"][r]), c0=W0, k0=k0, Pp=P, Qp=Q,
-                nsub=-(-(k0 + Li) // Q), gain=float(soa["gain"][r]),
-                fis=int(soa["fis"][r]), fii=float(soa["fii"][r]),
-                foe=int(soa["foe"][r]), foi=float(soa["foi"][r]),
-                taylor=True, eps=eps, e0=e0, rev=rev_r))
+        _, P, Q, eps, D, avail = best
+        g = math.gcd(P, Q)
+        q_hat = Q // g
+        p_hat = (P // g) % q_hat
+        inv_p = 0 if q_hat == 1 else pow(p_hat, -1, q_hat)
+        Lseg_u = (L_u.copy() if abs(eps) < 1e-18
+                  else np.full(runs_u.size, int(avail / abs(eps)), np.int64))
+        ok = Lseg_u >= np.minimum(L_u, _TAYLOR_MIN_SEG)
+        fallback[runs_u[~ok]] = True
+        runs_ok, L_o, Lseg_o = runs_u[ok], L_u[ok], Lseg_u[ok]
+        if runs_ok.size == 0:
+            continue
+        # segment grid: run r_local contributes ceil(L/Lseg) segments at
+        # t = j*Lseg, Li = min(Lseg, L - t)
+        nseg = -(-L_o // Lseg_o)
+        ridx = np.repeat(np.arange(runs_ok.size), nseg)
+        j = np.arange(int(nseg.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(nseg) - nseg, nseg)
+        t = j * Lseg_o[ridx]
+        Li = np.minimum(Lseg_o[ridx], L_o[ridx] - t)
+        x0_seg = x0s[runs_ok][ridx] + t.astype(np.float64) * sp
+        # _taylor_anchor, vectorized — extended with a +-D numerator
+        # search that buys the SMALLEST reachable k0 within the |e0|
+        # budget share (head padding is k0 wasted canonical outputs; the
+        # plain round() lands at E[k0] ~ q_hat/2, the search at
+        # ~q_hat/(2D+2))
+        phi = x0_seg - np.floor(x0_seg)
+        r_ = np.round(phi * q_hat).astype(np.int64) % q_hat
+        if q_hat == 1:
+            k0 = np.zeros_like(r_)
+        elif D > 0:
+            deltas = np.arange(-D, D + 1, dtype=np.int64)
+            kc = (((r_[:, None] + deltas) % q_hat) * inv_p) % q_hat
+            k0 = kc[np.arange(r_.size), np.argmin(kc, axis=1)]
+        else:
+            k0 = (r_ * inv_p) % q_hat
+        kP = k0 * P
+        anchor_frac = (kP % Q).astype(np.float64) / Q
+        kPQ = kP // Q
+        W0 = np.round(x0_seg - anchor_frac).astype(np.int64) - kPQ
+        e0 = x0_seg - W0.astype(np.float64) - kPQ.astype(np.float64) - anchor_frac
+        rev_seg = rev_all[runs_ok][ridx]
+        # forward-ramp segment [t, t+Li) maps to reverse dst frames
+        # [d0 + L-t-Li, d0 + L-t) — segment v plays at u = L-1-(t+v)
+        d0_t = np.where(rev_seg, L_o[ridx] - t - Li, t)
+        gidx = runs_ok[ridx]
+        nsub = -(-(k0 + Li) // Q)
+        taylor_plans.extend(_RunPlan(
+            trk=trk, d0=d0, L=Lv, sid=sid, c0=c0, k0=k0v, Pp=P, Qp=Q,
+            nsub=ns, gain=gn, fis=fis, fii=fii, foe=foe, foi=foi,
+            taylor=True, eps=eps, e0=e0v, rev=rv)
+            for trk, d0, Lv, sid, c0, k0v, ns, gn, fis, fii, foe, foi, e0v, rv
+            in zip(soa["trk"][gidx].tolist(), (soa["d0"][gidx] + d0_t).tolist(),
+                   Li.tolist(), soa["sid"][gidx].tolist(), W0.tolist(),
+                   k0.tolist(), nsub.tolist(), soa["gain"][gidx].tolist(),
+                   soa["fis"][gidx].tolist(), soa["fii"][gidx].tolist(),
+                   soa["foe"][gidx].tolist(), soa["foi"][gidx].tolist(),
+                   e0.tolist(), rev_seg.tolist()))
+        # per-segment window end for the device read guard (vectorized
+        # twin of the old per-plan loop)
+        base_seg = pool.channel_base[soa["sid"][gidx]].max(axis=1).astype(np.int64)
+        tay_guard_parts.append(
+            base_seg + W0 - (taps // 2 - 1) + (nsub - 1) * P + P + taps + 2)
 
     if fallback.any():
         if not partial:
@@ -412,10 +514,8 @@ def plan_prerender(table: SegmentTable, pool: SamplePool, taps: int = DEFAULT_TA
         win_last = (pool.channel_base[soa["sid"]].astype(np.int64) + (
             c0_a - (half - 1) + (nsub_a - 1) * _QF * Pp_a)[:, None])
         guard = int(max(0, (win_last + ((_QF + 1) * Pp_a)[:, None]).max() - pool_len))
-    for p in taylor_plans:
-        base = int(pool.channel_base[p.sid].max())
-        win_end = base + p.c0 - (half - 1) + (p.nsub - 1) * p.Pp + p.Pp + taps + 2
-        guard = max(guard, win_end - pool_len)
+    if tay_guard_parts:
+        guard = max(guard, int(np.concatenate(tay_guard_parts).max()) - pool_len)
     guard += (-guard) % 128
     return PrerenderPlan(runs=ordered, groups=groups, ext_len=ext_off,
                          guard=max(guard, 0), taps=taps, atten_db=float(atten_db),
