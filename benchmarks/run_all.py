@@ -83,6 +83,23 @@ def _fence_device(fn, n=5) -> float:
     return max(statistics.median(ts) - dispatch_baseline(), 0.0)
 
 
+def _fence_device_looped(renderer, loop_n=16, n=5) -> float:
+    """Per-render device window of a PLAIN mix whose single execution
+    hides under the dispatch round-trip: one dispatch runs ``loop_n``
+    kernel executions inside the program (mix_pallas.render_device_looped
+    — runtime-scaled gains defeat CSE/hoisting), so the window resolves
+    even when one render is ~100 us against a ~40 ms relay dispatch."""
+    cs = _checksum()
+    fn = lambda: renderer.render_device_looped(loop_n)
+    float(cs(fn()))  # warm (one extra compile, cached per loop_n)
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(cs(fn()))
+        ts.append(time.perf_counter() - t0)
+    return max(statistics.median(ts) - dispatch_baseline(), 0.0) / loop_n
+
+
 def _result(rate, frames, hosts, e2es, device_s=None, sol_s=None, extra=None):
     audio_s = frames / rate
     best = min(e2es)
@@ -206,8 +223,14 @@ def _rtf_pallas(session, rate, effects_mode=None, iters=5, auto_kernel=False,
         e2es.append(time.perf_counter() - t0)
         frames = r.plan.total_frames
     device_s = _fence_device(r.render_device)
+    extra = None
+    if device_s < 0.010:
+        # the one-shot fence can't resolve a sub-dispatch window: re-fence
+        # with loop_n in-program executions per dispatch
+        device_s = _fence_device_looped(r)
+        extra = {"device_fence": "in-program loop x16"}
     sol = mix_cost(t, frames, 2).sol_seconds()
-    return _result(rate, frames, hosts, e2es, device_s, sol)
+    return _result(rate, frames, hosts, e2es, device_s, sol, extra=extra)
 
 
 def config1(duration, iters):
@@ -605,6 +628,10 @@ def main() -> int:
                     help="explicit routed-finisher chunk for config6")
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--out", default=None, help="write the results artifact JSON here")
+    ap.add_argument("--merge-into", default=None,
+                    help="update these configs inside an existing artifact "
+                         "(stamps a per-config refresh timestamp) instead of "
+                         "writing a fresh --out")
     args = ap.parse_args()
 
     try:  # reuse compiled programs across bench invocations when possible
@@ -650,6 +677,19 @@ def main() -> int:
 
     if args.json:
         print(json.dumps(results))
+    if args.merge_into:
+        with open(args.merge_into) as f:
+            artifact = json.load(f)
+        stamp = (datetime.datetime.now(datetime.timezone.utc)
+                 .isoformat(timespec="seconds"))
+        for name, res in results.items():
+            if isinstance(res, dict) and "error" not in res:
+                res = dict(res)
+                res["refreshed_utc"] = stamp
+                artifact["results"][name] = res
+        with open(args.merge_into, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"merged {len(results)} config(s) into {args.merge_into}", flush=True)
     if args.out:
         artifact = {
             "timestamp_utc": datetime.datetime.now(datetime.timezone.utc)

@@ -8,12 +8,16 @@ numerics:
   (public domain), computed in float64.
 - ``biquad_sequential``: the ground-truth filter — float64 transposed
   direct-form II, one sample at a time (NumPy; the oracle for tests).
-- ``biquad_scan``: the TPU path — state-space form evaluated with
-  ``jax.lax.associative_scan`` (log-depth, frame-parallel, f32). This is the
-  "sequence parallelism" answer to IIR state: the recurrence
+- ``biquad_scan``: the TPU path — state-space form evaluated as a
+  log-depth frame-parallel prefix scan (f32). This is the "sequence
+  parallelism" answer to IIR state: the recurrence
   z[n] = A z[n-1] + B x[n] is a composition of affine maps, scanned in
-  O(log F) depth. f32 associative evaluation deviates from the sequential
-  reference by ~1e-5 relative for typical audio filters (tested bounds).
+  O(log F) depth via ``ops.scan_util.hillis_scan`` (contiguous shifted
+  combines — ``lax.associative_scan``'s Blelloch sweep slices the
+  128-lane frame axis at power-of-two strides and the relayout traffic,
+  not the math, was the device wall of scan-bound chains on v5e). f32
+  associative evaluation deviates from the sequential reference by
+  ~1e-5 relative for typical audio filters (tested bounds).
 - Chunk/shard boundaries carry (state) exactly: the scan also yields the
   cumulative transition, so chunked and monolithic renders agree.
 """
@@ -27,6 +31,8 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from whitebox_tpu.ops.scan_util import hillis_scan
 
 
 class BiquadType(enum.Enum):
@@ -145,6 +151,10 @@ def _affine_compose(left, right):
     return (a11, a12, a21, a22, v1, v2)
 
 
+# left identity of _affine_compose (z -> I z + 0): compose(I, r) == r exactly
+_AFFINE_IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
 def eig_section_params(c: BiquadCoeffs) -> np.ndarray:
     """Precompute the eigenbasis-transformed section (host, f64) -> 9 f32.
 
@@ -210,7 +220,8 @@ def _biquad_scan_eig(x, params, state):
         m11 + zeros, m12 + zeros, m21 + zeros, m22 + zeros,
         bv1 * x, bv2 * x,
     )
-    a11, a12, a21, a22, v1, v2 = jax.lax.associative_scan(_affine_compose, elems, axis=1)
+    a11, a12, a21, a22, v1, v2 = hillis_scan(
+        _affine_compose, elems, _AFFINE_IDENTITY)
     z1 = a11 * state[:, 0:1] + a12 * state[:, 1:2] + v1
     z2 = a21 * state[:, 0:1] + a22 * state[:, 1:2] + v2
     z1_shift = jnp.concatenate([state[:, 0:1], z1[:, :-1]], axis=1)
@@ -235,7 +246,8 @@ def biquad_scan_with_transition(x, params, state):
         m11 + zeros, m12 + zeros, m21 + zeros, m22 + zeros,
         bv1 * x, bv2 * x,
     )
-    a11, a12, a21, a22, v1, v2 = jax.lax.associative_scan(_affine_compose, elems, axis=1)
+    a11, a12, a21, a22, v1, v2 = hillis_scan(
+        _affine_compose, elems, _AFFINE_IDENTITY)
     z1 = a11 * state[:, 0:1] + a12 * state[:, 1:2] + v1
     z2 = a21 * state[:, 0:1] + a22 * state[:, 1:2] + v2
     z1_shift = jnp.concatenate([state[:, 0:1], z1[:, :-1]], axis=1)

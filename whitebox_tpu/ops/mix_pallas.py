@@ -732,6 +732,35 @@ class PallasMixRenderer:
         """
         return _mix_call(*self._args, **self._kw, per_track=True)
 
+    def render_device_looped(self, n: int = 16):
+        """ONE dispatch, ``n`` back-to-back kernel executions (summed).
+
+        Measurement fence for fast renders: a single headline mix runs in
+        ~the dispatch round-trip of a relay-attached chip, so a one-shot
+        fence can't resolve its device window. The slot-gain table is
+        scaled by a RUNTIME ones-vector indexed by the loop counter, so
+        XLA can neither CSE the iterations nor hoist the kernel out of
+        the ``fori_loop``; with scale==1 every iteration computes the
+        exact render. Device window per render = (t - dispatch) / n.
+        """
+        kw = self._kw
+
+        @jax.jit
+        def run(scale, *a):
+            sh = jax.eval_shape(lambda *x: _mix_call(*x, **kw), *a)
+
+            def body(i, acc):
+                g = a[5] * scale[i]
+                out = _mix_call(*a[:5], g, *a[6:], **kw)
+                return acc + out
+
+            return jax.lax.fori_loop(
+                0, scale.shape[0], body,
+                jnp.zeros(sh.shape, sh.dtype))
+
+        scale = jnp.ones((n,), jnp.float32)
+        return run(scale, *self._args)
+
     def render(self) -> np.ndarray:
         out = np.asarray(self.render_device())
         return out.reshape(self.plan.channels, -1)[:, : self.plan.total_frames]

@@ -93,8 +93,26 @@ def _slot_auto_names(track_auto: dict, pos: int, kind: str, static: tuple, e) ->
     return tuple(names)
 
 
+def _kind_of(e) -> str:
+    """Stage kind alone — safe on UNPREPARED effects (``static_config``
+    may legitimately need ``prepare()``'s sample rate, e.g. a designed-
+    room ConvolutionReverb's ir_len). Predicates that run before the
+    pipeline prepares its chains must use this, not ``_stage_kind``."""
+    from whitebox_tpu.effects.eq import Biquad, ParametricEQ
+    from whitebox_tpu.effects.gain import Gain
+
+    if isinstance(e, Gain):
+        return "gain"
+    if isinstance(e, Biquad):
+        return "biquad"
+    if isinstance(e, ParametricEQ):
+        return "eq"
+    return e.name
+
+
 def _stage_kind(e) -> tuple[str, tuple]:
-    """(kind, static-config) of one effect — the grouping signature entry."""
+    """(kind, static-config) of one effect — the grouping signature entry.
+    Requires prepared effects (static_config may depend on sample rate)."""
     from whitebox_tpu.effects.eq import Biquad, ParametricEQ
     from whitebox_tpu.effects.gain import Gain
 
@@ -108,13 +126,14 @@ def _stage_kind(e) -> tuple[str, tuple]:
 
 
 def chain_is_packable(chain) -> bool:
-    """True if every effect reduces to biquad sections (LTI fast paths)."""
+    """True if every effect reduces to biquad sections (LTI fast paths).
+    Runs pre-prepare, so it must not touch static configs."""
     from whitebox_tpu.effects.base import EffectChain
 
     if chain is None:
         return True
     effs = chain.effects if isinstance(chain, EffectChain) else list(chain)
-    return all(_stage_kind(e)[0] in _PACKABLE for e in effs)
+    return all(_kind_of(e) in _PACKABLE for e in effs)
 
 
 def session_fx_packable(session: Session) -> bool:
@@ -664,7 +683,11 @@ def auto_chunk_frames(fx: GenericFX, requested: int = 1 << 16) -> int:
     elif cost <= 10:
         cap = 1 << 14
     else:
-        cap = 1 << 13
+        # heavy tier: measured on v5e (benchmarks/routed_chunk_sweep.py,
+        # config 6 routed sidechain: 8192 -> 189x, 16384 -> 228x,
+        # 32768 -> 191x RT) — TPU wants 16k chunks; CPU keeps 8k (the
+        # same chain traced at 16k+ compiles minutes-slow on test hosts)
+        cap = 1 << 13 if jax.default_backend() == "cpu" else 1 << 14
     return max(min(requested, cap), PARAM_BLOCK_MIN)
 
 

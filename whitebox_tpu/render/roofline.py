@@ -111,7 +111,7 @@ def _stage_cost(est: CostEstimate, kind: str, static: tuple, B: int,
     if kind in ("convreverb", "linphase"):
         # overlap-save FFT: stream in/out + 5*N*log2(N) real-FFT flops per
         # block pair (forward + inverse), N ~ 2*ir_len
-        (L,) = static[:1]
+        L = int(static[0]) if static else 1024
         n = max(float(2 * L), 1024.0)
         nblocks = max(frames / max(L, 1), 1.0)
         est.add(f"fx.{kind}", hbm_bytes=2.0 * block,
@@ -122,27 +122,57 @@ def _stage_cost(est: CostEstimate, kind: str, static: tuple, B: int,
     est.add(f"fx.{kind}", hbm_bytes=2.0 * block)
 
 
+def _stages_for_cost(chain, sample_rate: float):
+    """(kind, static) per stage, tolerating UNPREPARED effects.
+
+    The cost estimate runs before the finishing pipeline prepares its
+    chains, and some ``static_config``s legitimately require ``prepare``
+    (a designed-room ConvolutionReverb's ir_len depends on the sample
+    rate). Infer what the cost model needs without mutating the user's
+    effect; degrade to a generic scan stream when we can't."""
+    from whitebox_tpu.effects.base import EffectChain
+    from whitebox_tpu.render.effects_generic import _kind_of, _stage_kind
+
+    effs = chain.effects if isinstance(chain, EffectChain) else list(chain)
+    out = []
+    for e in effs:
+        try:
+            kind, static = _stage_kind(e)
+        except Exception:
+            kind = _kind_of(e)
+            ir = getattr(e, "ir_host", None)
+            if ir is not None:
+                static = (int(np.asarray(ir).shape[-1]),)
+            elif getattr(e, "room_seconds", None) is not None:
+                static = (max(int(float(e.room_seconds) * sample_rate), 1),)
+            else:
+                static = ()
+        out.append((kind, static))
+    return out
+
+
 def fx_cost(session, frames: int, channels: int) -> CostEstimate:
     """Finishing traffic: per-track buffer read for the sum + per-stage
     streams for every track/bus/master chain (grouped widths)."""
-    from whitebox_tpu.render.effects_generic import _chain_stages, _chains_of
+    from whitebox_tpu.render.effects_generic import _chains_of
 
     est = CostEstimate()
     T = len(session.tracks)
+    sr = float(getattr(session, "sample_rate", 48000.0))
     est.add("finish.pt_read", hbm_bytes=float(T) * channels * frames * 4.0)
 
     chains, master = _chains_of(session)
     for c in chains:
         if c is None:
             continue
-        for (_e, kind, static) in _chain_stages(c):
+        for (kind, static) in _stages_for_cost(c, sr):
             _stage_cost(est, kind, static, 1, channels, frames)
     if master is not None:
-        for (_e, kind, static) in _chain_stages(master):
+        for (kind, static) in _stages_for_cost(master, sr):
             _stage_cost(est, kind, static, 1, channels, frames)
     for b in getattr(session, "buses", []) or []:
         if getattr(b, "effects", None):
-            for (_e, kind, static) in _chain_stages(b.effects):
+            for (kind, static) in _stages_for_cost(b.effects, sr):
                 _stage_cost(est, kind, static, 1, channels, frames)
     est.add("finish.out_write", hbm_bytes=float(frames) * channels * 4.0)
     return est
